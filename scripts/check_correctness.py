@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Dev-only replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, load the matching Verify output parquet, sort
+columns by name + rows by value, and compare. Usage:
+    python3 scripts/check_correctness.py /root/testdata/sf0.01 /tmp/verify_out
+(Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.)
+"""
+import sys, json, math, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool): return str(int(v))
+    if v is None: return "NULL"
+    return str(v)
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        res = con.execute(sql)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {str(e).splitlines()[0][:200]}")
+        fails += 1
+        continue
+    try:
+        res2 = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        scols = [d[0] for d in res2.description]
+        srows = res2.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {str(e).splitlines()[0][:200]}")
+        fails += 1
+        continue
+    oc, orws = canon(ocols, orows)
+    sc, srws = canon(scols, srows)
+    if oc != sc:
+        print(f"FAIL {name}: schema mismatch oracle={oc} spark={sc}")
+        fails += 1
+    elif len(orws) != len(srws):
+        print(f"FAIL {name}: rows oracle={len(orws)} spark={len(srws)}")
+        fails += 1
+    elif orws != srws:
+        diff = [(a, b) for a, b in zip(orws, srws) if a != b][:3]
+        print(f"FAIL {name}: value mismatch, first diffs:")
+        for a, b in diff:
+            print(f"  oracle: {a}\n  spark:  {b}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(srws)} rows)")
+print("=" * 40)
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)

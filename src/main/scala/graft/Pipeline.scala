@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.WebDocs
+import graft.operators.{Extract, Rules, Scrub, Verdict}
+
+/** Stage DAG wiring — the analogue of the reference's visitor chain
+  * (vlass2caom2/composable.py:84-92 META_VISITORS/DATA_VISITORS): each stage
+  * is a `DataFrame => DataFrame`, composed with `.transform`. Stage order is
+  * our responsibility (SURVEY.md §4): cheap Column-level rules run before
+  * model scoring so dropped rows never reach the expensive stages.
+  */
+object Pipeline {
+
+  /** Columns a downstream consumer sees (helper arrays dropped). */
+  private val helperCols = Seq("words", "lines")
+
+  def webdoc(spark: SparkSession, dir: String): DataFrame = WebDocs.build(spark, dir)
+
+  /** Full scoring pipeline: signals → verdict → scrub. Pure Catalyst
+    * projections — one codegen'd stage over the scan, no shuffle. */
+  def scored(spark: SparkSession, dir: String): DataFrame =
+    score(webdoc(spark, dir))
+
+  /** Same chain over an arbitrary WebDoc-shaped frame (used by bench). */
+  def score(docs: DataFrame): DataFrame =
+    docs.transform(Rules.apply)
+      .transform(Verdict.apply)
+      .transform(Scrub.apply)
+      .drop(helperCols: _*)
+
+  /** Extraction stage output (html → text byte-identity invariant). */
+  def extracted(spark: SparkSession, dir: String): DataFrame =
+    webdoc(spark, dir).transform(Extract.apply)
+}

@@ -1,13 +1,90 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.oracle.OracleDdl._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have an `oracleSql` entry (DuckDB dialect) for the driver's
+  * hash-compare correctness gate. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full filter+scrub pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.scored(spark, "/root/testdata/sf0.001")
+      .select(col("url"), col("keep"), col("drop_reasons"), col("scrubbed_text"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── WebDoc pipeline (SURVEY §2.2/2.3: blueprint + keep/drop layer) ──
+    "q01_webdoc" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir)
+        .select(col("doc_id"), col("url"), col("host"), col("shard"),
+          col("lang"), col("source"), col("warc_ts"), col("text"))),
+    "q02_extract" -> ((s, dir) =>
+      Pipeline.extracted(s, dir)
+        .select(col("doc_id"), col("url"), col("extracted_text"), col("text_identical"))),
+    "q03_signals" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .select((Seq("doc_id", "url") ++ graft.operators.Rules.signalCols).map(col): _*)),
+    "q04_verdict" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
+    "q05_scrub" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .select(col("doc_id"), col("url"), col("scrub_email"), col("scrub_phone"),
+          col("scrub_ip"), col("scrub_lexicon"), col("scrubbed_text"))),
+    "q06_audit" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("docs_in"),
+          sum(col("keep").cast("long")).as("docs_out"),
+          sum(col("scrub_email")).as("n_email"),
+          sum(col("scrub_phone")).as("n_phone"),
+          sum(col("scrub_ip")).as("n_ip"),
+          sum(col("scrub_lexicon")).as("n_lexicon"))),
+    "q07_reason_hist" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .select(explode(split(col("drop_reasons"), ",")).as("reason"))
+        .filter(col("reason") =!= "")
+        .groupBy(col("reason")).agg(count(lit(1)).as("n"))),
+
+    // ── Classic relational surface over the TPC-H-ish tables ──
+    "q20_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_webdoc" ->
+      (webdocCte +
+        " SELECT doc_id, url, host, shard, lang, source, warc_ts, text FROM webdoc"),
+    "q02_extract" ->
+      (webdocCte + extractCte +
+        " SELECT doc_id, url, extracted_text, (extracted_text = text) AS text_identical FROM extract"),
+    "q03_signals" ->
+      (webdocCte + signalsCte +
+        " SELECT doc_id, url, n_chars, n_words, n_lines, mean_word_len, symbol_ratio," +
+        " bullet_frac, ellipsis_frac, alpha_ratio, stop_hits, dup_line_frac, dup5_frac FROM sig"),
+    "q04_verdict" ->
+      (webdocCte + signalsCte + verdictCte +
+        " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),
+    "q05_scrub" ->
+      (pipelineCte +
+        " SELECT doc_id, url, scrub_email, scrub_phone, scrub_ip, scrub_lexicon, scrubbed_text FROM scrub"),
+    "q06_audit" ->
+      (pipelineCte +
+        " SELECT shard, count(*) AS docs_in, sum(CAST(keep AS BIGINT)) AS docs_out," +
+        " sum(scrub_email) AS n_email, sum(scrub_phone) AS n_phone," +
+        " sum(scrub_ip) AS n_ip, sum(scrub_lexicon) AS n_lexicon FROM scrub GROUP BY shard"),
+    "q07_reason_hist" ->
+      (webdocCte + signalsCte + verdictCte +
+        " SELECT reason, count(*) AS n FROM (SELECT unnest(string_split(drop_reasons, ',')) AS reason FROM verdict2) WHERE reason <> '' GROUP BY reason"),
+    "q20_agg" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty," +
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n" +
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"))
 }

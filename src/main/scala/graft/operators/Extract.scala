@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** html:binary → extracted text. The per-row invariant (BASELINE.json
+  * input_hint) is byte-identical extracted text per url, mirroring the
+  * reference's exact expected-XML-per-FITS-file golden tests
+  * (vlass2caom2/tests/test_caom_gen_visit.py:264-272).
+  *
+  * The extractor is a fixed, well-specified chain of RE2-compatible
+  * regexes so the independent DuckDB oracle computes the identical bytes.
+  * All steps are Catalyst built-ins → whole-stage codegen, no UDF.
+  */
+object Extract {
+
+  /** Deterministic boilerplate-removal chain over an html string column. */
+  def extractText(html: Column): Column = {
+    val s0 = html.cast("string") // binary → UTF-8 string
+    val s1 = regexp_replace(s0, "(?s)<head>.*?</head>", "")
+    val s2 = regexp_replace(s1, "(?s)<nav>.*?</nav>", "")
+    val s3 = regexp_replace(s2, "(?s)<h1>.*?</h1>", "")
+    val s4 = regexp_replace(s3, "(?s)<footer>.*?</footer>", "")
+    val s5 = regexp_replace(s4, "</p><p>", "\n")
+    regexp_replace(s5, "<[^>]+>", "")
+  }
+
+  /** Adds `extracted_text` and `text_identical` (the golden invariant). */
+  def apply(webdoc: DataFrame): DataFrame =
+    webdoc
+      .withColumn("extracted_text", extractText(col("html")))
+      .withColumn("text_identical", col("extracted_text") === col("text"))
+}

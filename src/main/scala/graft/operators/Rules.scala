@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher/C4-style heuristic quality signals as pure Catalyst column
+  * expressions (BASELINE.json north_star). Analogue of the reference's
+  * declarative blueprint layer (vlass2caom2/main_app.py:157-229): every
+  * signal is `attribute ← function(row)` with no side effects, so Catalyst
+  * keeps the whole stage inside one codegen'd projection — no UDFs, no
+  * shuffle, scales embarrassingly with input splits.
+  *
+  * Signals (thresholds in [[Verdict]]):
+  *  - n_chars / n_words / n_lines        — document size
+  *  - mean_word_len                      — Gopher "mean word length in [3,10]"
+  *  - symbol_ratio                       — Gopher "#/… symbol-to-word ratio"
+  *  - bullet_frac / ellipsis_frac        — Gopher "lines starting with bullet
+  *                                         / ending with ellipsis"
+  *  - alpha_ratio                        — Gopher "words with ≥1 alphabetic char"
+  *  - stop_hits                          — C4/Gopher stop-word requirement
+  *  - dup_line_frac / dup5_frac          — Gopher repetition ratios
+  *                                         (duplicate lines, duplicate 5-grams)
+  */
+object Rules {
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "for", "that")
+
+  /** Whitespace tokenization with empty tokens removed (oracle-identical). */
+  def wordsOf(text: Column): Column =
+    filter(split(text, "\\s+"), w => w =!= "")
+
+  def linesOf(text: Column): Column = split(text, "\n")
+
+  /** Appends all signal columns; expects a `text` column. */
+  def apply(df: DataFrame): DataFrame = {
+    val text = col("text")
+    val words = wordsOf(text)
+    val lines = linesOf(text)
+    val nWords = size(words).cast("double")
+    val nLines = size(lines).cast("double")
+
+    // duplicate 5-gram fraction: 1 - distinct(5-grams)/count(5-grams)
+    val fiveGrams = transform(sequence(lit(1), size(words) - 4), i =>
+      concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+        element_at(words, i + 2), element_at(words, i + 3), element_at(words, i + 4)))
+    val dup5 = when(size(words) < 6, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(fiveGrams)).cast("double") / (size(words) - 4), 6))
+
+    df.withColumn("words", words)
+      .withColumn("lines", lines)
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords, 6))
+      .withColumn("symbol_ratio",
+        round(regexp_count(text, lit("[#@$%!]")).cast("double") / nWords, 6))
+      .withColumn("bullet_frac",
+        round(size(filter(col("lines"), l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines, 6))
+      .withColumn("ellipsis_frac",
+        round(size(filter(col("lines"), l => l.endsWith("..."))).cast("double") / nLines, 6))
+      .withColumn("alpha_ratio",
+        round(size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
+      .withColumn("stop_hits",
+        size(filter(col("words"), w => w.isin(StopWords: _*))).cast("long"))
+      .withColumn("dup_line_frac",
+        round(lit(1.0) - size(array_distinct(col("lines"))).cast("double") / nLines, 6))
+      .withColumn("dup5_frac", dup5)
+  }
+
+  /** Signal columns emitted (order is the canonical output order). */
+  val signalCols: Seq[String] = Seq(
+    "n_chars", "n_words", "n_lines", "mean_word_len", "symbol_ratio",
+    "bullet_frac", "ellipsis_frac", "alpha_ratio", "stop_hits",
+    "dup_line_frac", "dup5_frac")
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Regex PII/toxicity scrub (BASELINE.json north_star): emails, phones,
+  * IPv4 addresses, and a toxicity lexicon (deliberately a fake-profanity
+  * placeholder lexicon — swap for a real one in production), applied as an
+  * ordered chain of `regexp_replace` passes. Per-pattern hit counts are
+  * emitted for the audit table (≙ the reference's per-reason rejected
+  * ledger, vlass2caom2/cleanup_augmentation.py:113).
+  *
+  * All regexes are RE2-compatible (no backreferences/lookaround) so the
+  * DuckDB oracle reproduces the scrubbed bytes exactly. The whole chain is
+  * one codegen'd projection; at 100 TB it is scan-bound, not CPU-bound.
+  * Scrub is idempotent: replacement tokens match none of the patterns
+  * (property-tested in ScrubSpec).
+  */
+object Scrub {
+
+  /** (name, pattern, replacement) in application order. */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("lexicon", "(?i)\\b(frak|gorram|smeg|felgercarb)\\b", "<CENSORED>"))
+
+  def scrubText(text: Column): Column =
+    patterns.foldLeft(text) { case (c, (_, pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** Adds `scrub_<name>` count columns and `scrubbed_text`. Counts are
+    * measured on the pre-scrub text (pattern order still matters for the
+    * replacement chain, not for counts — patterns are mutually exclusive). */
+  def apply(df: DataFrame): DataFrame = {
+    val withCounts = patterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"scrub_$name", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    withCounts.withColumn("scrubbed_text", scrubText(col("text")))
+  }
+
+  val countCols: Seq[String] = patterns.map { case (n, _, _) => s"scrub_$n" }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keep/drop composition: the analogue of the reference's QA_REJECTED
+  * keep/drop label (vlass2caom2/quality_augmentation.py:78-113) — a boolean
+  * verdict plus an ordered, canonical drop-reason list (the reference records
+  * rejection reasons via `observable.rejected.record`,
+  * cleanup_augmentation.py:113).
+  *
+  * `drop_reasons` is emitted as a comma-joined string in canonical rule
+  * order so golden comparisons are byte-stable.
+  */
+object Verdict {
+
+  /** (reason name, predicate over the Rules signal columns). Order is the
+    * canonical reason order. */
+  def reasonPredicates: Seq[(String, Column)] = Seq(
+    "too_short" -> (col("n_chars") < 50),
+    "too_long" -> (col("n_chars") > 20000),
+    "word_len" -> (col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0),
+    "symbol" -> (col("symbol_ratio") > 0.1),
+    "bullet" -> (col("bullet_frac") > 0.5),
+    "ellipsis" -> (col("ellipsis_frac") > 0.3),
+    "dup_line" -> (col("dup_line_frac") > 0.3),
+    "rep_5gram" -> (col("dup5_frac") > 0.6),
+    "low_alpha" -> (col("alpha_ratio") < 0.5),
+    "no_stopword" -> (col("stop_hits") < 1),
+    "non_english" -> (col("lang") =!= "en"),
+    "lexicon" -> col("text").rlike("(?i)\\b(frak|gorram|smeg|felgercarb)\\b"))
+
+  /** Adds `drop_reasons` (canonical comma-joined string) and `keep`. */
+  def apply(df: DataFrame): DataFrame = {
+    val reasons = array(reasonPredicates.map { case (name, pred) =>
+      when(pred, lit(name))
+    }: _*)
+    df.withColumn("drop_reasons",
+        concat_ws(",", filter(reasons, r => r.isNotNull)))
+      .withColumn("keep", col("drop_reasons") === "")
+  }
+}

@@ -1,0 +1,140 @@
+package graft.oracle
+
+/** DuckDB-dialect oracle SQL building blocks. The driver runs each
+  * `SparkEntry.oracleSql` query in DuckDB over the same parquet tables and
+  * hash-compares against the Spark result — the analogue of the reference's
+  * independently-produced expected.xml golden files
+  * (vlass2caom2/tests/test_caom_gen_visit.py:264): an independent engine
+  * recomputes the expected bytes.
+  *
+  * Everything here must track graft.sources.WebDocs / operators.* exactly:
+  * same injection order, same regexes (RE2-compatible subset), same
+  * thresholds, same rounding (6 dp).
+  */
+object OracleDdl {
+
+  /** WebDoc synthesis: base docs ∪ near-clones ∪ exact clones with
+    * deterministic corruption/PII injections — mirrors WebDocs.build. */
+  val webdocCte: String =
+    """WITH base AS (
+      |  SELECT doc_id, text AS text0, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, 'copy of ' || text, lang, source FROM documents WHERE doc_id % 43 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text, lang, source FROM documents WHERE doc_id % 47 = 0
+      |), c1 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 29 = 0 THEN substr(text0, 1, 30) ELSE text0 END AS t FROM base
+      |), c2 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 37 = 0 THEN repeat(substr(t, 1, 40) || ' ', 12) ELSE t END AS t FROM c1
+      |), c3 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 31 = 0 THEN t || repeat(' #@!$%', 30) ELSE t END AS t FROM c2
+      |), c4 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 19 = 0 THEN t || chr(10) || '- one' || chr(10) || '- two' || chr(10) || '- three' || chr(10) || '- four' || chr(10) || '- five' || chr(10) || '- six' || chr(10) || '- seven' || chr(10) || '- eight' ELSE t END AS t FROM c3
+      |), c5 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 23 = 0 THEN t || chr(10) || 'read more...' || chr(10) || 'see more...' || chr(10) || 'click here...' ELSE t END AS t FROM c4
+      |), c6 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 7 = 0 THEN t || ' Contact user' || doc_id || '@example.com now.' ELSE t END AS t FROM c5
+      |), c7 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 11 = 0 THEN t || ' Call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.' ELSE t END AS t FROM c6
+      |), c8 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 13 = 0 THEN t || ' Origin host 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || ' logged.' ELSE t END AS t FROM c7
+      |), c9 AS (
+      |  SELECT doc_id, lang, source, CASE WHEN doc_id % 17 = 0 THEN t || ' what the frak is this gorram page anyway.' ELSE t END AS text FROM c8
+      |), webdoc AS (
+      |  SELECT doc_id, lang, source, text,
+      |    CASE WHEN (doc_id * 131) % 997 < 300 THEN 'popular.example.com'
+      |         ELSE 'host-' || ((doc_id * 131) % 997) || '.example.com' END AS host,
+      |    'https://' || CASE WHEN (doc_id * 131) % 997 < 300 THEN 'popular.example.com'
+      |         ELSE 'host-' || ((doc_id * 131) % 997) || '.example.com' END || '/' || source || '/' || doc_id AS url,
+      |    doc_id % 32 AS shard,
+      |    TIMESTAMP '2024-01-01 00:00:00' + ((doc_id * 37) % 2592000) * INTERVAL 1 SECOND AS warc_ts,
+      |    '<html><head><title>Doc ' || doc_id || '</title><meta charset="utf-8"></head><body><nav>home | about | contact</nav><h1>Doc ' || doc_id || '</h1><p>' || replace(text, chr(10), '</p><p>') || '</p><footer>(c) 2024 example.com</footer></body></html>' AS html_str
+      |  FROM c9
+      |)""".stripMargin
+
+  /** Quality signals over webdoc — mirrors operators.Rules. */
+  val signalsCte: String =
+    """, w0 AS (
+      |  SELECT *, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words,
+      |         string_split(text, chr(10)) AS lines
+      |  FROM webdoc
+      |), sig AS (
+      |  SELECT doc_id, url, host, shard, lang, source, text, words, lines,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(words), 6) AS mean_word_len,
+      |    round(len(regexp_extract_all(text, '[#@$%!]')) * 1.0 / len(words), 6) AS symbol_ratio,
+      |    round(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) * 1.0 / len(lines), 6) AS bullet_frac,
+      |    round(len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0 / len(lines), 6) AS ellipsis_frac,
+      |    round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words), 6) AS alpha_ratio,
+      |    CAST(len(list_filter(words, w -> w IN ('the','a','of','to','and','in','for','that'))) AS BIGINT) AS stop_hits,
+      |    round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) AS dup_line_frac,
+      |    CASE WHEN len(words) < 6 THEN 0.0
+      |         ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(words) - 3),
+      |              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]))) * 1.0
+      |              / (len(words) - 4), 6) END AS dup5_frac
+      |  FROM w0
+      |)""".stripMargin
+
+  /** Keep/drop verdict — mirrors operators.Verdict (same canonical order). */
+  val verdictCte: String =
+    """, verdict AS (
+      |  SELECT *, coalesce(array_to_string(list_filter([
+      |      CASE WHEN n_chars < 50 THEN 'too_short' END,
+      |      CASE WHEN n_chars > 20000 THEN 'too_long' END,
+      |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+      |      CASE WHEN symbol_ratio > 0.1 THEN 'symbol' END,
+      |      CASE WHEN bullet_frac > 0.5 THEN 'bullet' END,
+      |      CASE WHEN ellipsis_frac > 0.3 THEN 'ellipsis' END,
+      |      CASE WHEN dup_line_frac > 0.3 THEN 'dup_line' END,
+      |      CASE WHEN dup5_frac > 0.6 THEN 'rep_5gram' END,
+      |      CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+      |      CASE WHEN stop_hits < 1 THEN 'no_stopword' END,
+      |      CASE WHEN lang <> 'en' THEN 'non_english' END,
+      |      CASE WHEN regexp_matches(text, '(?i)\b(frak|gorram|smeg|felgercarb)\b') THEN 'lexicon' END
+      |    ], r -> r IS NOT NULL), ','), '') AS drop_reasons
+      |  FROM sig
+      |), verdict2 AS (
+      |  SELECT *, (drop_reasons = '') AS keep FROM verdict
+      |)""".stripMargin
+
+  /** PII scrub — mirrors operators.Scrub (same patterns, same order). */
+  val scrubCte: String =
+    """, scrub AS (
+      |  SELECT *,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS scrub_email,
+      |    CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS scrub_phone,
+      |    CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS scrub_ip,
+      |    CAST(len(regexp_extract_all(text, '(?i)\b(frak|gorram|smeg|felgercarb)\b')) AS BIGINT) AS scrub_lexicon,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |          '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '(?i)\b(frak|gorram|smeg|felgercarb)\b', '<CENSORED>', 'g') AS scrubbed_text
+      |  FROM verdict2
+      |)""".stripMargin
+
+  /** html → extracted text — mirrors operators.Extract. */
+  val extractCte: String =
+    """, extract AS (
+      |  SELECT doc_id, url, text,
+      |    regexp_replace(
+      |      replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(html_str, '(?s)<head>.*?</head>', '', 'g'),
+      |              '(?s)<nav>.*?</nav>', '', 'g'),
+      |            '(?s)<h1>.*?</h1>', '', 'g'),
+      |          '(?s)<footer>.*?</footer>', '', 'g'),
+      |        '</p><p>', chr(10)),
+      |      '<[^>]+>', '', 'g') AS extracted_text
+      |  FROM webdoc
+      |)""".stripMargin
+
+  /** Full pipeline prefix: webdoc + signals + verdict + scrub. */
+  val pipelineCte: String = webdocCte + signalsCte + verdictCte + scrubCte
+}

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic `WebDoc` table (BASELINE.json input_hint):
+  * `(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING)`
+  * derived purely from the driver's `documents.parquet` — no wall clock, no
+  * RNG, every column a closed-form function of `doc_id`, so the DuckDB
+  * oracle (graft.oracle.OracleDdl.WEBDOC_CTE) reproduces it bit-for-bit.
+  *
+  * Mirrors the reference's synthetic fixture strategy
+  * (vlass2caom2/tests/data fixtures: per-file inputs with known expected outputs):
+  *  - clone rows (doc_id%43 near-dup, doc_id%47 exact-dup) exercise dedup;
+  *  - corruption injections (%29 short, %37 repetition, %31 symbol spam,
+  *    %19 bullet spam, %23 ellipsis spam) exercise the Gopher/C4 rules;
+  *  - PII injections (%7 email, %11 phone, %13 IP, %17 lexicon) exercise
+  *    the scrub stage;
+  *  - a Zipf-ish hot host (~30% of urls on popular.example.com) exercises
+  *    skew salting (SURVEY.md §4 "gap we must add").
+  *
+  * At 100 TB the synthesis disappears and `load` reads the real table; all
+  * derivations here are narrow (no shuffle), so the generator itself scales
+  * linearly with input splits.
+  */
+object WebDocs {
+
+  /** Zipf-skew host: ~30% of doc_ids land on one hot host. */
+  private def hostCol(docId: Column): Column = {
+    val hid = (docId * 131) % 997
+    when(hid < 300, lit("popular.example.com"))
+      .otherwise(concat(lit("host-"), hid.cast("string"), lit(".example.com")))
+  }
+
+  /** Corruption + PII injection chain. Order is load-bearing (the oracle
+    * applies the same chain in the same order). Reference analogue: the
+    * deterministic per-file blueprint chain of main_app.py:157-229. */
+  private def injectedText(docId: Column, text0: Column): Column = {
+    // NOTE: each step must reference its predecessor exactly once — a
+    // when(c, f(t)).otherwise(t) chain duplicates `t` per step and blows the
+    // expression tree up 2^9-fold (Janino then fails codegen and Spark falls
+    // back to interpreted eval). Suffix injections therefore compose via
+    // concat with empty-string defaults.
+    val t1 = when(docId % 29 === 0, substring(text0, 1, 30)).otherwise(text0)
+    val t2 = when(docId % 37 === 0, repeat(concat(substring(t1, 1, 40), lit(" ")), 12)).otherwise(t1)
+    def suffix(cond: Column, s: Column): Column = when(cond, s).otherwise(lit(""))
+    concat(t2,
+      suffix(docId % 31 === 0, repeat(lit(" #@!$%"), 30)),
+      suffix(docId % 19 === 0, lit("\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight")),
+      suffix(docId % 23 === 0, lit("\nread more...\nsee more...\nclick here...")),
+      suffix(docId % 7 === 0, concat(lit(" Contact user"), docId.cast("string"), lit("@example.com now."))),
+      suffix(docId % 11 === 0, concat(lit(" Call 415-555-"), lpad((docId % 10000).cast("string"), 4, "0"), lit(" today."))),
+      suffix(docId % 13 === 0, concat(lit(" Origin host 10."), (docId % 256).cast("string"), lit("."),
+        ((docId * 7) % 256).cast("string"), lit("."), ((docId * 13) % 256).cast("string"), lit(" logged."))),
+      suffix(docId % 17 === 0, lit(" what the frak is this gorram page anyway.")))
+  }
+
+  /** The full WebDoc table: base docs ∪ near-clones ∪ exact clones, with
+    * derived url/host/shard/warc_ts/html. Narrow plan — no shuffle. */
+  def build(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val base = d.select(col("doc_id"), col("text").as("text0"), col("lang"), col("source"))
+    val near = d.filter(col("doc_id") % 43 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("copy of "), col("text")).as("text0"), col("lang"), col("source"))
+    val exact = d.filter(col("doc_id") % 47 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text").as("text0"),
+        col("lang"), col("source"))
+    fromBase(base.unionByName(near).unionByName(exact))
+  }
+
+  /** Replicated WebDoc table for throughput benches: `mult` deterministic
+    * replicas per base doc (doc_id offset by 100M·k so injections vary). */
+  def buildReplicated(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val rep = d.withColumn("k", explode(sequence(lit(0), lit(mult - 1))))
+      .select((col("doc_id") + col("k").cast("long") * 100000000L).as("doc_id"),
+        col("text").as("text0"), col("lang"), col("source"))
+    fromBase(rep)
+  }
+
+  /** Derivation chain over an already-assembled (doc_id, text0, lang, source). */
+  private def fromBase(u: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val text = injectedText(did, col("text0"))
+    val host = hostCol(did)
+    val url = concat(lit("https://"), host, lit("/"), col("source"), lit("/"), did.cast("string"))
+    val ts = expr("timestampadd(SECOND, pmod(doc_id * 37, 2592000), TIMESTAMP'2024-01-01 00:00:00')")
+    val withText = u.select(did, col("lang"), col("source"), text.as("text"),
+      host.as("host"), url.as("url"), (did % 32).as("shard"), ts.as("warc_ts"))
+    val html = concat(
+      lit("<html><head><title>Doc "), did.cast("string"),
+      lit("</title><meta charset=\"utf-8\"></head><body><nav>home | about | contact</nav><h1>Doc "),
+      did.cast("string"), lit("</h1><p>"),
+      regexp_replace(col("text"), "\n", "</p><p>"),
+      lit("</p><footer>(c) 2024 example.com</footer></body></html>"))
+    withText.withColumn("html", html.cast("binary"))
+  }
+}
