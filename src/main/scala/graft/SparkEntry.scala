@@ -49,6 +49,38 @@ object SparkEntry {
         .filter(col("reason") =!= "")
         .groupBy(col("reason")).agg(count(lit(1)).as("n"))),
 
+    // ── Dedup family (SURVEY §2.7 + training-data ops) ──
+    "q10_dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exact(Pipeline.webdoc(s, dir))),
+    "q11_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairs(Pipeline.webdoc(s, dir), 0.5)),
+    "q12_minhash_lsh" -> ((s, dir) =>
+      graft.operators.Dedup.minhashPairs(Pipeline.webdoc(s, dir), 0.5)),
+    "q13_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(Pipeline.webdoc(s, dir), 3)),
+
+    // ── Similarity search over embeddings ──
+    "q14_ann_brute" -> ((s, dir) =>
+      graft.operators.Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 25)),
+    "q15_ann_ivf" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251)),
+
+    // ── Text analysis ──
+    "q16_tokens" -> ((s, dir) =>
+      graft.operators.TextStats.withTokenCounts(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_ws_tokens"), col("n_re_tokens"))),
+    "q17_fingerprint" -> ((s, dir) =>
+      graft.operators.TextStats.withFingerprint(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("fingerprint"))),
+    "q18_unigram" -> ((s, dir) =>
+      graft.operators.TextStats.unigramLogProb(Pipeline.webdoc(s, dir))),
+    "q19_hosts" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep").cast("long")).as("n_keep"))),
+
     // ── Classic relational surface over the TPC-H-ish tables ──
     "q20_agg" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -56,6 +88,66 @@ object SparkEntry {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n"))
+    }),
+    "q21_join" -> ((s, dir) => {
+      // dims broadcast; fact-fact join shuffles on the key (J1 analogue)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+    "q22_latest_order" -> ((s, dir) => {
+      // A2 analogue: max-version-per-group via rank-1-by-time window
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+    "q23_anti_join" -> ((s, dir) => {
+      // J2 reconciliation analogue: source-missing via left_anti
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    }),
+    "q24_last_event" -> ((s, dir) => {
+      // S6/A4 analogue: latest record per key (max_by with total tie-break)
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+    }),
+    "q25_timebox" -> ((s, dir) => {
+      // S6 time-box analogue: tumbling 10-minute windows over events
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.groupBy(window(col("ts"), "10 minutes").getField("start").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+    // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
+    "q30_langid" -> ((s, dir) =>
+      graft.functions.LangId(Pipeline.webdoc(s, dir))),
+    "q31_perplexity" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
+    }),
+
+    "q26_topk" -> ((s, dir) => {
+      // A6 analogue: global top-k with deterministic tie-break
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -83,8 +175,127 @@ object SparkEntry {
     "q07_reason_hist" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT reason, count(*) AS n FROM (SELECT unnest(string_split(drop_reasons, ',')) AS reason FROM verdict2) WHERE reason <> '' GROUP BY reason"),
+    "q10_dedup_exact" ->
+      (webdocCte +
+        s" SELECT ${h60("text")} AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies" +
+        " FROM webdoc GROUP BY 1"),
+    "q11_jaccard" ->
+      (webdocCte + shingleCte +
+        """, ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM wsh)
+          | SELECT doc_a, doc_b, jaccard FROM (
+          |   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |     round(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)), 6) AS jaccard
+          |   FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+          |   GROUP BY 1, 2)
+          | WHERE jaccard >= 0.5""".stripMargin),
+    "q12_minhash_lsh" ->
+      (webdocCte + shingleCte + minhashCte +
+        """ SELECT doc_a, doc_b, jaccard FROM (
+          |   SELECT doc_a, doc_b,
+          |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |   FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          | WHERE jaccard >= 0.5""".stripMargin),
+    "q13_simhash" ->
+      (webdocCte + shingleCte + simhashCte +
+        """ SELECT doc_a, doc_b, hamming FROM (
+          |   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |     bit_count(xor(a.simhash, b.simhash)) AS hamming
+          |   FROM simbands a JOIN simbands b
+          |     ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+          | WHERE hamming <= 3""".stripMargin),
+    "q14_ann_brute" ->
+      (embCte +
+        s""" SELECT query_id, neighbor_id, rank, cos FROM (
+           |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |     round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cos,
+           |     row_number() OVER (PARTITION BY q.vec_id
+           |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
+           |   FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id)
+           | WHERE rank <= 10""".stripMargin),
+    "q15_ann_ivf" ->
+      (embCte +
+        s""", cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 251 = 0)
+           |, assigned AS (
+           |   SELECT vec_id, v, nrm, centroid_id FROM (
+           |     SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           |       row_number() OVER (PARTITION BY n.vec_id
+           |         ORDER BY round(${dotSql("n.v", "c.cv")} / (n.nrm * c.cn), 6) DESC, c.centroid_id) AS rn
+           |     FROM n, cents c)
+           |   WHERE rn = 1)
+           | SELECT query_id, neighbor_id, rank, cos FROM (
+           |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |     round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cos,
+           |     row_number() OVER (PARTITION BY q.vec_id
+           |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
+           |   FROM assigned q JOIN assigned x
+           |     ON q.vec_id % 25 = 0 AND q.centroid_id = x.centroid_id AND q.vec_id <> x.vec_id)
+           | WHERE rank <= 10""".stripMargin),
+    "q16_tokens" ->
+      (webdocCte +
+        """ SELECT doc_id, url,
+          |   CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+          |   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re_tokens
+          | FROM webdoc""".stripMargin),
+    "q17_fingerprint" ->
+      (webdocCte +
+        """ SELECT doc_id, url,
+          |   list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+          |     (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+          | FROM webdoc""".stripMargin),
+    "q18_unigram" ->
+      (webdocCte + shingleCte +
+        """, wx AS (SELECT doc_id, unnest(words) AS w FROM wsw)
+          |, cnts AS (SELECT w, count(*) AS cnt FROM wx GROUP BY w)
+          |, tot AS (SELECT sum(cnt) AS total FROM cnts)
+          | SELECT doc_id, round(avg(-ln(cnt * 1.0 / total)), 6) AS avg_nll, count(*) AS n_words
+          | FROM wx JOIN cnts USING (w), tot GROUP BY doc_id""".stripMargin),
+    "q19_hosts" ->
+      (pipelineCte +
+        " SELECT host, count(*) AS n_docs, sum(CAST(keep AS BIGINT)) AS n_keep FROM scrub GROUP BY host"),
     "q20_agg" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty," +
         " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n" +
-        " FROM lineitem GROUP BY l_returnflag, l_linestatus"))
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q21_join" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lines" +
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey" +
+        " JOIN customer ON o_custkey = c_custkey" +
+        " JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q22_latest_order" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (" +
+        " SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn" +
+        " FROM orders) WHERE rn = 1"),
+    "q23_anti_join" ->
+      ("SELECT o_orderkey, o_custkey, o_orderstatus FROM orders" +
+        " WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)"),
+    "q24_last_event" ->
+      ("SELECT user_id, event_id, event_type, value FROM (" +
+        " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn" +
+        " FROM events) WHERE rn = 1"),
+    "q25_timebox" ->
+      ("SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start, event_type," +
+        " count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    "q26_topk" ->
+      ("SELECT event_id, user_id, event_type, value FROM events" +
+        " ORDER BY value DESC, event_id LIMIT 20"),
+    // q30_langid has no SQL oracle (model weights) → driver rows-only check.
+    "q31_perplexity" ->
+      (webdocCte + shingleCte +
+        """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
+          |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
+          |, tot AS (SELECT sum(cnt) AS total FROM uni)
+          |, pairs AS (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
+          |, big AS (SELECT w1, w2, count(*) AS bcnt FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2)
+          |, terms AS (
+          |   SELECT p.doc_id, p.url,
+          |     CASE WHEN p.w1 IS NULL THEN u2.cnt * 1.0 / total + 1e-12
+          |          WHEN b.bcnt IS NOT NULL THEN b.bcnt * 1.0 / u1.cnt
+          |          ELSE 0.4 * (u2.cnt * 1.0 / total + 1e-12) END AS pr
+          |   FROM pairs p
+          |   JOIN uni u2 ON p.w2 = u2.w
+          |   LEFT JOIN uni u1 ON p.w1 = u1.w
+          |   LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2, tot)
+          | SELECT doc_id, url, count(*) AS n_words,
+          |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
+          | FROM terms GROUP BY doc_id, url""".stripMargin))
 }

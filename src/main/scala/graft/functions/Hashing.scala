@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing. Spark's xxhash64/hash differ from
+  * DuckDB's hash(), so every hash that feeds a golden comparison is derived
+  * from md5 (identical bytes in any engine): the first 15 hex chars give an
+  * unsigned 60-bit value that fits a signed 64-bit int in both.
+  *
+  * All helpers are pure Catalyst built-ins (md5/conv/substring) — codegen'd,
+  * no UDF, so hashing stays inside whole-stage codegen at scale.
+  */
+object Hashing {
+
+  /** Large prime for modular permutation hashing (fits 32 bits; products
+    * with coefficients < 2^10 stay far below 2^63). */
+  val P: Long = 1000000007L
+
+  /** 60-bit hash of a string column: oracle-equivalent in DuckDB is
+    * CAST('0x' || substr(md5(s), 1, 15) AS BIGINT). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash permutation coefficients (k = 16), fixed constants shared with
+    * the oracle SQL verbatim. h_i(x) = (a_i * (x mod P) + b_i) mod P. */
+  val minhashA: Seq[Long] = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 131, 151, 181, 211, 241, 271, 307)
+  val minhashB: Seq[Long] = Seq(3, 17, 29, 41, 53, 71, 89, 103, 127, 139, 157, 173, 193, 223, 251, 281)
+
+  /** One permuted hash of an already-md5Hash60'd value. */
+  def permute(h: Column, i: Int): Column =
+    pmod(lit(minhashA(i)) * pmod(h, lit(P)) + lit(minhashB(i)), lit(P))
+}

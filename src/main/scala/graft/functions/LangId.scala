@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** fastText-style language identification: hashed character 3-gram count
+  * vectors scored by cosine against per-language profiles
+  * (BASELINE.json north_star: "hashed character n-gram embeddings broadcast
+  * to executors" — hand-rolled, no external model files).
+  *
+  * The "model" is trained at first use from a small embedded seed corpus
+  * (authored here, deterministic), L2-normalized per language, and shipped
+  * to executors as a broadcast variable; scoring is a typed `mapPartitions`
+  * over the broadcast — the reference's in-process cache pattern
+  * (vlass2caom2/data_source.py:294-346 weblog cache) distributed the Spark
+  * way. This is the one stage that is deliberately NOT a Column expression:
+  * it models the general broadcast-model scorer (langid, perplexity,
+  * classifier heads) whose weights don't fit a literal.
+  */
+object LangId extends Serializable {
+
+  val Dim = 4096
+
+  /** Sorted language ids; argmax ties break toward the earlier entry. */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Embedded seed corpus (authored text, a few sentences per language). */
+  val seedCorpus: Map[String, Seq[String]] = Map(
+    "en" -> Seq(
+      "the quick brown fox jumps over the lazy dog while the children watch from the garden",
+      "a journey of a thousand miles begins with a single step and ends where the road ends",
+      "data processing at scale requires careful thought about partitioning and shuffling",
+      "she sells sea shells by the sea shore and the shells she sells are surely sea shells",
+      "it was the best of times it was the worst of times it was the age of wisdom",
+      "what we think we become and what we imagine we create in the world around us"),
+    "es" -> Seq(
+      "el rápido zorro marrón salta sobre el perro perezoso mientras los niños miran desde el jardín",
+      "un viaje de mil millas comienza con un solo paso y termina donde termina el camino",
+      "el procesamiento de datos a gran escala requiere pensar en la partición de los datos",
+      "ella vende conchas de mar junto a la orilla del mar y las conchas que vende son del mar",
+      "era el mejor de los tiempos era el peor de los tiempos era la edad de la sabiduría",
+      "lo que pensamos nos convertimos y lo que imaginamos creamos en el mundo que nos rodea"),
+    "de" -> Seq(
+      "der schnelle braune fuchs springt über den faulen hund während die kinder aus dem garten zuschauen",
+      "eine reise von tausend meilen beginnt mit einem einzigen schritt und endet wo der weg endet",
+      "die datenverarbeitung in großem maßstab erfordert sorgfältige überlegungen zur partitionierung",
+      "sie verkauft muscheln am meeresufer und die muscheln die sie verkauft sind sicher meeresmuscheln",
+      "es war die beste aller zeiten es war die schlimmste aller zeiten es war das zeitalter der weisheit",
+      "was wir denken werden wir und was wir uns vorstellen erschaffen wir in der welt um uns herum"),
+    "fr" -> Seq(
+      "le rapide renard brun saute par dessus le chien paresseux pendant que les enfants regardent du jardin",
+      "un voyage de mille lieues commence par un seul pas et se termine là où finit le chemin",
+      "le traitement des données à grande échelle exige une réflexion sur le partitionnement des données",
+      "elle vend des coquillages au bord de la mer et les coquillages qu'elle vend viennent de la mer",
+      "c'était le meilleur des temps c'était le pire des temps c'était l'âge de la sagesse",
+      "ce que nous pensons nous le devenons et ce que nous imaginons nous le créons dans le monde"),
+    "zh" -> Seq(
+      "敏捷的棕色狐狸跳过了懒惰的狗而孩子们在花园里观看",
+      "千里之行始于足下而终于路的尽头",
+      "大规模数据处理需要仔细考虑数据的分区和洗牌",
+      "她在海边卖贝壳而她卖的贝壳确实是海贝壳",
+      "这是最好的时代这是最坏的时代这是智慧的时代",
+      "我们想什么就成为什么我们想象什么就在周围的世界中创造什么"))
+
+  /** Deterministic hash of a char 3-gram into [0, Dim). */
+  def hashGram(s: CharSequence, from: Int): Int = {
+    var h = 7
+    var i = from
+    while (i < from + 3) { h = h * 31 + s.charAt(i); i += 1 }
+    ((h % Dim) + Dim) % Dim
+  }
+
+  /** Raw 3-gram count vector of a text (lowercased, padded with spaces). */
+  def countVector(text: String): Array[Double] = {
+    val v = new Array[Double](Dim)
+    val t = " " + text.toLowerCase + " "
+    var i = 0
+    while (i + 3 <= t.length) { v(hashGram(t, i)) += 1.0; i += 1 }
+    v
+  }
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** The trained model: language → L2-normalized profile vector. */
+  lazy val model: Map[String, Array[Double]] =
+    seedCorpus.map { case (lang, texts) =>
+      lang -> l2normalize(texts.map(countVector)
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y }))
+    }
+
+  /** Predict (language, cosine score) for one text. Deterministic:
+    * fixed Langs order, ties break toward the earlier language. */
+  def predict(text: String, m: Map[String, Array[Double]]): (String, Double) = {
+    val dv = l2normalize(countVector(text))
+    var bestLang = Langs.head
+    var bestScore = -1.0
+    for (lang <- Langs) {
+      val p = m(lang)
+      var dot = 0.0; var i = 0
+      while (i < Dim) { dot += dv(i) * p(i); i += 1 }
+      if (dot > bestScore) { bestScore = dot; bestLang = lang }
+    }
+    (bestLang, math.floor(bestScore * 1e6 + 0.5) / 1e6)
+  }
+
+  /** Adds lang_pred + lang_score via mapPartitions over the broadcast
+    * profiles. Expects doc_id/url/lang/text columns. */
+  def apply(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("lang", StringType), StructField("lang_pred", StringType),
+      StructField("lang_score", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id"), col("url"), col("lang"), col("text"))
+      .mapPartitions { iter =>
+        val m = bc.value
+        iter.map { r =>
+          val (pred, score) = predict(r.getString(3), m)
+          Row(r.getLong(0), r.getString(1), r.getString(2), pred, score)
+        }
+      }(enc)
+  }
+}

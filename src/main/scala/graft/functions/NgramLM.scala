@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Rules
+
+/** KenLM-style n-gram language model scoring (BASELINE.json north_star):
+  * word bigram counts with stupid backoff (α=0.4), trained distributed
+  * (two aggregations), collected to the driver, and broadcast to executors;
+  * per-document perplexity computed in a typed `mapPartitions` with a fixed
+  * left-fold order so the score is bit-deterministic (SURVEY.md §7.4 risk 5).
+  *
+  * The DuckDB oracle reproduces the identical math in SQL (lag() window for
+  * bigrams), so this model-driven stage still gets a hash-compare gate.
+  *
+  * Scale notes: training is two shuffles (unigram + bigram groupBy) with
+  * map-side partial aggregation; the collected model is capped at
+  * `maxVocab` entries (top-by-count, deterministic tie-break on the token)
+  * — at web scale the cap is what keeps the broadcast small, and backoff
+  * absorbs the tail. Scoring is shuffle-free.
+  */
+object NgramLM extends Serializable {
+
+  val Alpha = 0.4
+
+  case class Model(uni: Map[String, Long], big: Map[(String, String), Long], total: Long)
+    extends Serializable
+
+  /** Train unigram+bigram counts over the `text` column of docs. */
+  def train(docs: DataFrame, maxVocab: Int = 1 << 22): Model = {
+    val words = docs.select(Rules.wordsOf(col("text")).as("ws"))
+    val uniDf = words.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val bigDf = words.select(explode(
+        when(size(col("ws")) < 2, array()).otherwise(
+          transform(sequence(lit(1), size(col("ws")) - 1), i =>
+            struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(count(lit(1)).as("cnt"))
+    // deterministic cap: top-by-count, then token order
+    val uni = uniDf.orderBy(col("cnt").desc, col("w")).limit(maxVocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = bigDf.collect().iterator
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .filter { case ((w1, w2), _) => uni.contains(w1) && uni.contains(w2) }
+      .toMap
+    Model(uni, big, uni.valuesIterator.sum)
+  }
+
+  /** Per-token probability with stupid backoff. */
+  def prob(m: Model, w1: String, w2: String): Double = {
+    val b = m.big.getOrElse((w1, w2), 0L)
+    if (b > 0L) b.toDouble / m.uni(w1)
+    else Alpha * (m.uni.getOrElse(w2, 0L).toDouble / m.total + 1e-12)
+  }
+
+  /** Perplexity of a token sequence: exp(mean -ln p), left-fold order. */
+  def perplexity(m: Model, ws: Seq[String]): Double = {
+    if (ws.isEmpty) return Double.NaN
+    var nll = -math.log(m.uni.getOrElse(ws.head, 0L).toDouble / m.total + 1e-12)
+    var i = 1
+    while (i < ws.length) { nll += -math.log(prob(m, ws(i - 1), ws(i))); i += 1 }
+    // HALF_UP rounding for positives — matches SQL round() in both engines
+    math.floor(math.exp(nll / ws.length) * 1e6 + 0.5) / 1e6
+  }
+
+  /** Adds `ppl` per doc via mapPartitions over the broadcast model. */
+  def score(docs: DataFrame, m: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(m)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType),
+      StructField("n_words", LongType), StructField("ppl", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docs.select(col("doc_id"), col("url"), Rules.wordsOf(col("text")).as("ws"))
+      .mapPartitions { iter =>
+        val model = bc.value
+        iter.map { r =>
+          val ws = r.getSeq[String](2)
+          Row(r.getLong(0), r.getString(1), ws.length.toLong, perplexity(model, ws))
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Hashing._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  * Reference analogue: version-shadow dedupe + max-version collapse
+  * (vlass2caom2/data_source.py:234-273, validator.py:126-163) — "find the
+  * redundant work items before doing expensive work on them".
+  *
+  * Scale notes (the part that matters at 100 TB):
+  *  - exact dedup shuffles once on a 60-bit content hash, never on the text;
+  *  - MinHash signatures are computed per-row inside one projection
+  *    (higher-order array functions — NO shuffle, no UDF); only the tiny
+  *    (doc_id, band_key) pairs shuffle for the LSH bucket join;
+  *  - candidate verification joins shingle sets only for candidate pairs
+  *    (LSH output), never all O(n²) pairs;
+  *  - SimHash bands turn an O(n²) hamming scan into an equi-join.
+  */
+object Dedup {
+
+  /** Distinct 3-word shingles of the `text` column. */
+  def shingles(text: Column): Column = {
+    val words = Rules.wordsOf(text)
+    array_distinct(when(size(words) < 3, array()).otherwise(
+      transform(sequence(lit(1), greatest(size(words) - 2, lit(1))), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
+  }
+
+  /** Exact dedup: group by md5-based content hash, keep the smallest doc_id
+    * (deterministic winner). One shuffle on the 60-bit hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.withColumn("content_hash", md5Hash60(col("text")))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature columns m0..m15 — single projection, no
+    * shuffle: hash each shingle once, then take the min of each of the 16
+    * modular permutations with higher-order array functions. */
+  def withMinhash(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shh", transform(col("sh"), s => pmod(md5Hash60(s), lit(P))))
+    minhashA.indices.foldLeft(hashed) { (d, i) =>
+      d.withColumn(s"m$i",
+        array_min(transform(col("shh"), h => pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(P)))))
+    }
+  }
+
+  /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band bucket.
+    * Shuffle carries only (doc_id, band_id, band_key). */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sig = withMinhash(docs).select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band_id"),
+          md5(concat_ws("-", (0 until 4).map(r => col(s"m${4 * j + r}")): _*)).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_key"))
+    val a = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
+    * candidates. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
+    minhashCandidates(docs)
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
+    * baseline MinHash approximates): shuffle on the shingle string. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ds = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val pairs = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash over the distinct words of `text` — one projection,
+    * no shuffle (nested higher-order lambdas; majority vote per bit). */
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val hs = transform(array_distinct(Rules.wordsOf(col("text"))), w => md5Hash60(w))
+    docs.withColumn("hs", hs)
+      .withColumn("simhash",
+        aggregate(sequence(lit(0), lit(59)), lit(0L), (acc, b) =>
+          acc + when(
+            size(filter(col("hs"), h =>
+              call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1)) * 2 > size(col("hs")),
+            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))))
+      .drop("hs")
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 15 bits as LSH pre-filter, then
+    * hamming distance ≤ maxDist on candidates. */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val sig = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band_id"),
+          pmod(shiftright(col("simhash"), 15 * j), lit(32768L)).as("chunk"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.chunk"))
+    val a = banded.select(col("band_id"), col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_id"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]): brute-force cosine top-k baseline, and an IVF
+  * (inverted-file) bucketed variant as the scale path.
+  *
+  * Dot products use `zip_with` + left-fold `aggregate` (codegen'd
+  * higher-order functions) over double-cast arrays, so the fold order is
+  * fixed and the DuckDB oracle reproduces the same IEEE result; emitted
+  * similarities round to 6 dp.
+  *
+  * Scale notes: brute-force is O(Q·N) — fine for a broadcast query set,
+  * wrong for all-pairs; IVF assigns each vector to its nearest centroid
+  * (broadcast cross-join against a tiny centroid table) so the top-k join
+  * only touches one cell per query (nprobe=1).
+  */
+object Similarity {
+
+  /** Deterministic left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** vecs with embedding cast to array<double> + precomputed norm. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Brute-force cosine top-k: query set = vec_id % queryMod == 0. */
+  def bruteForceTopK(embeddings: DataFrame, k: Int, queryMod: Int): DataFrame = {
+    val all = prepared(embeddings)
+    val q = all.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(all, col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** IVF assignment: centroids = vec_id % centroidMod == 0; each vector is
+    * assigned to its max-cosine centroid (deterministic tie-break on id). */
+  def ivfAssign(embeddings: DataFrame, centroidMod: Int): DataFrame = {
+    val all = prepared(embeddings)
+    val cents = all.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = all.join(broadcast(cents))
+      .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+  }
+
+  /** IVF top-k (nprobe=1): search only the query's own cell. */
+  def ivfTopK(embeddings: DataFrame, k: Int, queryMod: Int, centroidMod: Int): DataFrame = {
+    val assigned = ivfAssign(embeddings, centroidMod)
+    val q = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("centroid_id").as("cell"))
+    val scored = broadcast(q)
+      .join(assigned, col("cell") === col("centroid_id") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), document fingerprinting (rolling
+  * polynomial hash), a composite quality score, and a self-trained unigram
+  * log-probability (the SQL-checkable little sibling of the broadcast
+  * bigram LM in graft.functions.NgramLM).
+  */
+object TextStats {
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or single symbols. */
+  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token counts per doc — pure projection. */
+  def withTokenCounts(docs: DataFrame): DataFrame =
+    docs.withColumn("n_ws_tokens", size(Rules.wordsOf(col("text"))).cast("long"))
+      .withColumn("n_re_tokens", regexp_count(col("text"), lit(TokenRe)).cast("long"))
+
+  /** Rolling polynomial fingerprint: fold (acc*31 + ascii(c)) mod P over the
+    * characters. Left-fold `aggregate` fixes the order; ASCII corpus. */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint",
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))
+
+  /** Composite quality score in [0,1]: equal-weight blend of clamped signal
+    * scores (expects Rules columns). */
+  def withQualityScore(df: DataFrame): DataFrame = {
+    def clamp01(c: Column): Column = least(greatest(c, lit(0.0)), lit(1.0))
+    val lenScore = clamp01(col("n_chars").cast("double") / 500.0)
+    val alphaScore = col("alpha_ratio")
+    val symScore = clamp01(lit(1.0) - col("symbol_ratio") * 5.0)
+    val repScore = clamp01(lit(1.0) - col("dup5_frac"))
+    df.withColumn("quality_score",
+      round((lenScore + alphaScore + symScore + repScore) / 4.0, 6))
+  }
+
+  /** Self-trained unigram negative-log-likelihood per doc: counts from the
+    * whole corpus (one shuffle), then a broadcast join back onto the
+    * exploded words (the counts table is lexicon-sized). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(Rules.wordsOf(col("text"))).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    words.join(broadcast(counts), "w")
+      .join(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6).as("avg_nll"),
+        count(lit(1)).as("n_words"))
+  }
+}

@@ -137,4 +137,70 @@ object OracleDdl {
 
   /** Full pipeline prefix: webdoc + signals + verdict + scrub. */
   val pipelineCte: String = webdocCte + signalsCte + verdictCte + scrubCte
+
+  /** 60-bit md5-derived hash (mirrors graft.functions.Hashing.md5Hash60). */
+  def h60(expr: String): String =
+    s"CAST(concat('0x', substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Words + distinct 3-word shingles per doc (mirrors Dedup.shingles). */
+  val shingleCte: String =
+    """, wsw AS (
+      |  SELECT doc_id, url, text, list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS words FROM webdoc
+      |), wsh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(words) < 3 THEN []::VARCHAR[]
+      |    ELSE list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+      |         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END) AS sh
+      |  FROM wsw
+      |)""".stripMargin
+
+  /** MinHash signatures (k=16, P=1e9+7; coefficients mirror
+    * Hashing.minhashA/minhashB) and 4×4 LSH band keys. */
+  val minhashCte: String = {
+    val a = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 131, 151, 181, 211, 241, 271, 307)
+    val b = Seq(3, 17, 29, 41, 53, 71, 89, 103, 127, 139, 157, 173, 193, 223, 251, 281)
+    val mins = a.zip(b).map { case (ai, bi) =>
+      s"list_aggregate(list_transform(hs, h -> ($ai*h + $bi) % 1000000007), 'min')"
+    }.mkString("[", ", ", "]")
+    s""", shh AS (
+       |  SELECT doc_id, sh, list_transform(sh, s -> ${h60("s")} % 1000000007) AS hs
+       |  FROM wsh WHERE len(sh) > 0
+       |), msig AS (
+       |  SELECT doc_id, sh, $mins AS ms FROM shh
+       |), bands AS (
+       |  SELECT doc_id, j AS band_id,
+       |    md5(ms[4*j+1] || '-' || ms[4*j+2] || '-' || ms[4*j+3] || '-' || ms[4*j+4]) AS band_key
+       |  FROM msig, range(0, 4) t(j)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** SimHash (60-bit, majority vote over distinct-word hashes) + 4×15-bit
+    * band chunks (mirrors Dedup.withSimhash/simhashPairs). */
+  val simhashCte: String =
+    s""", dwords AS (
+       |  SELECT doc_id, list_transform(list_distinct(words), w -> ${h60("w")}) AS hs FROM wsw
+       |), sims AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+       |    CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+       |         THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+       |  FROM dwords
+       |), simbands AS (
+       |  SELECT doc_id, simhash, j AS band_id, (simhash >> (15*j)) & 32767 AS chunk
+       |  FROM sims, range(0, 4) t(j)
+       |)""".stripMargin
+
+  /** Deterministic left-fold dot product over double arrays (mirrors
+    * Similarity.dot: same IEEE order as Spark's aggregate/zip_with fold). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s, v) -> s + v)"
+
+  /** Prepared embeddings: double-cast vector + norm (mirrors Similarity.prepared). */
+  val embCte: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
+       |)""".stripMargin
 }
