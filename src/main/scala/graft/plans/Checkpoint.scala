@@ -1,0 +1,104 @@
+package graft.plans
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpointed, resumable partitioned run — the Spark-native analogue of
+  * the reference's todo/state/retry/success bookkeeping
+  * (vlass2caom2/composable.py:116-134 time-boxed state run;
+  * config/config.yml:17-33 success/failure/retry + bookmark files):
+  * a killed run resumes without reprocessing completed partitions
+  * (BASELINE.json north_rule).
+  *
+  * Mechanics (SURVEY.md §7.4 risk 3):
+  *  - output written per shard group to `out/shard=<s>/` (idempotent
+  *    overwrite via dynamic partition overwrite);
+  *  - a ledger row per completed shard is committed AFTER its data lands,
+  *    atomically (temp file + rename);
+  *  - resume = read ledger, skip committed shards, process the rest;
+  *  - shards are processed in groups of `shardsPerCommit` per Spark job —
+  *    the time-box analogue: bigger groups amortize job overhead, smaller
+  *    groups bound reprocessing after a kill;
+  *  - per-shard audit rows (docs in/out, drop-reason histogram, scrub
+  *    counts) land next to the ledger — the lineage/metrics table.
+  *
+  * At 1000 executors the per-group job is a normal distributed write; only
+  * the tiny ledger commit is driver-side.
+  */
+object Checkpoint {
+
+  case class ShardLedger(runId: String, shard: Long, docsIn: Long, docsOut: Long)
+
+  private def ledgerPath(ledgerDir: String, shard: Long) =
+    Paths.get(ledgerDir, s"shard_$shard.json")
+
+  /** Shards already committed in a previous (possibly killed) run. */
+  def completedShards(ledgerDir: String): Set[Long] = {
+    val d = Paths.get(ledgerDir)
+    if (!Files.exists(d)) Set.empty
+    else {
+      val it = Files.list(d).iterator()
+      var out = Set.empty[Long]
+      while (it.hasNext) {
+        val f = it.next().getFileName.toString
+        if (f.startsWith("shard_") && f.endsWith(".json"))
+          out += f.stripPrefix("shard_").stripSuffix(".json").toLong
+      }
+      out
+    }
+  }
+
+  /** Atomic ledger commit: write temp, rename into place. */
+  private def commitLedger(ledgerDir: String, row: ShardLedger): Unit = {
+    Files.createDirectories(Paths.get(ledgerDir))
+    val json =
+      s"""{"run_id":"${row.runId}","shard":${row.shard},"docs_in":${row.docsIn},"docs_out":${row.docsOut}}"""
+    val tmp = Paths.get(ledgerDir, s".shard_${row.shard}.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, ledgerPath(ledgerDir, row.shard), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Run `score` over every shard of `docs` not yet in the ledger, writing
+    * scored output + audit rows, committing the ledger per shard group.
+    * `failAfterGroups`: test hook simulating a kill after N group commits.
+    * Returns the shards processed in THIS invocation. */
+  def run(docs: DataFrame, score: DataFrame => DataFrame, outDir: String,
+          ledgerDir: String, runId: String, shardsPerCommit: Int = 8,
+          failAfterGroups: Int = Int.MaxValue): Seq[Long] = {
+    val spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = completedShards(ledgerDir)
+    val allShards = docs.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val todo = allShards.filterNot(done)
+    var processed = Vector.empty[Long]
+    todo.grouped(shardsPerCommit).zipWithIndex.foreach { case (group, gi) =>
+      if (gi >= failAfterGroups) throw new RuntimeException(s"[test] simulated kill before group $gi")
+      val part = score(docs.filter(col("shard").isin(group: _*)))
+      part.withColumn("run_id", lit(runId))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("shard")
+        .parquet(outDir)
+      // audit from the written output (cheap scan of just-landed partitions)
+      val written = spark.read.parquet(outDir)
+        .filter(col("shard").isin(group: _*))
+      val stats = written.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("docs_in"), sum(col("keep").cast("long")).as("docs_out"),
+          sum(col("scrub_email")).as("n_email"), sum(col("scrub_phone")).as("n_phone"),
+          sum(col("scrub_ip")).as("n_ip"), sum(col("scrub_lexicon")).as("n_lexicon"))
+        .collect()
+      val hist = written
+        .select(col("shard"), explode(split(col("drop_reasons"), ",")).as("reason"))
+        .filter(col("reason") =!= "")
+        .groupBy(col("shard"), col("reason")).agg(count(lit(1)).as("n"))
+      hist.withColumn("run_id", lit(runId))
+        .write.mode(SaveMode.Append).parquet(s"$ledgerDir/audit")
+      stats.foreach { r =>
+        commitLedger(ledgerDir, ShardLedger(runId, r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      processed ++= group
+    }
+    processed
+  }
+}

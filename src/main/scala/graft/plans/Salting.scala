@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling for hot keys (SURVEY.md §4: the one optimizer gap the
+  * reference, being single-threaded, never had — mandated by north_rule
+  * "salted repartitioning for skewed hosts").
+  *
+  * The synthetic WebDoc table puts ~30% of all urls on one host
+  * (popular.example.com), so a naive `repartition($"host")` or a host join
+  * sends a third of 100 TB to one task. Two remedies, both here:
+  *
+  *  1. `saltedRepartition` — spread each hot key over `salts` subpartitions
+  *     for embarrassingly-parallel per-row work (filter+scrub): downstream
+  *     per-row stages don't care about co-location, so salt freely.
+  *  2. `twoPhaseAgg` — aggregate (key, salt) partially, then re-aggregate
+  *     by key: the classic salted aggregation. (For plain built-in aggs
+  *     Spark's map-side partial aggregation already does this; the explicit
+  *     form is for agg chains where partials can't fuse, e.g. after a
+  *     mapPartitions model stage, and to keep the pattern testable.)
+  *
+  * AQE (spark.sql.adaptive.skewJoin) is left on for shuffle joins.
+  */
+object Salting {
+
+  def saltCol(salts: Int): Column = pmod(xxhash64(col("url")), lit(salts))
+
+  /** Repartition on (key, salt) — bounded partition size for hot keys. */
+  def saltedRepartition(df: DataFrame, key: Column, salts: Int, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, key, saltCol(salts))
+
+  /** Salted two-phase count/sum aggregation by `key`. `aggs` are
+    * (name, column) pairs where the column must be re-aggregable by SUM. */
+  def twoPhaseAgg(df: DataFrame, key: Column, salts: Int,
+                  aggs: Seq[(String, Column)]): DataFrame = {
+    val partial = df.groupBy(key.as("k"), saltCol(salts).as("salt"))
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    partial.groupBy(col("k"))
+      .agg(sum(col(aggs.head._1)).as(aggs.head._1),
+        aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Time-boxed incremental processing with a persisted bookmark — the
+  * reference's primary execution mode (vlass2caom2/composable.py:116-134
+  * `_run_state`: per source, per `interval`-minute time-box, advance the
+  * bookmark after each box, even when a box has zero records —
+  * tests/test_composable.py:196-200,320-326).
+  *
+  * Spark-native shape (SURVEY.md §2.9): incremental batch with a
+  * high-watermark, not DStreams — each call processes
+  * (bookmark, bookmark + interval] and commits the new bookmark atomically
+  * after the output lands. An Iceberg incremental snapshot read replaces
+  * the ts-range filter when a table format with snapshots is available.
+  */
+object Incremental {
+
+  private def bookmarkPath(stateDir: String) = Paths.get(stateDir, "bookmark")
+
+  def readBookmark(stateDir: String, default: Timestamp): Timestamp = {
+    val p = bookmarkPath(stateDir)
+    if (Files.exists(p)) Timestamp.valueOf(Files.readString(p)) else default
+  }
+
+  def writeBookmark(stateDir: String, ts: Timestamp): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    val tmp = Paths.get(stateDir, ".bookmark.tmp")
+    Files.writeString(tmp, ts.toString)
+    Files.move(tmp, bookmarkPath(stateDir), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  case class BoxResult(boxStart: Timestamp, boxEnd: Timestamp, records: Long)
+
+  /** Process `src` (must have a `ts` column) from the stored bookmark to
+    * `endTs` in `intervalSec` boxes, applying `work` to each box's rows and
+    * appending its output to `outDir`. The bookmark advances per box —
+    * zero-record boxes advance it too (reference semantics). */
+  def runBoxes(src: DataFrame, work: DataFrame => DataFrame, outDir: String,
+               stateDir: String, startTs: Timestamp, endTs: Timestamp,
+               intervalSec: Long): Seq[BoxResult] = {
+    var bookmark = readBookmark(stateDir, startTs)
+    var results = Vector.empty[BoxResult]
+    while (bookmark.before(endTs)) {
+      val boxEnd = new Timestamp(
+        math.min(bookmark.getTime + intervalSec * 1000L, endTs.getTime))
+      val box = src.filter(col("ts") > lit(bookmark) && col("ts") <= lit(boxEnd))
+      val out = work(box)
+      val n = out.count()
+      if (n > 0)
+        out.write.mode(SaveMode.Append).parquet(outDir)
+      writeBookmark(stateDir, boxEnd) // advance even on zero records
+      results :+= BoxResult(bookmark, boxEnd, n)
+      bookmark = boxEnd
+    }
+    results
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+/** Independent plain-Scala reference implementation of the pipeline
+  * semantics (NO Spark Column API, no shared code with the engine under
+  * test) — the analogue of the reference's independently-produced
+  * expected.xml fixtures (SURVEY.md §5, FIXTURES.md §3). Golden tests
+  * compare the Catalyst pipeline against this byte-for-byte.
+  */
+object GoldenOracle {
+
+  def injectedText(docId: Long, text0: String): String = {
+    var t = text0
+    if (docId % 29 == 0) t = t.substring(0, math.min(30, t.length))
+    if (docId % 37 == 0) t = (t.substring(0, math.min(40, t.length)) + " ") * 12
+    val sb = new StringBuilder(t)
+    if (docId % 31 == 0) sb.append(" #@!$%" * 30)
+    if (docId % 19 == 0) sb.append("\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight")
+    if (docId % 23 == 0) sb.append("\nread more...\nsee more...\nclick here...")
+    if (docId % 7 == 0) sb.append(s" Contact user$docId@example.com now.")
+    if (docId % 11 == 0) sb.append(f" Call 415-555-${docId % 10000}%04d today.")
+    if (docId % 13 == 0) sb.append(s" Origin host 10.${docId % 256}.${(docId * 7) % 256}.${(docId * 13) % 256} logged.")
+    if (docId % 17 == 0) sb.append(" what the frak is this gorram page anyway.")
+    sb.toString
+  }
+
+  def host(docId: Long): String = {
+    val hid = (docId * 131) % 997
+    if (hid < 300) "popular.example.com" else s"host-$hid.example.com"
+  }
+
+  def url(docId: Long, source: String): String =
+    s"https://${host(docId)}/$source/$docId"
+
+  def html(docId: Long, text: String): String =
+    s"""<html><head><title>Doc $docId</title><meta charset="utf-8"></head><body>""" +
+      s"""<nav>home | about | contact</nav><h1>Doc $docId</h1><p>""" +
+      text.replace("\n", "</p><p>") +
+      "</p><footer>(c) 2024 example.com</footer></body></html>"
+
+  /** Independent extractor: java.util.regex directly. */
+  def extract(html: String): String = {
+    var s = html
+    s = s.replaceAll("(?s)<head>.*?</head>", "")
+    s = s.replaceAll("(?s)<nav>.*?</nav>", "")
+    s = s.replaceAll("(?s)<h1>.*?</h1>", "")
+    s = s.replaceAll("(?s)<footer>.*?</footer>", "")
+    s = s.replace("</p><p>", "\n")
+    s.replaceAll("<[^>]+>", "")
+  }
+
+  val stopWords = Set("the", "a", "of", "to", "and", "in", "for", "that")
+
+  case class Expected(keep: Boolean, reasons: Seq[String], scrubbed: String)
+
+  /** HALF_UP 6-dp rounding (matches Spark round() for positive values) —
+    * thresholds are compared on rounded signals in the pipeline. */
+  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  def expected(lang: String, text: String): Expected = {
+    val words = text.split("\\s+").filter(_.nonEmpty).toSeq
+    val lines = text.split("\n", -1).toSeq
+    val nChars = text.length
+    val nWords = words.size
+    val meanWordLen = r6(text.replaceAll("\\s+", "").length.toDouble / nWords)
+    val symbolRatio = r6(text.count(c => "#@$%!".contains(c)).toDouble / nWords)
+    val bulletFrac = r6(lines.count(l => l.startsWith("- ") || l.startsWith("* ")).toDouble / lines.size)
+    val ellipsisFrac = r6(lines.count(_.endsWith("...")).toDouble / lines.size)
+    val alphaRatio = r6(words.count(w => w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nWords)
+    val stopHits = words.count(stopWords)
+    val dupLineFrac = r6(1.0 - lines.distinct.size.toDouble / lines.size)
+    val dup5Frac =
+      if (nWords < 6) 0.0
+      else {
+        val grams = words.sliding(5).map(_.mkString(" ")).toSeq
+        r6(1.0 - grams.distinct.size.toDouble / grams.size)
+      }
+    val lexHit = java.util.regex.Pattern
+      .compile("(?i)\\b(frak|gorram|smeg|felgercarb)\\b").matcher(text).find()
+    val reasons = Seq(
+      "too_short" -> (nChars < 50),
+      "too_long" -> (nChars > 20000),
+      "word_len" -> (meanWordLen < 2.0 || meanWordLen > 12.0),
+      "symbol" -> (symbolRatio > 0.1),
+      "bullet" -> (bulletFrac > 0.5),
+      "ellipsis" -> (ellipsisFrac > 0.3),
+      "dup_line" -> (dupLineFrac > 0.3),
+      "rep_5gram" -> (dup5Frac > 0.6),
+      "low_alpha" -> (alphaRatio < 0.5),
+      "no_stopword" -> (stopHits < 1),
+      "non_english" -> (lang != "en"),
+      "lexicon" -> lexHit
+    ).collect { case (n, true) => n }
+    val scrubbed = text
+      .replaceAll("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      .replaceAll("\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>")
+      .replaceAll("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+      .replaceAll("(?i)\\b(frak|gorram|smeg|felgercarb)\\b", "<CENSORED>")
+    Expected(reasons.isEmpty, reasons, scrubbed)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.plans.{Checkpoint, Salting}
+import graft.streaming.Incremental
+
+/** Checkpoint/resume, salting, and incremental time-box suites
+  * (≙ vlass2caom2/tests/test_composable.py retry/bookmark semantics). */
+class InfraSpec extends SparkSpec {
+
+  test("checkpointed run resumes without reprocessing completed shards") {
+    val out = tmpDir("ckpt-out")
+    val ledger = tmpDir("ckpt-ledger")
+    val docs = Pipeline.webdoc(spark, sfDir)
+
+    // killed run: commits 2 groups of 8 shards, dies before the 3rd
+    val killed = intercept[RuntimeException] {
+      Checkpoint.run(docs, Pipeline.score, out, ledger, "run1",
+        shardsPerCommit = 8, failAfterGroups = 2)
+    }
+    assert(killed.getMessage.contains("simulated kill"))
+    val committed = Checkpoint.completedShards(ledger)
+    assert(committed.size == 16)
+    val mtimes = committed.map(s =>
+      s -> Files.getLastModifiedTime(Paths.get(ledger, s"shard_$s.json"))).toMap
+
+    // resumed run processes only the remaining shards
+    val resumed = Checkpoint.run(docs, Pipeline.score, out, ledger, "run2",
+      shardsPerCommit = 8)
+    assert(resumed.toSet.intersect(committed).isEmpty)
+    assert(Checkpoint.completedShards(ledger).size == 32)
+    // completed shards untouched (ledger files not rewritten)
+    committed.foreach { s =>
+      assert(Files.getLastModifiedTime(Paths.get(ledger, s"shard_$s.json")) == mtimes(s))
+    }
+
+    // final output identical to a single-shot scoring of everything
+    val fromCkpt = spark.read.parquet(out)
+      .select("url", "keep", "drop_reasons", "scrubbed_text")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Pipeline.scored(spark, sfDir)
+      .select("url", "keep", "drop_reasons", "scrubbed_text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromCkpt == direct)
+
+    // audit rows exist with a drop-reason histogram
+    val audit = spark.read.parquet(s"$ledger/audit")
+    assert(audit.count() > 0)
+    assert(audit.columns.toSet == Set("shard", "reason", "n", "run_id"))
+  }
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    val docs = Pipeline.scored(spark, sfDir)
+    val direct = docs.groupBy(col("host").as("k"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("n_keep"))
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Salting.twoPhaseAgg(docs, col("host"), 16,
+        Seq("n" -> count(lit(1)), "n_keep" -> sum(col("keep").cast("long"))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == direct)
+  }
+
+  test("salted repartition bounds the hot-host partition size") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val hot = docs.filter(col("host") === "popular.example.com").count()
+    assert(hot.toDouble / docs.count() > 0.2) // the skew is real
+    val parts = Salting.saltedRepartition(docs, col("host"), 16, 8)
+      .groupBy(spark_partition_id().as("p")).count().collect().map(_.getLong(1))
+    assert(parts.max < hot) // no partition holds the whole hot host
+  }
+
+  test("incremental time-boxes advance the bookmark even on zero records") {
+    val out = tmpDir("inc-out")
+    val state = tmpDir("inc-state")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val span = events.agg(min("ts"), max("ts")).head()
+    // Spark 4 collects timestamps as java.time.LocalDateTime by default
+    val t0 = span.get(0) match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val boxSec = 6L * 3600
+    val end = new Timestamp(t0.getTime + 4 * boxSec * 1000)
+
+    val res = Incremental.runBoxes(events, identity, out, state, t0, end, boxSec)
+    assert(res.size == 4)
+    assert(Incremental.readBookmark(state, t0) == end) // advanced through all boxes
+    val total = res.map(_.records).sum
+    val expected = events.filter(col("ts") > lit(t0) && col("ts") <= lit(end)).count()
+    assert(total == expected)
+
+    // re-run over the same range: bookmark says nothing to do
+    val res2 = Incremental.runBoxes(events, identity, out, state, t0, end, boxSec)
+    assert(res2.isEmpty)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{LangId, NgramLM}
+
+/** Unit suites for the broadcast-model scorers (no SQL oracle — these are
+  * the per-operator unit tests, ≙ vlass2caom2/tests/test_vlass_visitors.py). */
+class ModelSpec extends SparkSpec {
+
+  test("langid predicts held-out sentences in all five languages") {
+    val heldOut = Map(
+      "en" -> "the weather today is wonderful and the children are playing in the park with their friends",
+      "es" -> "el tiempo hoy es maravilloso y los niños están jugando en el parque con sus amigos",
+      "de" -> "das wetter ist heute wunderbar und die kinder spielen mit ihren freunden im park",
+      "fr" -> "le temps aujourd'hui est merveilleux et les enfants jouent dans le parc avec leurs amis",
+      "zh" -> "今天天气很好孩子们正在公园里和朋友们玩耍")
+    heldOut.foreach { case (lang, text) =>
+      val (pred, score) = LangId.predict(text, LangId.model)
+      assert(pred == lang, s"want $lang got $pred (score $score)")
+      assert(score > 0.0)
+    }
+  }
+
+  test("langid is deterministic and distributed scoring matches local scoring") {
+    val docs = Pipeline.webdoc(spark, sfDir).limit(20)
+    val viaSpark = LangId(docs).select("url", "lang_pred", "lang_score").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val local = docs.select("url", "text").collect()
+      .map(r => r.getString(0) -> LangId.predict(r.getString(1), LangId.model)).toMap
+    assert(viaSpark == local)
+  }
+
+  test("ngram LM: in-domain text scores lower perplexity than scrambled text") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val m = NgramLM.train(wd)
+    val sample = wd.orderBy("doc_id").select("text").head().getString(0)
+    val ws = sample.split("\\s+").filter(_.nonEmpty).toSeq
+    val pplIn = NgramLM.perplexity(m, ws)
+    val pplScrambled = NgramLM.perplexity(m, ws.reverse) // reversed word order breaks bigrams
+    val pplGarbage = NgramLM.perplexity(m, Seq("zzz", "qqq", "xxx", "www", "vvv"))
+    assert(pplIn < pplScrambled, s"$pplIn !< $pplScrambled")
+    assert(pplScrambled < pplGarbage, s"$pplScrambled !< $pplGarbage")
+  }
+
+  test("ngram LM: distributed scoring is deterministic across runs") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val m = NgramLM.train(wd)
+    val a = NgramLM.score(wd, m).orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = NgramLM.score(wd, m).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("minhash jaccard estimates track exact jaccard on clone pairs") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val pairs = graft.operators.Dedup.minhashPairs(wd, 0.5).collect()
+    assert(pairs.nonEmpty)
+    // clone pairs (doc_id + 10M/20M offsets) must be found with high jaccard
+    // (injections differ per doc_id, so even "exact" clones can diverge)
+    val clonePairs = pairs.filter(r =>
+      r.getLong(1) - r.getLong(0) == 20000000L || r.getLong(1) - r.getLong(0) == 10000000L)
+    assert(clonePairs.nonEmpty)
+    clonePairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+    assert(pairs.exists(r => r.getDouble(2) == 1.0)) // un-injected exact clones
+  }
+
+  test("exact dedup collapses exact clones") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val d = graft.operators.Dedup.exact(wd)
+    val dupGroups = d.filter(col("n_copies") > 1).count()
+    assert(dupGroups > 0)
+    assert(d.agg(sum("n_copies")).head().getLong(0) == wd.count())
+  }
+}

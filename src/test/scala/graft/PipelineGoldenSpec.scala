@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end suite (≙ vlass2caom2/tests/test_caom_gen_visit.py):
+  * every doc's keep/drop label, canonical drop reasons, and scrubbed text
+  * must byte-match the independent plain-Scala oracle, keyed by url. */
+class PipelineGoldenSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text", "lang", "source").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  private lazy val scored = Pipeline.scored(spark, sfDir)
+    .select(col("url"), col("keep"), col("drop_reasons"), col("scrubbed_text"),
+      col("text"), col("doc_id"))
+    .collect()
+    .map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2), r.getString(3), r.getString(4), r.getLong(5)))
+    .toMap
+
+  test("WebDoc synthesis matches the independent oracle (all base docs)") {
+    var checked = 0
+    docs.foreach { case (docId, text0, _, source) =>
+      val u = GoldenOracle.url(docId, source)
+      assert(scored.contains(u), s"missing url $u")
+      val expText = GoldenOracle.injectedText(docId, text0)
+      assert(scored(u)._4 == expText, s"text mismatch for $u")
+      checked += 1
+    }
+    assert(checked == docs.length)
+  }
+
+  test("keep/drop verdict + reasons byte-match the oracle for every doc (F1 = 1.0)") {
+    var agree = 0
+    docs.foreach { case (docId, text0, lang, source) =>
+      val u = GoldenOracle.url(docId, source)
+      val exp = GoldenOracle.expected(lang, GoldenOracle.injectedText(docId, text0))
+      val (keep, reasons, _, _, _) = scored(u)
+      assert(keep == exp.keep, s"keep mismatch for $u: got=$keep want=${exp.keep}")
+      assert(reasons == exp.reasons.mkString(","),
+        s"reasons mismatch for $u: got=$reasons want=${exp.reasons.mkString(",")}")
+      agree += 1
+    }
+    assert(agree == docs.length) // exact agreement ⇒ F1 = 1.0 ≥ 0.99 target
+  }
+
+  test("scrubbed text byte-matches the oracle for every doc") {
+    docs.foreach { case (docId, text0, lang, source) =>
+      val u = GoldenOracle.url(docId, source)
+      val exp = GoldenOracle.expected(lang, GoldenOracle.injectedText(docId, text0))
+      assert(scored(u)._3 == exp.scrubbed, s"scrub mismatch for $u")
+    }
+  }
+
+  test("extracted text is byte-identical to the text column for every doc") {
+    val bad = Pipeline.extracted(spark, sfDir).filter(!col("text_identical")).count()
+    assert(bad == 0)
+  }
+
+  test("extraction also matches an independently-built html -> java-regex extraction") {
+    docs.take(50).foreach { case (docId, text0, _, _) =>
+      val t = GoldenOracle.injectedText(docId, text0)
+      assert(GoldenOracle.extract(GoldenOracle.html(docId, t)) == t)
+    }
+  }
+
+  test("clone rows exist: near-dups and exact dups are present for dedup stages") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    assert(wd.filter(col("doc_id") >= 10000000L && col("doc_id") < 20000000L).count() > 0)
+    assert(wd.filter(col("doc_id") >= 20000000L).count() > 0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests the reference lacks (SURVEY.md §5: "ScalaCheck adds
+  * property tests"): scrub idempotence, completeness, and verdict
+  * monotonicity. Uses Gen with fixed seeds directly (the scalatestplus
+  * bridge isn't in the offline cache). */
+class ScrubPropertySpec extends SparkSpec {
+
+  private def scrubLocal(s: String): String =
+    graft.operators.Scrub.patterns.foldLeft(s) { case (t, (_, pat, rep)) =>
+      t.replaceAll(pat, rep)
+    }
+
+  private val word = Gen.alphaLowerStr.map(w => if (w.isEmpty) "w" else w.take(8))
+  private val pii = Gen.oneOf(
+    "bob@mail.example.org", "415-555-0199", "10.1.2.3", "frak", "GORRAM")
+  private val textGen: Gen[String] =
+    Gen.listOfN(12, Gen.frequency(4 -> word, 1 -> pii)).map(_.mkString(" "))
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("scrub is idempotent: scrub(scrub(x)) == scrub(x)") {
+    samples(textGen, 200).foreach { t =>
+      val once = scrubLocal(t)
+      assert(scrubLocal(once) == once, s"not idempotent on: $t")
+    }
+  }
+
+  test("scrub removes every PII pattern occurrence") {
+    samples(textGen, 200).foreach { t =>
+      val out = scrubLocal(t)
+      graft.operators.Scrub.patterns.foreach { case (name, pat, _) =>
+        assert(pat.r.findFirstIn(out).isEmpty, s"$name survived in: $out")
+      }
+    }
+  }
+
+  test("verdict monotonicity: appending bullet-spam never un-drops a doc") {
+    val spam = "\n- x\n- y\n- z\n- w\n- v\n- u\n- t\n- s\n- q\n- p\n- o\n- n"
+    samples(Gen.listOfN(30, word).map(_.mkString(" ")), 100).foreach { base =>
+      val e1 = GoldenOracle.expected("en", base)
+      val e2 = GoldenOracle.expected("en", base + spam)
+      if (!e1.keep) assert(!e2.keep, s"spam un-dropped: $base")
+    }
+  }
+
+  test("spark-side scrub equals local java-regex scrub on crafted PII docs") {
+    import spark.implicits._
+    val docs = Seq(
+      "write to a.b-c_d@ex.co or 212-555-0101 from 192.168.1.1 you frak",
+      "no pii here at all just words",
+      "double 1.2.3.4 5.6.7.8 and smeg FELGERCARB smeg",
+      "edge: x@y.zz 999-999-9999 255.255.255.255").toDF("text")
+    val got = graft.operators.Scrub(docs).select("scrubbed_text").collect().map(_.getString(0))
+    val want = docs.select("text").collect().map(r => scrubLocal(r.getString(0)))
+    assert(got.toSeq == want.toSeq)
+  }
+}
