@@ -1,24 +1,88 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "throughput":{"docs_per_sec_8":...,"docs_per_sec_32":...,
+  *                "scaling_efficiency":...,"docs":N}}
+  *
+  * Two parts:
+  *  1. per-query wall times for every SparkEntry query at SPARK_GRAFT_CPUS
+  *     (the driver's BENCH_r{N}.json payload);
+  *  2. the BASELINE.json scaling gate: the flagship filter+scrub pipeline on
+  *     a replicated WebDoc table at local[8] vs local[32] (cores ≙ executors
+  *     — the sandbox proxy for N vs 4N, per the driver instruction), with
+  *     eff = (docs/sec@32 / docs/sec@8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Flagship job: synth → rules → verdict → scrub → langid-on-kept.
+    * The agg consumes scrubbed_text length + langid output, so every
+    * pipeline stage is actually evaluated (a bare count() would be
+    * column-pruned to nothing). keep-filtering happens inside the
+    * mapPartitions (see LangId.apply scaladoc re: pushdown blowup). */
+  private def flagship(spark: SparkSession, sfDir: String, mult: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.WebDocs.buildReplicated(spark, sfDir, mult)
+    val scored = Pipeline.score(docs).select(col("doc_id"), col("url"),
+      col("lang"), col("text"), col("keep"),
+      length(col("scrubbed_text")).as("scrub_len"))
+    graft.functions.LangId(scored, onlyKept = true)
+      .agg(count(lit(1)).as("n"), sum(col("scrub_len")).as("bytes"))
+      .head().getLong(0)
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "16").toInt
+
+    // part 1: per-query times at the driver-requested parallelism
+    val spark1 = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark1, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // part 2a: docs/sec at local[cpus] (warm JVM, same session)
+    val nDocs = graft.sources.WebDocs.buildReplicated(spark1, sfDir, mult).count()
+    flagship(spark1, sfDir, mult) // warm-up (JIT + codegen cache)
+    val (_, secHi) = timed(flagship(spark1, sfDir, mult))
+    spark1.stop()
+
+    // part 2b: docs/sec at local[8] (fresh context, same JVM/JIT state)
+    val spark2 = session(8)
+    flagship(spark2, sfDir, mult) // warm-up parity
+    val (_, secLo) = timed(flagship(spark2, sfDir, mult))
+    spark2.stop()
+
+    val dpsHi = nDocs / secHi
+    val dpsLo = nDocs / secLo
+    val eff = (dpsHi / dpsLo) / (cpus.toDouble / 8.0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val tp = f"""{"docs":$nDocs,"docs_per_sec_8":$dpsLo%.1f,"docs_per_sec_$cpus%d":$dpsHi%.1f,"scaling_efficiency":$eff%.3f,"flagship_sec_8":$secLo%.3f,"flagship_sec_$cpus%d":$secHi%.3f}"""
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","throughput":$tp%s}""")
   }
 }

@@ -109,23 +109,34 @@ object LangId extends Serializable {
     (bestLang, math.floor(bestScore * 1e6 + 0.5) / 1e6)
   }
 
-  /** Adds lang_pred + lang_score via mapPartitions over the broadcast
-    * profiles. Expects doc_id/url/lang/text columns. */
-  def apply(docs: DataFrame): DataFrame = {
+  /** Appends lang_pred + lang_score via mapPartitions over the broadcast
+    * profiles, passing every input column through. Requires a `text`
+    * column.
+    *
+    * `onlyKept=true` additionally requires a boolean `keep` column and
+    * filters INSIDE the partition iterator. Never `df.filter(col("keep"))`
+    * upstream of this stage: Catalyst pushes the predicate through the
+    * projections by alias substitution, re-inlining the whole
+    * rules+verdict expression tree into the filter — with the 5-gram
+    * lambda that means ~hundreds of regex tokenizations per row (observed
+    * 13 ms/row, a ~600× slowdown). The boolean field on the row costs
+    * nothing. */
+  def apply(docs: DataFrame, onlyKept: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(model)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("url", StringType),
-      StructField("lang", StringType), StructField("lang_pred", StringType),
-      StructField("lang_score", DoubleType)))
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    docs.select(col("doc_id"), col("url"), col("lang"), col("text"))
-      .mapPartitions { iter =>
-        val m = bc.value
-        iter.map { r =>
-          val (pred, score) = predict(r.getString(3), m)
-          Row(r.getLong(0), r.getString(1), r.getString(2), pred, score)
-        }
-      }(enc)
+    val inSchema = docs.schema
+    val textIdx = inSchema.fieldIndex("text")
+    val keepIdx = if (onlyKept) inSchema.fieldIndex("keep") else -1
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("lang_pred", StringType), StructField("lang_score", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { iter =>
+      val m = bc.value
+      val base = if (keepIdx >= 0) iter.filter(_.getBoolean(keepIdx)) else iter
+      base.map { r =>
+        val (pred, score) = predict(r.getString(textIdx), m)
+        Row.fromSeq(r.toSeq :+ pred :+ score)
+      }
+    }(enc)
   }
 }

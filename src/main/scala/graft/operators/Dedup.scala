@@ -22,13 +22,20 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
-  /** Distinct 3-word shingles of the `text` column. */
-  def shingles(text: Column): Column = {
-    val words = Rules.wordsOf(text)
+  /** Distinct 3-word shingles from an already-materialized words column.
+    * (Same single-tokenization invariant as Rules.apply: pass a NAMED
+    * column, never the raw split expression — element_at references the
+    * array 3× per shingle.) */
+  def shinglesOf(words: Column): Column =
     array_distinct(when(size(words) < 3, array()).otherwise(
       transform(sequence(lit(1), greatest(size(words) - 2, lit(1))), i =>
         concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
-  }
+
+  /** Adds a `sh` shingle column (tokenizing once into a staged column). */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("__w", Rules.wordsOf(col("text")))
+      .withColumn("sh", shinglesOf(col("__w")))
+      .drop("__w")
 
   /** Exact dedup: group by md5-based content hash, keep the smallest doc_id
     * (deterministic winner). One shuffle on the 60-bit hash. */
@@ -41,8 +48,7 @@ object Dedup {
     * shuffle: hash each shingle once, then take the min of each of the 16
     * modular permutations with higher-order array functions. */
   def withMinhash(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .withColumn("sh", shingles(col("text")))
+    val hashed = withShingles(docs)
       .filter(size(col("sh")) > 0)
       .withColumn("shh", transform(col("sh"), s => pmod(md5Hash60(s), lit(P))))
     minhashA.indices.foldLeft(hashed) { (d, i) =>
@@ -82,7 +88,7 @@ object Dedup {
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ds = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ds = withShingles(docs).select(col("doc_id"), col("sh"))
       .withColumn("n_sh", size(col("sh")))
     val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val pairs = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

@@ -31,11 +31,23 @@ object Rules {
 
   def linesOf(text: Column): Column = split(text, "\n")
 
-  /** Appends all signal columns; expects a `text` column. */
+  /** Appends all signal columns; expects a `text` column.
+    *
+    * PERFORMANCE INVARIANT: the regex tokenization runs ONCE per row. The
+    * helper arrays (`words`, `lines`) are materialized as named columns in
+    * a first projection and every signal references only those attributes —
+    * building signals from the raw `split(...)` expression inlines the
+    * regex into every element_at of every 5-gram (observed: a 300×
+    * per-row blowup, single tasks burning minutes of CPU in
+    * Pattern.split). CollapseProject keeps the boundary because the split
+    * is non-cheap and multiply-referenced. */
   def apply(df: DataFrame): DataFrame = {
     val text = col("text")
-    val words = wordsOf(text)
-    val lines = linesOf(text)
+    val staged = df
+      .withColumn("words", wordsOf(text))
+      .withColumn("lines", linesOf(text))
+    val words = col("words")
+    val lines = col("lines")
     val nWords = size(words).cast("double")
     val nLines = size(lines).cast("double")
 
@@ -46,25 +58,24 @@ object Rules {
     val dup5 = when(size(words) < 6, lit(0.0)).otherwise(
       round(lit(1.0) - size(array_distinct(fiveGrams)).cast("double") / (size(words) - 4), 6))
 
-    df.withColumn("words", words)
-      .withColumn("lines", lines)
+    staged
       .withColumn("n_chars", length(text).cast("long"))
-      .withColumn("n_words", size(col("words")).cast("long"))
-      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("mean_word_len",
         round(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords, 6))
       .withColumn("symbol_ratio",
         round(regexp_count(text, lit("[#@$%!]")).cast("double") / nWords, 6))
       .withColumn("bullet_frac",
-        round(size(filter(col("lines"), l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines, 6))
+        round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines, 6))
       .withColumn("ellipsis_frac",
-        round(size(filter(col("lines"), l => l.endsWith("..."))).cast("double") / nLines, 6))
+        round(size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines, 6))
       .withColumn("alpha_ratio",
-        round(size(filter(col("words"), w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
+        round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
       .withColumn("stop_hits",
-        size(filter(col("words"), w => w.isin(StopWords: _*))).cast("long"))
+        size(filter(words, w => w.isin(StopWords: _*))).cast("long"))
       .withColumn("dup_line_frac",
-        round(lit(1.0) - size(array_distinct(col("lines"))).cast("double") / nLines, 6))
+        round(lit(1.0) - size(array_distinct(lines)).cast("double") / nLines, 6))
       .withColumn("dup5_frac", dup5)
   }
 

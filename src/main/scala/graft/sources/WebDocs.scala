@@ -76,6 +76,9 @@ object WebDocs {
     val rep = d.withColumn("k", explode(sequence(lit(0), lit(mult - 1))))
       .select((col("doc_id") + col("k").cast("long") * 100000000L).as("doc_id"),
         col("text").as("text0"), col("lang"), col("source"))
+      // the source is one small parquet split; spread BEFORE the derivation
+      // chain or the whole text synthesis runs in a single task
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     fromBase(rep)
   }
 

@@ -1,0 +1,20 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object LangIdProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val texts = graft.sources.WebDocs.build(spark, "/root/testdata/sf0.1")
+      .select("text").collect().map(_.getString(0))
+    println(s"docs=${texts.length}")
+    val m = graft.functions.LangId.model
+    var t0 = System.nanoTime()
+    var acc = 0.0
+    texts.foreach { t => acc += graft.functions.LangId.predict(t, m)._2 }
+    println(f"local predict: ${(System.nanoTime()-t0)/1e9}%.2fs acc=$acc%.1f")
+    spark.stop()
+  }
+}

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: times the flagship pipeline and prints the physical plan so
+  * codegen coverage / pushdown / shuffle count can be inspected. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 16
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def pipeline() = {
+      val docs = graft.sources.WebDocs.buildReplicated(spark, sfDir, mult)
+      val scored = graft.Pipeline.score(docs).select(col("doc_id"), col("url"),
+        col("lang"), col("text"), col("keep"),
+        length(col("scrubbed_text")).as("scrub_len"))
+      graft.functions.LangId(scored, onlyKept = true)
+        .agg(count(lit(1)).as("n"), sum(col("scrub_len")).as("bytes"))
+    }
+    println("=== PLAN (flagship) ===")
+    pipeline().explain("formatted")
+    def timed(tag: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[$tag] out=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    timed("warmup")(pipeline().head())
+    timed("flagship")(pipeline().head())
+    spark.stop()
+  }
+}
