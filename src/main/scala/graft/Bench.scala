@@ -56,7 +56,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "16").toInt
 
-    // part 1: per-query times at the driver-requested parallelism
+    // part 1: the scaling gate FIRST, each parallelism in a pristine
+    // context (running after the query sweep leaves the heap churned and
+    // penalizes whichever run goes second).
+    val spark8 = session(8)
+    val nDocs = graft.sources.WebDocs.buildReplicated(spark8, sfDir, mult).count()
+    flagship(spark8, sfDir, mult) // warm-up (JIT + codegen cache)
+    val (_, secLo) = timed(flagship(spark8, sfDir, mult))
+    spark8.stop()
+
+    val sparkHi = session(cpus)
+    flagship(sparkHi, sfDir, mult) // warm-up parity
+    val (_, secHi) = timed(flagship(sparkHi, sfDir, mult))
+    sparkHi.stop()
+
+    // part 2: per-query times at the driver-requested parallelism
     val spark1 = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timed {
@@ -64,17 +78,7 @@ object Bench {
       }
       name -> sec
     }
-    // part 2a: docs/sec at local[cpus] (warm JVM, same session)
-    val nDocs = graft.sources.WebDocs.buildReplicated(spark1, sfDir, mult).count()
-    flagship(spark1, sfDir, mult) // warm-up (JIT + codegen cache)
-    val (_, secHi) = timed(flagship(spark1, sfDir, mult))
     spark1.stop()
-
-    // part 2b: docs/sec at local[8] (fresh context, same JVM/JIT state)
-    val spark2 = session(8)
-    flagship(spark2, sfDir, mult) // warm-up parity
-    val (_, secLo) = timed(flagship(spark2, sfDir, mult))
-    spark2.stop()
 
     val dpsHi = nDocs / secHi
     val dpsLo = nDocs / secLo

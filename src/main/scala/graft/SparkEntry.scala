@@ -134,6 +134,46 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
+    // ── Multimodal blob handling (binary column + typed metadata) ──
+    "q32_multimodal" -> ((s, dir) =>
+      graft.operators.Multimodal.withBlobMeta(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("blob_len"), col("blob_md5"),
+          col("media_width"), col("media_height"), col("media_format"))),
+
+    // ── Grouping surface: collect, rollup, distinct ──
+    "q28_collect" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("doc_ids"))),
+    "q29_rollup" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).as("chars"))),
+    "q33_distinct" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir)
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"))),
+
+    // ── As-of join (events to latest effective rate; union+window form) ──
+    "q34_asof" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val ev = events.select(col("event_id"), col("event_type"), col("ts"),
+        lit(null).cast("double").as("rate"), lit(1).as("tag"))
+      val rt = events.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("value").as("rate"), lit(0).as("tag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev.unionByName(rt)
+        .withColumn("eff_rate", last(col("rate"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("event_type"), col("ts"), col("eff_rate"))
+    }),
+
     // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
     "q30_langid" -> ((s, dir) =>
       graft.functions.LangId(Pipeline.webdoc(s, dir))),
@@ -278,6 +318,34 @@ object SparkEntry {
     "q26_topk" ->
       ("SELECT event_id, user_id, event_type, value FROM events" +
         " ORDER BY value DESC, event_id LIMIT 20"),
+    "q32_multimodal" ->
+      (webdocCte +
+        """ SELECT doc_id, url, CAST(length(html_str) AS BIGINT) AS blob_len, md5(html_str) AS blob_md5,
+          |   CAST(length(html_str) % 640 + 16 AS INT) AS media_width,
+          |   CAST((length(html_str) * 3) % 480 + 16 AS INT) AS media_height,
+          |   'html' AS media_format
+          | FROM webdoc""".stripMargin),
+    "q28_collect" ->
+      (webdocCte +
+        " SELECT host, count(*) AS n_docs," +
+        " array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids" +
+        " FROM webdoc GROUP BY host"),
+    "q29_rollup" ->
+      (webdocCte +
+        " SELECT lang, source, count(*) AS n, sum(length(text)) AS chars" +
+        " FROM webdoc GROUP BY ROLLUP (lang, source)"),
+    "q33_distinct" ->
+      (webdocCte +
+        " SELECT count(DISTINCT host) AS n_hosts, count(DISTINCT lang) AS n_langs," +
+        " count(DISTINCT source) AS n_sources FROM webdoc"),
+    "q34_asof" ->
+      ("""WITH ev AS (SELECT event_id, event_type, ts, NULL::DOUBLE AS rate, 1 AS tag FROM events),
+         |     rt AS (SELECT event_id, event_type, ts, value AS rate, 0 AS tag FROM events WHERE event_id % 97 = 0),
+         |     u AS (SELECT * FROM ev UNION ALL SELECT * FROM rt),
+         |     w AS (SELECT *, last_value(rate IGNORE NULLS) OVER (PARTITION BY event_type
+         |             ORDER BY ts, tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_rate
+         |           FROM u)
+         | SELECT event_id, event_type, ts, eff_rate FROM w WHERE tag = 1""".stripMargin),
     // q30_langid has no SQL oracle (model weights) → driver rows-only check.
     "q31_perplexity" ->
       (webdocCte + shingleCte +

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: rolling polynomial fingerprint
+  * h = fold(acc * 31 + charAt(i)) mod 1e9+7 over the UTF-16 chars.
+  *
+  * Semantically identical to the composable form
+  * `aggregate(split(text, ""), 0L, (acc, c) -> pmod(acc*31 + ascii(c), P))`
+  * — but that form runs interpreted (higher-order functions have no
+  * codegen) and allocates a per-char array; this is a single codegen'd
+  * loop (preference order (b) of the builder brief: custom Expression
+  * over mapPartitions/UDF). The DuckDB oracle (list_reduce over
+  * string_split) still reproduces it for ASCII/BMP text.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % 1000000007L
+      if (acc < 0) acc += 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |String $s = $c.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31 + $s.charAt($i)) % 1000000007L;
+         |  if ($acc < 0) $acc += 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def apply(c: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(c)))
+
+  /** SQL registration: SELECT poly_hash(text) ... */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs.head), "scala_udf")
+}

@@ -58,32 +58,42 @@ object Dedup {
   }
 
   /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band bucket.
-    * Shuffle carries only (doc_id, band_id, band_key). */
+    * The band join carries ONLY (band_id, band_key, doc_id) — never the
+    * shingle arrays — so the shuffle stays bytes-per-doc-sized no matter
+    * how long the documents are. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sig = withMinhash(docs).select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),
           md5(concat_ws("-", (0 until 4).map(r => col(s"m${4 * j + r}")): _*)).as("band_key"))
       }: _*)).as("band"))
-      .select(col("doc_id"), col("sh"), col("band.band_id"), col("band.band_key"))
-    val a = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val a = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
 
   /** MinHash-LSH near-dup pairs with exact Jaccard verification of the
-    * candidates. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
+    * candidates: shingle sets are fetched per candidate side via two joins
+    * against the (small) candidate set, mirroring how a 100 TB run would
+    * join candidates back to a shingle table instead of carrying arrays
+    * through the LSH shuffle. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("sh"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     minhashCandidates(docs)
+      .join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media assets ride along as opaque `binary`
+  * columns with typed metadata, and decode / feature-extract run as typed
+  * mapPartitions over the bytes (the Scala analogue of mapInPandas batch
+  * UDFs). The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC STUB (clearly marked below) — the Spark-side plumbing
+  * (schema, batching, partitioning, column pruning of the blob) is real
+  * and tested.
+  *
+  * Scale notes: the blob column is the expensive thing — never shuffle it.
+  * Metadata extraction is a projection; feature extraction keeps blobs
+  * within their input partition (mapPartitions, no exchange); anything
+  * downstream joins on doc_id against the small feature output.
+  */
+object Multimodal {
+
+  /** Typed metadata projection over the blob — pure Catalyst (md5/length
+    * are codegen'd builtins), no decode needed. */
+  def withBlobMeta(docs: DataFrame): DataFrame =
+    docs.withColumn("blob_len", length(col("html")).cast("long"))
+      .withColumn("blob_md5", md5(col("html")))
+      // ====== STUB: stand-ins for real container metadata (EXIF etc.) ======
+      .withColumn("media_width", (pmod(col("blob_len"), lit(640L)) + 16L).cast("int"))
+      .withColumn("media_height", (pmod(col("blob_len") * 3L, lit(480L)) + 16L).cast("int"))
+      .withColumn("media_format", lit("html"))
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("url", StringType),
+    StructField("blob_len", LongType),
+    StructField("byte_hist", ArrayType(LongType, containsNull = false)),
+    StructField("mean_byte", DoubleType)))
+
+  /** "Decode + feature extract" over the blob bytes in partition-sized
+    * batches. REAL: per-partition iteration, schema, no blob shuffle.
+    * STUB: the "features" are a 16-bin byte histogram + mean byte — a
+    * deterministic stand-in for image decode / resize / embed (the
+    * codecs are not in this container). */
+  def extractFeatures(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featSchema)
+    docs.select(col("doc_id"), col("url"), col("html"))
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            hist(b >> 4) += 1
+            sum += b
+            i += 1
+          }
+          val mean =
+            if (bytes.length == 0) 0.0
+            else math.floor(sum.toDouble / bytes.length * 1e6 + 0.5) / 1e6
+          Row(r.getLong(0), r.getString(1), bytes.length.toLong, hist.toSeq, mean)
+        }
+      }(enc)
+  }
+
+  /** Frame-sample analogue: deterministic k-of-n byte-window sampling
+    * (what frame extraction looks like to Spark: explode bounded samples
+    * per asset, blob pruned immediately after). */
+  def sampleWindows(docs: DataFrame, k: Int, window: Int): DataFrame =
+    docs.select(col("doc_id"), col("html"), length(col("html")).as("n"))
+      .withColumn("f", explode(sequence(lit(0), lit(k - 1))))
+      .select(col("doc_id"), col("f"),
+        substring(col("html").cast("string"),
+          (col("f") * greatest((col("n") - window) / (k - 1), lit(1)) + 1).cast("int"),
+          lit(window)).as("chunk"))
+}

@@ -19,9 +19,14 @@ object TextStats {
     docs.withColumn("n_ws_tokens", size(Rules.wordsOf(col("text"))).cast("long"))
       .withColumn("n_re_tokens", regexp_count(col("text"), lit(TokenRe)).cast("long"))
 
-  /** Rolling polynomial fingerprint: fold (acc*31 + ascii(c)) mod P over the
-    * characters. Left-fold `aggregate` fixes the order; ASCII corpus. */
+  /** Rolling polynomial fingerprint via the native codegen'd Expression
+    * (graft.functions.PolyHash). */
   def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fingerprint", graft.functions.PolyHash(col("text")))
+
+  /** Composable-built-ins form of the same fingerprint (interpreted HOF —
+    * kept as the differential-test twin of PolyHash). */
+  def withFingerprintHof(docs: DataFrame): DataFrame =
     docs.withColumn("fingerprint",
       aggregate(split(col("text"), ""), lit(0L),
         (acc, c) => pmod(acc * 31 + ascii(c), lit(1000000007L))))

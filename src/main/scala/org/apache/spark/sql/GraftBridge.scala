@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal accessor for the private[sql] Column ⇄ Expression conversions —
+  * Spark 4 removed the public `Column(expr)` constructor / `.expr` in favor
+  * of ColumnNodes; extensions defining native Catalyst expressions need
+  * this bridge (standard pattern for Spark 4 extension libraries). */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multimodal plumbing, native PolyHash expression, approx aggregates, and
+  * Structured Streaming suites. */
+class OperatorSpec extends SparkSpec {
+
+  test("multimodal feature extraction: histogram mass equals blob length") {
+    val docs = Pipeline.webdoc(spark, sfDir).limit(100)
+    val feats = graft.operators.Multimodal.extractFeatures(docs)
+    val bad = feats.withColumn("mass", aggregate(col("byte_hist"), lit(0L), (a, b) => a + b))
+      .filter(col("mass") =!= col("blob_len")).count()
+    assert(bad == 0)
+    // blob never shuffles: features stay 1:1 with input rows
+    assert(feats.count() == docs.count())
+  }
+
+  test("multimodal sample windows: k chunks per doc, bounded width") {
+    val docs = Pipeline.webdoc(spark, sfDir).limit(20)
+    val s = graft.operators.Multimodal.sampleWindows(docs, 4, 32)
+    assert(s.count() == 80)
+    assert(s.filter(length(col("chunk")) > 32).count() == 0)
+  }
+
+  test("PolyHash native expression equals the interpreted HOF form") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val a = graft.operators.TextStats.withFingerprint(docs)
+      .select("doc_id", "fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.TextStats.withFingerprintHof(docs)
+      .select("doc_id", "fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("PolyHash registers as a SQL function and codegen path agrees with eval") {
+    graft.functions.PolyHash.register(spark)
+    Pipeline.webdoc(spark, sfDir).limit(50).createOrReplaceTempView("wd_ph")
+    val viaSql = spark.sql("SELECT doc_id, poly_hash(text) AS h FROM wd_ph")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = spark.table("wd_ph").select("doc_id", "text").collect()
+      .map { r =>
+        var acc = 0L
+        val s = r.getString(1)
+        s.foreach(c => acc = (acc * 31 + c) % 1000000007L)
+        r.getLong(0) -> acc
+      }.toMap
+    assert(viaSql == local)
+  }
+
+  test("approx_count_distinct tracks exact distinct within its error bound") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val r = wd.agg(countDistinct(col("host")).as("exact"),
+      approx_count_distinct(col("host"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("structured streaming AvailableNow windowed agg equals batch windowed agg") {
+    val src = tmpDir("stream-src")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+
+    // driver parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP (LTZ)
+    val streamed = spark.readStream.schema(events.schema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("stream_out").collect().map(_.toString).sorted.toSeq
+    val want = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+}
