@@ -174,6 +174,32 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("ts"), col("eff_rate"))
     }),
 
+    // ── Scalar-function surface: url parse, first-match extract, MJD ──
+    "q35_parse" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "https://([^/]+)/", 1).as("host_parsed"),
+        element_at(split(col("host"), "\\."), -1).as("tld"),
+        regexp_extract(col("text"), "Call (\\d{3}-555-\\d{4})", 1).as("first_phone"),
+        round(unix_timestamp(col("warc_ts")).cast("double") / 86400.0 + 40587.0, 6).as("mjd"))),
+    // S3 version-shadow analogue: drop docs whose exact content reappears
+    // under a higher doc_id (keep only the max "version" of each content)
+    "q36_shadow" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+        .withColumn("content_hash", graft.functions.Hashing.md5Hash60(col("text")))
+      val newer = wd.select(col("content_hash").as("h2"), col("doc_id").as("id2"))
+      wd.join(newer, col("content_hash") === col("h2") && col("id2") > col("doc_id"), "left_anti")
+        .select(col("doc_id"), col("url"), col("content_hash"))
+    }),
+    // P3 keyword-mapping analogue: JSON attribute with coalesce override chain
+    "q38_json" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.select(col("event_id"), col("event_type"),
+          coalesce(get_json_object(col("props"), "$.missing"),
+            get_json_object(col("props"), "$.k"), lit("0")).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+    }),
+
     // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
     "q30_langid" -> ((s, dir) =>
       graft.functions.LangId(Pipeline.webdoc(s, dir))),
@@ -346,6 +372,26 @@ object SparkEntry {
          |             ORDER BY ts, tag, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff_rate
          |           FROM u)
          | SELECT event_id, event_type, ts, eff_rate FROM w WHERE tag = 1""".stripMargin),
+    "q35_parse" ->
+      (webdocCte +
+        """ SELECT doc_id, url,
+          |   regexp_extract(url, 'https://([^/]+)/', 1) AS host_parsed,
+          |   (string_split(host, '.'))[-1] AS tld,
+          |   regexp_extract(text, 'Call (\d{3}-555-\d{4})', 1) AS first_phone,
+          |   round(epoch(warc_ts) / 86400.0 + 40587.0, 6) AS mjd
+          | FROM webdoc""".stripMargin),
+    "q36_shadow" ->
+      (webdocCte +
+        s""" SELECT doc_id, url, ${h60("text")} AS content_hash FROM webdoc a
+           | WHERE NOT EXISTS (SELECT 1 FROM webdoc b
+           |   WHERE ${h60("b.text")} = ${h60("a.text")} AND b.doc_id > a.doc_id)""".stripMargin),
+    "q38_json" ->
+      ("""SELECT event_type, count(*) AS n,
+         |  sum(coalesce(json_extract_string(props, '$.missing'),
+         |      json_extract_string(props, '$.k'), '0')::BIGINT) AS sum_k,
+         |  max(coalesce(json_extract_string(props, '$.missing'),
+         |      json_extract_string(props, '$.k'), '0')::BIGINT) AS max_k
+         | FROM events GROUP BY event_type""".stripMargin),
     // q30_langid has no SQL oracle (model weights) → driver rows-only check.
     "q31_perplexity" ->
       (webdocCte + shingleCte +

@@ -94,19 +94,39 @@ object LangId extends Serializable {
         .reduce((a, b) => a.zip(b).map { case (x, y) => x + y }))
     }
 
-  /** Predict (language, cosine score) for one text. Deterministic:
-    * fixed Langs order, ties break toward the earlier language. */
-  def predict(text: String, m: Map[String, Array[Double]]): (String, Double) = {
-    val dv = l2normalize(countVector(text))
-    var bestLang = Langs.head
+  /** Allocation-free scoring core: fills `buf` (caller-owned, reused per
+    * partition) with the raw count vector and scores dot(buf, p)/||buf||.
+    * Returns (langIndex, score). GC pressure was the 32-thread scaling
+    * killer: 2×32 KB fresh arrays per doc saturated the collector. */
+  def predictInto(text: String, profiles: Array[Array[Double]], buf: Array[Double]): (Int, Double) = {
+    java.util.Arrays.fill(buf, 0.0)
+    val t = " " + text.toLowerCase + " "
+    var i = 0
+    while (i + 3 <= t.length) { buf(hashGram(t, i)) += 1.0; i += 1 }
+    var ss = 0.0; var j = 0
+    while (j < Dim) { ss += buf(j) * buf(j); j += 1 }
+    val nrm = math.sqrt(ss)
+    var best = 0
     var bestScore = -1.0
-    for (lang <- Langs) {
-      val p = m(lang)
-      var dot = 0.0; var i = 0
-      while (i < Dim) { dot += dv(i) * p(i); i += 1 }
-      if (dot > bestScore) { bestScore = dot; bestLang = lang }
+    var li = 0
+    while (li < profiles.length) {
+      val p = profiles(li)
+      var dot = 0.0; var k = 0
+      while (k < Dim) { dot += buf(k) * p(k); k += 1 }
+      val s = if (nrm == 0.0) 0.0 else dot / nrm
+      if (s > bestScore) { bestScore = s; best = li }
+      li += 1
     }
-    (bestLang, math.floor(bestScore * 1e6 + 0.5) / 1e6)
+    (best, math.floor(bestScore * 1e6 + 0.5) / 1e6)
+  }
+
+  /** Predict (language, cosine score) for one text. Deterministic:
+    * fixed Langs order, ties break toward the earlier language. Same
+    * arithmetic as predictInto (dot of raw counts, divided by the norm). */
+  def predict(text: String, m: Map[String, Array[Double]]): (String, Double) = {
+    val profiles = Langs.map(m).toArray
+    val (idx, score) = predictInto(text, profiles, new Array[Double](Dim))
+    (Langs(idx), score)
   }
 
   /** Appends lang_pred + lang_score via mapPartitions over the broadcast
@@ -132,10 +152,12 @@ object LangId extends Serializable {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     docs.mapPartitions { iter =>
       val m = bc.value
+      val profiles = Langs.map(m).toArray
+      val buf = new Array[Double](Dim) // reused across the partition
       val base = if (keepIdx >= 0) iter.filter(_.getBoolean(keepIdx)) else iter
       base.map { r =>
-        val (pred, score) = predict(r.getString(textIdx), m)
-        Row.fromSeq(r.toSeq :+ pred :+ score)
+        val (idx, score) = predictInto(r.getString(textIdx), profiles, buf)
+        Row.fromSeq(r.toSeq :+ Langs(idx) :+ score)
       }
     }(enc)
   }

@@ -31,7 +31,20 @@ object Rules {
 
   def linesOf(text: Column): Column = split(text, "\n")
 
-  /** Appends all signal columns; expects a `text` column.
+  /** Appends all signal columns via the native single-pass
+    * [[graft.functions.TextSignals]] expression (one struct eval per row;
+    * the composable HOF form below is ~20 interpreted expression trees and
+    * was the pipeline's allocation bottleneck). */
+  def apply(df: DataFrame): DataFrame = {
+    val staged = df.withColumn("sig", graft.functions.TextSignals(col("text")))
+    signalCols.foldLeft(staged) { (d, c) =>
+      d.withColumn(c, col("sig").getField(c))
+    }.drop("sig")
+  }
+
+  /** Composable built-ins form of the signals — the differential-test twin
+    * of TextSignals (and the shape the DuckDB oracle mirrors); expects a
+    * `text` column.
     *
     * PERFORMANCE INVARIANT: the regex tokenization runs ONCE per row. The
     * helper arrays (`words`, `lines`) are materialized as named columns in
@@ -41,7 +54,7 @@ object Rules {
     * per-row blowup, single tasks burning minutes of CPU in
     * Pattern.split). CollapseProject keeps the boundary because the split
     * is non-cheap and multiply-referenced. */
-  def apply(df: DataFrame): DataFrame = {
+  def applyComposable(df: DataFrame): DataFrame = {
     val text = col("text")
     val staged = df
       .withColumn("words", wordsOf(text))

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: flagship docs/sec at a list of parallelism levels. */
+object ScalingProbe {
+  def flagship(spark: SparkSession, sfDir: String, mult: Int): Long = {
+    val docs = graft.sources.WebDocs.buildReplicated(spark, sfDir, mult)
+    val scored = graft.Pipeline.score(docs).select(col("doc_id"), col("url"),
+      col("lang"), col("text"), col("keep"),
+      length(col("scrubbed_text")).as("scrub_len"))
+    graft.functions.LangId(scored, onlyKept = true)
+      .agg(count(lit(1)).as("n"), sum(col("scrub_len")).as("bytes"))
+      .head().getLong(0)
+  }
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mult = if (args.length > 1) args(1).toInt else 64
+    val levels = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq else Seq(8, 32)
+    levels.foreach { cpus =>
+      val spark = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      flagship(spark, sfDir, mult) // warmup
+      val secs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        flagship(spark, sfDir, mult)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scaling] cpus=$cpus min=${secs.min}%.2f all=${secs.map(x => f"$x%.1f").mkString(",")}%s")
+      spark.stop()
+    }
+  }
+}

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: per-stage timing of the flagship pipeline at one parallelism. */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val mult = args(1).toInt; val cpus = args(2).toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = graft.sources.WebDocs.buildReplicated(spark, sfDir, mult)
+    def timed(tag: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stage] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($r)")
+    }
+    timed("synth")(docs.agg(sum(length(col("text")))).head().getLong(0))
+    timed("synth2")(docs.agg(sum(length(col("text")))).head().getLong(0))
+    val rules = graft.operators.Verdict(graft.operators.Rules(docs))
+    timed("rules")(rules.agg(sum(col("keep").cast("long"))).head().getLong(0))
+    timed("rules2")(rules.agg(sum(col("keep").cast("long"))).head().getLong(0))
+    val scrubbed = graft.operators.Scrub(rules.drop("words", "lines"))
+    timed("scrub")(scrubbed.agg(sum(length(col("scrubbed_text")))).head().getLong(0))
+    val fl = graft.functions.LangId(
+      graft.Pipeline.score(docs).select(col("doc_id"), col("url"), col("lang"),
+        col("text"), col("keep"), length(col("scrubbed_text")).as("scrub_len")),
+      onlyKept = true)
+    timed("flagship")(fl.agg(count(lit(1)), sum(col("scrub_len"))).head().getLong(0))
+    spark.stop()
+  }
+}

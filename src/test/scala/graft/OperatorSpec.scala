@@ -48,6 +48,16 @@ class OperatorSpec extends SparkSpec {
     assert(viaSql == local)
   }
 
+  test("native TextSignals equals the composable HOF signal columns on every doc") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val cols = Seq("doc_id") ++ graft.operators.Rules.signalCols
+    val native = graft.operators.Rules(docs)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    val composable = graft.operators.Rules.applyComposable(docs)
+      .select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    assert(native == composable)
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val r = wd.agg(countDistinct(col("host")).as("exact"),
