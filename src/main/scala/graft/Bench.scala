@@ -4,16 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "throughput":{"docs_per_sec_8":...,"docs_per_sec_32":...,
-  *                "scaling_efficiency":...,"docs":N}}
+  *  "throughput":{"docs":N,"cores_n":4,"cores_4n":16,"docs_per_sec_n":...,
+  *                "docs_per_sec_4n":...,"scaling_efficiency":...}}
   *
   * Two parts:
-  *  1. per-query wall times for every SparkEntry query at SPARK_GRAFT_CPUS
-  *     (the driver's BENCH_r{N}.json payload);
-  *  2. the BASELINE.json scaling gate: the flagship filter+scrub pipeline on
-  *     a replicated WebDoc table at local[8] vs local[32] (cores ≙ executors
-  *     — the sandbox proxy for N vs 4N, per the driver instruction), with
-  *     eff = (docs/sec@32 / docs/sec@8) / 4.
+  *  1. the BASELINE.json scaling gate: the flagship filter+scrub pipeline on
+  *     a replicated WebDoc table at local[4] vs local[16] (cores ≙ executors
+  *     — the sandbox proxy for N vs 4N executors, per the driver
+  *     instruction), eff = (docs/sec@4N / docs/sec@N) / 4, min-of-3 reps;
+  *  2. per-query wall times for every SparkEntry query at SPARK_GRAFT_CPUS.
   */
 object Bench {
 
@@ -54,7 +53,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "256").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "512").toInt
 
     // part 1: the scaling gate FIRST, each parallelism in a pristine
     // context (running after the query sweep leaves the heap churned and
