@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native shingling + MinHash signature expressions — the hot path of the
+  * dedup family. Semantics are EXACTLY the composable forms in
+  * graft.operators.Dedup (which the DuckDB oracle mirrors):
+  *
+  *  - WordShingles(text) ≡ array_distinct(transform(seq, i ->
+  *      concat_ws(" ", words[i..i+2]))) over \s+-split non-empty words;
+  *  - MinHashSig(shingles) ≡ [ array_min(transform(sh, s ->
+  *      (a_i * (md5_60(s) % P) + b_i) % P)) for i < 16 ]
+  *    with md5_60(s) = first 15 hex chars of md5(s) as a 60-bit int —
+  *    the cross-engine hash of graft.functions.Hashing.
+  *
+  * The composable forms run as interpreted higher-order functions
+  * (per-element boxing + GenericArrayData per lambda); these are one Java
+  * pass per row with a reused MessageDigest. Differential-tested against
+  * the composable twins in OperatorSpec.
+  */
+case class WordShingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val words = ShingleExprs.splitWords(s)
+    if (words.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i + 2 < words.length) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** 16-permutation MinHash signature over an array<string> of shingles.
+  * Returns null for an empty shingle array (callers filter those rows,
+  * matching the composable form's size(sh) > 0 guard). */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(16)(Long.MaxValue)
+    val md = ShingleExprs.md5.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val h = ShingleExprs.md5Hash60(md, arr.getUTF8String(i).getBytes) % Hashing.P
+      var k = 0
+      while (k < 16) {
+        val v = (Hashing.minhashA(k) * h + Hashing.minhashB(k)) % Hashing.P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object ShingleExprs {
+
+  private[functions] val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** \s+-split with empties removed — same tokens as Rules.wordsOf. */
+  private[functions] def splitWords(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    var start = -1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws) { if (start >= 0) { out += s.substring(start, i); start = -1 } }
+      else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) out += s.substring(start)
+    out.toArray
+  }
+
+  /** First 60 bits of md5(bytes) — identical to
+    * CAST('0x' || substr(md5(s),1,15) AS BIGINT). */
+  private[functions] def md5Hash60(md: java.security.MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def wordShingles(c: Column): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c)))
+
+  def minhashSig(c: Column): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c)))
+}

@@ -31,8 +31,15 @@ object Dedup {
       transform(sequence(lit(1), greatest(size(words) - 2, lit(1))), i =>
         concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
 
-  /** Adds a `sh` shingle column (tokenizing once into a staged column). */
+  /** Adds a `sh` shingle column via the native WordShingles expression
+    * (one Java pass; semantics identical to shinglesOf ∘ wordsOf —
+    * differential-tested in OperatorSpec). */
   def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", graft.functions.ShingleExprs.wordShingles(col("text")))
+
+  /** Composable twin of withShingles (interpreted HOFs; kept for
+    * differential testing — the DuckDB oracle mirrors this shape). */
+  def withShinglesComposable(docs: DataFrame): DataFrame =
     docs.withColumn("__w", Rules.wordsOf(col("text")))
       .withColumn("sh", shinglesOf(col("__w")))
       .drop("__w")
@@ -45,16 +52,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc MinHash signature columns m0..m15 — single projection, no
-    * shuffle: hash each shingle once, then take the min of each of the 16
-    * modular permutations with higher-order array functions. */
+    * shuffle, one native MinHashSig eval per row. */
   def withMinhash(docs: DataFrame): DataFrame = {
-    val hashed = withShingles(docs)
+    val sig = withShingles(docs)
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.functions.ShingleExprs.minhashSig(col("sh")))
+    minhashA.indices.foldLeft(sig) { (d, i) =>
+      d.withColumn(s"m$i", element_at(col("sig"), i + 1))
+    }.drop("sig")
+  }
+
+  /** Composable twin of withMinhash (interpreted HOF permutations). */
+  def withMinhashComposable(docs: DataFrame): DataFrame = {
+    val hashed = withShinglesComposable(docs)
       .filter(size(col("sh")) > 0)
       .withColumn("shh", transform(col("sh"), s => pmod(md5Hash60(s), lit(P))))
     minhashA.indices.foldLeft(hashed) { (d, i) =>
       d.withColumn(s"m$i",
         array_min(transform(col("shh"), h => pmod(lit(minhashA(i)) * h + lit(minhashB(i)), lit(P)))))
-    }
+    }.drop("shh")
   }
 
   /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band bucket.

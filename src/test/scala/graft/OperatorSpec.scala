@@ -58,6 +58,17 @@ class OperatorSpec extends SparkSpec {
     assert(native == composable)
   }
 
+  test("native WordShingles/MinHashSig equal their composable HOF twins") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val a = graft.operators.Dedup.withMinhash(docs)
+      .select((Seq("doc_id", "sh") ++ (0 until 16).map(i => s"m$i")).map(col): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toString).toMap
+    val b = graft.operators.Dedup.withMinhashComposable(docs)
+      .select((Seq("doc_id", "sh") ++ (0 until 16).map(i => s"m$i")).map(col): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).toString).toMap
+    assert(a == b)
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val r = wd.agg(countDistinct(col("host")).as("exact"),
