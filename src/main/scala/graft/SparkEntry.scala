@@ -200,6 +200,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
     }),
 
+    // P9 analogue: nested array-of-struct pruning via higher-order filter
+    // (reference deletes chunks lacking WCS from each part's chunk list)
+    "q37_nested" -> ((s, dir) => {
+      val scored = Pipeline.scored(s, dir)
+      scored.groupBy(col("host"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("keep")))).as("docs"))
+        .select(col("host"), size(col("docs")).as("n_total"),
+          array_join(transform(filter(col("docs"), d => d.getField("keep")),
+            d => d.getField("doc_id").cast("string")), ",").as("kept_ids"))
+    }),
+    // S2/F4 analogue: per-level predicate filters; `source` pushes to the
+    // parquet scan, the url regex applies post-derivation
+    "q39_urlfilter" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir)
+        .filter(col("source").isin("src1", "src3", "src5"))
+        .filter(col("url").rlike("^https://host-[0-9]+\\.example\\.com/"))
+        .select(col("doc_id"), col("url"), col("source"))),
+
     // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
     "q30_langid" -> ((s, dir) =>
       graft.functions.LangId(Pipeline.webdoc(s, dir))),
@@ -392,6 +410,17 @@ object SparkEntry {
          |  max(coalesce(json_extract_string(props, '$.missing'),
          |      json_extract_string(props, '$.k'), '0')::BIGINT) AS max_k
          | FROM events GROUP BY event_type""".stripMargin),
+    "q37_nested" ->
+      (pipelineCte +
+        """ SELECT host, len(docs) AS n_total,
+          |   coalesce(array_to_string(list_transform(list_filter(docs, d -> d.keep), d -> d.doc_id), ','), '') AS kept_ids
+          | FROM (SELECT host, list(struct_pack(doc_id := doc_id, keep := keep) ORDER BY doc_id, keep) AS docs
+          |       FROM scrub GROUP BY host)""".stripMargin),
+    "q39_urlfilter" ->
+      (webdocCte +
+        " SELECT doc_id, url, source FROM webdoc" +
+        " WHERE source IN ('src1', 'src3', 'src5')" +
+        " AND regexp_matches(url, '^https://host-[0-9]+\\.example\\.com/')"),
     // q30_langid has no SQL oracle (model weights) → driver rows-only check.
     "q31_perplexity" ->
       (webdocCte + shingleCte +
