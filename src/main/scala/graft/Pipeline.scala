@@ -23,11 +23,13 @@ object Pipeline {
   def scored(spark: SparkSession, dir: String): DataFrame =
     score(webdoc(spark, dir))
 
-  /** Same chain over an arbitrary WebDoc-shaped frame (used by bench). */
+  /** Same chain over an arbitrary WebDoc-shaped frame (used by bench).
+    * Scrub precedes Verdict: the lexicon drop-reason reads the scrub
+    * stage's match count (one lexicon regex scan per doc, not two). */
   def score(docs: DataFrame): DataFrame =
     docs.transform(Rules.apply)
-      .transform(Verdict.apply)
       .transform(Scrub.apply)
+      .transform(Verdict.apply)
       .drop(helperCols: _*)
 
   /** Extraction stage output (html → text byte-identity invariant). */

@@ -218,6 +218,25 @@ object SparkEntry {
         .filter(col("url").rlike("^https://host-[0-9]+\\.example\\.com/"))
         .select(col("doc_id"), col("url"), col("source"))),
 
+    // Gap-based sessionization (30-min inactivity): the batch twin of the
+    // streaming flatMapGroupsWithState sessionizer (tested in OperatorSpec)
+    "q40_sessions" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), max(col("n_events")).as("max_session_events"))
+    }),
+
     // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
     "q30_langid" -> ((s, dir) =>
       graft.functions.LangId(Pipeline.webdoc(s, dir))),
@@ -421,6 +440,24 @@ object SparkEntry {
         " SELECT doc_id, url, source FROM webdoc" +
         " WHERE source IN ('src1', 'src3', 'src5')" +
         " AND regexp_matches(url, '^https://host-[0-9]+\\.example\\.com/')"),
+    "q40_sessions" ->
+      ("""WITH s1 AS (
+         |  SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events
+         |), s2 AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT user_id,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM s2
+         |), s4 AS (
+         |  SELECT user_id, session_id, count(*) AS n_events FROM s3 GROUP BY user_id, session_id
+         |) SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |    max(n_events) AS max_session_events FROM s4 GROUP BY user_id""".stripMargin),
     // q30_langid has no SQL oracle (model weights) → driver rows-only check.
     "q31_perplexity" ->
       (webdocCte + shingleCte +

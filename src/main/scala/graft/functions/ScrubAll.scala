@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused PII/toxicity scrub: all patterns applied in one expression, match
+  * counts collected during replacement. The composable chain costs 9 full
+  * regex scans per document (4 regexp_count + 4 regexp_replace + the
+  * verdict's lexicon rlike); this costs 4 (counts ride along with the
+  * replaces, and Verdict reads `scrub_lexicon > 0` instead of re-matching).
+  * Same java.util.regex engine and patterns as regexp_replace, so the
+  * scrubbed bytes are identical; counts are measured on the progressively
+  * scrubbed string (≡ counts-on-original whenever patterns don't overlap,
+  * which the PII patterns don't — replacement tokens match nothing).
+  *
+  * Returns struct(scrubbed_text, scrub_email, scrub_phone, scrub_ip,
+  * scrub_lexicon).
+  */
+case class ScrubAll(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ScrubAll.schema
+  override def prettyName: String = "scrub_all"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    var s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Long](ScrubAll.compiled.length)
+    var i = 0
+    while (i < ScrubAll.compiled.length) {
+      val (p, rep) = ScrubAll.compiled(i)
+      val m = p.matcher(s)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        var n = 0L
+        do {
+          n += 1
+          m.appendReplacement(sb, rep)
+        } while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+        counts(i) = n
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(s), counts(0), counts(1), counts(2), counts(3))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubAll =
+    copy(child = newChild)
+}
+
+object ScrubAll {
+
+  val schema: StructType = StructType(Seq(
+    StructField("scrubbed_text", StringType, nullable = false),
+    StructField("scrub_email", LongType, nullable = false),
+    StructField("scrub_phone", LongType, nullable = false),
+    StructField("scrub_ip", LongType, nullable = false),
+    StructField("scrub_lexicon", LongType, nullable = false)))
+
+  /** Compiled from the single source of truth in operators.Scrub. */
+  lazy val compiled: Array[(java.util.regex.Pattern, String)] =
+    graft.operators.Scrub.patterns.map { case (_, pat, rep) =>
+      (java.util.regex.Pattern.compile(pat), rep)
+    }.toArray
+
+  def apply(c: Column): Column =
+    GraftBridge.column(ScrubAll(GraftBridge.expression(c)))
+}

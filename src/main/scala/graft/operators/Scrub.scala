@@ -28,10 +28,21 @@ object Scrub {
   def scrubText(text: Column): Column =
     patterns.foldLeft(text) { case (c, (_, pat, rep)) => regexp_replace(c, pat, rep) }
 
-  /** Adds `scrub_<name>` count columns and `scrubbed_text`. Counts are
-    * measured on the pre-scrub text (pattern order still matters for the
-    * replacement chain, not for counts — patterns are mutually exclusive). */
+  /** Adds `scrub_<name>` count columns and `scrubbed_text` via the fused
+    * native [[graft.functions.ScrubAll]] expression (4 regex scans per doc
+    * instead of 9 — see its scaladoc; byte-identical scrubbed text). */
   def apply(df: DataFrame): DataFrame = {
+    val staged = df.withColumn("__scrub", graft.functions.ScrubAll(col("text")))
+    val named = (countCols :+ "scrubbed_text").foldLeft(staged) { (d, c) =>
+      d.withColumn(c, col("__scrub").getField(c))
+    }
+    named.drop("__scrub")
+  }
+
+  /** Composable twin (differential-tested; the DuckDB oracle's shape).
+    * Counts are measured on the pre-scrub text — equivalent to the fused
+    * form because the patterns are mutually exclusive. */
+  def applyComposable(df: DataFrame): DataFrame = {
     val withCounts = patterns.foldLeft(df) { case (d, (name, pat, _)) =>
       d.withColumn(s"scrub_$name", regexp_count(col("text"), lit(pat)).cast("long"))
     }

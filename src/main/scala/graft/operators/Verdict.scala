@@ -28,7 +28,10 @@ object Verdict {
     "low_alpha" -> (col("alpha_ratio") < 0.5),
     "no_stopword" -> (col("stop_hits") < 1),
     "non_english" -> (col("lang") =!= "en"),
-    "lexicon" -> col("text").rlike("(?i)\\b(frak|gorram|smeg|felgercarb)\\b"))
+    // ≡ text rlike (?i)\b(frak|gorram|smeg|felgercarb)\b — derived from the
+    // scrub stage's count so the lexicon regex scans each doc once, not twice
+    // (Verdict therefore runs AFTER Scrub in Pipeline.score)
+    "lexicon" -> (col("scrub_lexicon") > 0))
 
   /** Adds `drop_reasons` (canonical comma-joined string) and `keep`. */
   def apply(df: DataFrame): DataFrame = {

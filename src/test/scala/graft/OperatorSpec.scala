@@ -77,6 +77,37 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("stateful streaming: mapGroupsWithState keeps per-key counts across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Long)] // (user_id, n)
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          (user, total)
+      }
+    val q = counted.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out").start()
+
+    input.addData((1L, 2L), (1L, 3L), (2L, 10L))
+    q.processAllAvailable()
+    input.addData((1L, 5L), (3L, 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    // last update per user: state accumulated across both batches
+    val last = spark.table("state_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map(1L -> 10L, 2L -> 10L, 3L -> 1L))
+  }
+
   test("structured streaming AvailableNow windowed agg equals batch windowed agg") {
     val src = tmpDir("stream-src")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
