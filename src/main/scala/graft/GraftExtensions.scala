@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: registers the library's native
+  * Catalyst expressions as SQL functions so
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) exposes them to pure-SQL users:
+  *
+  *   SELECT poly_hash(text), text_signals(text).dup5_frac,
+  *          scrub_all(text).scrubbed_text, word_shingles(text),
+  *          minhash_sig(word_shingles(text)) FROM docs
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+    def reg(name: String, build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), build))
+
+    reg("poly_hash", exprs => graft.functions.PolyHash(exprs.head))
+    reg("text_signals", exprs => graft.functions.TextSignals(exprs.head))
+    reg("scrub_all", exprs => graft.functions.ScrubAll(exprs.head))
+    reg("word_shingles", exprs => graft.functions.WordShingles(exprs.head))
+    reg("minhash_sig", exprs => graft.functions.MinHashSig(exprs.head))
+  }
+}

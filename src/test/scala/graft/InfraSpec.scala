@@ -71,6 +71,18 @@ class InfraSpec extends SparkSpec {
     assert(parts.max < hot) // no partition holds the whole hot host
   }
 
+  test("reconcile CSV sink round-trips (S11 analogue)") {
+    val out = tmpDir("csv-out")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val missing = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"))
+    missing.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == missing.count())
+    assert(back.columns.toSeq == Seq("o_orderkey", "o_custkey"))
+  }
+
   test("incremental time-boxes advance the bookmark even on zero records") {
     val out = tmpDir("inc-out")
     val state = tmpDir("inc-state")

@@ -33,6 +33,29 @@ class OperatorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("GraftExtensions exposes the native expressions to pure SQL sessions") {
+    val main = spark // materialize the shared session first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      // reuses the JVM's SparkContext; extensions apply to the new session
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      Pipeline.webdoc(s2, sfDir).limit(5).createOrReplaceTempView("wd_ext")
+      val r = s2.sql(
+        """SELECT poly_hash(text) AS h, text_signals(text).n_words AS nw,
+          |scrub_all(text).scrubbed_text AS st, size(word_shingles(text)) AS ns
+          |FROM wd_ext""".stripMargin).collect()
+      assert(r.length == 5)
+      assert(r.forall(_.getLong(1) > 0))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(main)
+      org.apache.spark.sql.SparkSession.setDefaultSession(main)
+    }
+  }
+
   test("PolyHash registers as a SQL function and codegen path agrees with eval") {
     graft.functions.PolyHash.register(spark)
     Pipeline.webdoc(spark, sfDir).limit(50).createOrReplaceTempView("wd_ph")
