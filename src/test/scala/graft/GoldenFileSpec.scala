@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stored-golden-file regression suite (FIXTURES.md §3): the file
+  * `golden_sf0.001.jsonl` was produced ONCE by the independent DuckDB
+  * engine from the committed oracle SQL (url-sorted JSON lines with md5s
+  * of text/scrubbed bytes — ≙ the reference's expected.xml fixtures,
+  * vlass2caom2/tests/test_caom_gen_visit.py:264). Pins the pipeline
+  * against accidental drift in thresholds, regexes, or synthesis. */
+class GoldenFileSpec extends SparkSpec {
+
+  private case class Golden(url: String, keep: Boolean, reasons: String,
+                            textMd5: String, scrubbedMd5: String)
+
+  private def field(line: String, k: String): String = {
+    val m = ("\"" + k + "\": (?:\"([^\"]*)\"|(true|false))").r
+    m.findFirstMatchIn(line).map(g => Option(g.group(1)).getOrElse(g.group(2))).get
+  }
+
+  private lazy val golden: Map[String, Golden] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_sf0.001.jsonl"), "UTF-8")
+    try src.getLines().map { l =>
+      val g = Golden(field(l, "url"), field(l, "keep").toBoolean,
+        field(l, "drop_reasons"), field(l, "text_md5"), field(l, "scrubbed_md5"))
+      g.url -> g
+    }.toMap
+    finally src.close()
+  }
+
+  test("pipeline matches the committed DuckDB-generated golden file (523 docs)") {
+    val got = Pipeline.scored(spark, sfDir)
+      .select(col("url"), col("keep"), col("drop_reasons"),
+        md5(col("text")).as("tmd5"), md5(col("scrubbed_text")).as("smd5"))
+      .collect()
+    assert(got.length == golden.size)
+    got.foreach { r =>
+      val g = golden(r.getString(0))
+      assert(r.getBoolean(1) == g.keep, s"keep drift for ${g.url}")
+      assert(r.getString(2) == g.reasons, s"reasons drift for ${g.url}")
+      assert(r.getString(3) == g.textMd5, s"text drift for ${g.url}")
+      assert(r.getString(4) == g.scrubbedMd5, s"scrub drift for ${g.url}")
+    }
+  }
+}
