@@ -35,4 +35,18 @@ object Pipeline {
   /** Extraction stage output (html → text byte-identity invariant). */
   def extracted(spark: SparkSession, dir: String): DataFrame =
     webdoc(spark, dir).transform(Extract.apply)
+
+  /** Typed views for call sites that want compile-time field checks. */
+  def typedDocs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[model.WebDoc] = {
+    import spark.implicits._
+    webdoc(spark, dir).as[model.WebDoc]
+  }
+
+  def typedScored(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[model.ScoredDoc] = {
+    import spark.implicits._
+    scored(spark, dir)
+      .select("doc_id", "url", "host", "shard", "lang", "keep", "drop_reasons",
+        "scrubbed_text", "scrub_email", "scrub_phone", "scrub_ip", "scrub_lexicon")
+      .as[model.ScoredDoc]
+  }
 }

@@ -58,6 +58,8 @@ object SparkEntry {
       graft.operators.Dedup.minhashPairs(Pipeline.webdoc(s, dir), 0.5)),
     "q13_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(Pipeline.webdoc(s, dir), 3)),
+    "q41_jaccard_capped" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairsCapped(Pipeline.webdoc(s, dir), 0.5, 10)),
 
     // ── Similarity search over embeddings ──
     "q14_ann_brute" -> ((s, dir) =>
@@ -297,6 +299,18 @@ object SparkEntry {
           |   SELECT doc_a, doc_b,
           |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
           |   FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          | WHERE jaccard >= 0.5""".stripMargin),
+    "q41_jaccard_capped" ->
+      (webdocCte + shingleCte +
+        """, ex AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
+          |, rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= 10)
+          |, exr AS (SELECT doc_id, s FROM ex JOIN rare USING (s))
+          |, cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |             FROM exr x JOIN exr y ON x.s = y.s AND x.doc_id < y.doc_id)
+          | SELECT doc_a, doc_b, jaccard FROM (
+          |   SELECT doc_a, doc_b,
+          |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |   FROM cpairs JOIN wsh sa ON cpairs.doc_a = sa.doc_id JOIN wsh sb ON cpairs.doc_b = sb.doc_id)
           | WHERE jaccard >= 0.5""".stripMargin),
     "q13_simhash" ->
       (webdocCte + shingleCte + simhashCte +

@@ -1,0 +1,29 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Typed row models (SURVEY.md §7.2 M1): `Dataset[T]` views of the
+  * pipeline's frames for call sites where compile-time field checks help;
+  * the Column/DataFrame API remains the execution surface (input_hint:
+  * typed Dataset/DataFrame + Catalyst, no RDD). */
+object model {
+
+  /** The input table shape (BASELINE.json input_hint) + derived identity
+    * columns from the synthesis/name-parse layer. */
+  case class WebDoc(
+      doc_id: Long, lang: String, source: String, text: String,
+      host: String, url: String, shard: Long, warc_ts: Timestamp,
+      html: Array[Byte])
+
+  /** One scored output row (flat ScoredDoc per SURVEY §1.1). */
+  case class ScoredDoc(
+      doc_id: Long, url: String, host: String, shard: Long, lang: String,
+      keep: Boolean, drop_reasons: String, scrubbed_text: String,
+      scrub_email: Long, scrub_phone: Long, scrub_ip: Long, scrub_lexicon: Long)
+
+  /** Audit-table row (north_rule lineage/metrics). */
+  case class AuditRow(run_id: String, shard: Long, reason: String, n: Long)
+
+  /** Checkpoint-ledger row. */
+  case class CheckpointRow(run_id: String, shard: Long, docsIn: Long, docsOut: Long)
+}

@@ -111,6 +111,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Frequency-capped Jaccard: candidate pairs are generated ONLY from
+    * shingles with document frequency ≤ maxDf (the standard web-scale
+    * guard — a boilerplate shingle appearing in 10^6 docs would otherwise
+    * emit 10^12 pair rows), then exact Jaccard is verified on the full
+    * shingle sets of the surviving candidates. The df table is tiny
+    * relative to the corpus and joins on the shingle key. */
+  def jaccardPairsCapped(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val ds = withShingles(docs).select(col("doc_id"), col("sh"))
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val exr = ex.join(rare, "s")
+    val cand = exr.as("x").join(exr.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sa = ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

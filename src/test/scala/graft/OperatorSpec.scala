@@ -92,6 +92,18 @@ class OperatorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("typed Dataset views: WebDoc/ScoredDoc encoders round-trip and agree with DF ops") {
+    val typed = Pipeline.typedDocs(spark, sfDir)
+    val hot = typed.filter(_.host == "popular.example.com").count()
+    val viaDf = Pipeline.webdoc(spark, sfDir)
+      .filter(col("host") === "popular.example.com").count()
+    assert(hot == viaDf)
+    val scored = Pipeline.typedScored(spark, sfDir)
+    val kept = scored.filter(_.keep).count()
+    assert(kept > 0 && kept < scored.count())
+    assert(scored.head().url.startsWith("https://"))
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val r = wd.agg(countDistinct(col("host")).as("exact"),
