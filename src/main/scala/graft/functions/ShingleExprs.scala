@@ -88,7 +88,51 @@ case class MinHashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit SimHash over the distinct \s+-tokens of a text column: per-bit
+  * majority vote over the md5-60 hashes of the words. Composable twin:
+  * Dedup.withSimhashComposable (aggregate over sequence(0,59) with a
+  * nested filter — 60 interpreted array passes per doc); this is one pass
+  * over the word hashes. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val words = ShingleExprs.splitWords(s)
+    val seen = new java.util.HashSet[String](words.length * 2)
+    val counts = new Array[Int](60)
+    val md = ShingleExprs.md5.get()
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        n += 1
+        val h = ShingleExprs.md5Hash60(md, words(i).getBytes("UTF-8"))
+        var b = 0
+        while (b < 60) { counts(b) += ((h >> b) & 1L).toInt; b += 1 }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * counts(b) > n) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
+
+  def simhash60(c: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(c)))
 
   private[functions] val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

@@ -154,8 +154,13 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the distinct words of `text` — one projection,
-    * no shuffle (nested higher-order lambdas; majority vote per bit). */
-  def withSimhash(docs: DataFrame): DataFrame = {
+    * no shuffle, native single-pass expression. */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.withColumn("simhash", graft.functions.ShingleExprs.simhash60(col("text")))
+
+  /** Composable twin (60 interpreted array passes per doc; differential-
+    * tested — the DuckDB oracle mirrors this shape). */
+  def withSimhashComposable(docs: DataFrame): DataFrame = {
     val hs = transform(array_distinct(Rules.wordsOf(col("text"))), w => md5Hash60(w))
     docs.withColumn("hs", hs)
       .withColumn("simhash",

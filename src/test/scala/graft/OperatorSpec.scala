@@ -81,6 +81,15 @@ class OperatorSpec extends SparkSpec {
     assert(native == composable)
   }
 
+  test("native SimHash60 equals the composable HOF twin") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val a = graft.operators.Dedup.withSimhash(docs)
+      .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = graft.operators.Dedup.withSimhashComposable(docs)
+      .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("native WordShingles/MinHashSig equal their composable HOF twins") {
     val docs = Pipeline.webdoc(spark, sfDir)
     val a = graft.operators.Dedup.withMinhash(docs)
