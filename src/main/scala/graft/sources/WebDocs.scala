@@ -72,16 +72,16 @@ object WebDocs {
   /** Replicated WebDoc table for throughput benches: `mult` deterministic
     * replicas per base doc (doc_id offset by 100M·k so injections vary). */
   def buildReplicated(spark: SparkSession, dir: String, mult: Int): DataFrame = {
-    // The source is ONE small parquet split. Repartition the base rows
-    // FIRST (a tiny shuffle), so the ×mult explode and the whole text
-    // synthesis run in parallel tasks — exploding before spreading leaves
-    // a serial prefix task that caps scaling no matter the core count.
-    // ×4 tasks per core: small tasks bound the straggler tail that
-    // otherwise caps thread-scaling on the last wave
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 4)
-    val rep = d.withColumn("k", explode(sequence(lit(0), lit(mult - 1))))
-      .select((col("doc_id") + col("k").cast("long") * 100000000L).as("doc_id"),
+    // The source is ONE small parquet split, so drive parallelism from a
+    // splittable range of replica indices instead: range(mult) partitions
+    // across all cores and the small base table broadcasts into each task.
+    // Zero exchanges, no serial synthesis prefix, scales with cores from
+    // the first instruction. ×4 tasks per core bounds the straggler tail.
+    val d = broadcast(spark.read.parquet(s"$dir/documents.parquet"))
+    val ks = spark.range(0, mult.toLong, 1,
+      spark.sparkContext.defaultParallelism * 4).toDF("k")
+    val rep = ks.join(d)
+      .select((col("doc_id") + col("k") * 100000000L).as("doc_id"),
         col("text").as("text0"), col("lang"), col("source"))
     fromBase(rep)
   }
