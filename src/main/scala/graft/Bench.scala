@@ -78,15 +78,29 @@ object Bench {
     val secLo = measure(4)
     val secHi = measure(16)
 
-    // part 2: per-query times at the driver-requested parallelism
+    // part 2: per-query times at the driver-requested parallelism. Each
+    // query is consumed via a checksum over ALL its output columns (xxhash64
+    // per row, summed) so Catalyst can't prune a projection query down to a
+    // row count — the operator itself is what's measured. A failing query
+    // records the sentinel -1, never a plausible-looking wall time.
     val spark1 = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark1, sfDir).count() catch { case _: Throwable => -1L }
+      import org.apache.spark.sql.functions._
+      val (ok, sec) = timed {
+        try {
+          val df = fn(spark1, sfDir)
+          // bit_xor, not sum: ANSI mode overflows summing 64-bit hashes
+          df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
+            .agg(bit_xor(col("h"))).head()
+          true
+        } catch { case _: Throwable => false }
       }
-      name -> sec
+      name -> (if (ok) sec else -1.0)
     }
     spark1.stop()
+    val failed = results.collect { case (n, s) if s < 0 => n }
+    if (failed.nonEmpty)
+      System.err.println(s"BENCH ERROR: failing queries: ${failed.mkString(",")}")
 
     val dpsHi = nDocs / secHi
     val dpsLo = nDocs / secLo

@@ -158,23 +158,71 @@ object SparkEntry {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"))),
 
-    // ── As-of join (events to latest effective rate; union+window form) ──
+    // ── As-of join (events to latest effective rate) — bucketed window:
+    // parallelism O(types × day-buckets), not O(5 types). Same result as
+    // the oracle's global per-type window (AsOf scaladoc). ──
     "q34_asof" -> ((s, dir) => {
       val events = s.read.parquet(s"$dir/events.parquet")
-      val ev = events.select(col("event_id"), col("event_type"), col("ts"),
-        lit(null).cast("double").as("rate"), lit(1).as("tag"))
-      val rt = events.filter(col("event_id") % 97 === 0)
-        .select(col("event_id"), col("event_type"), col("ts"),
-          col("value").as("rate"), lit(0).as("tag"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("ts"), col("tag"), col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      ev.unionByName(rt)
-        .withColumn("eff_rate", last(col("rate"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
-        .select(col("event_id"), col("event_type"), col("ts"), col("eff_rate"))
+      val rates = events.filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value").as("rate"))
+      graft.operators.AsOf.eventsAsOfRates(
+        events.select(col("event_id"), col("event_type"), col("ts")), rates, 86400L)
     }),
+
+    // J2 full form: three-way source/destination reconciliation over two
+    // deterministic listings derived from events (validator.py:181-195)
+    "q42_reconcile" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val src = e.filter(col("event_id") % 5 =!= 0)
+        .select(concat(lit("f"), col("event_id")).as("f_name"), col("ts").as("src_ts"))
+      val dst = e.filter(col("event_id") % 3 =!= 0)
+        .select(concat(lit("f"), col("event_id")).as("f_name"),
+          when(col("event_id") % 7 === 0, col("ts") - expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).as("dst_ts"))
+      graft.operators.Reconcile.threeWay(src, dst)
+    }),
+
+    // J1 full form: prefix-match broadcast lookup + latest-by-ts
+    // (data_source.py:348-407); plan = BroadcastNestedLoopJoin, small side
+    // broadcast only
+    "q43_prefix_latest" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val probe = wd.select(concat(lit("https://"), col("host"), lit("/")).as("stem")).distinct()
+      val lookup = wd.filter(col("doc_id") % 20 === 0)
+        .select(col("url").as("f_name"), col("warc_ts").as("ts"))
+      graft.operators.Reconcile.prefixLatest(probe, lookup)
+    }),
+
+    // A2's conditional collapse: groups of ≤2 keep all rows, bigger groups
+    // keep only the latest (validator.py:144-152)
+    "q44_latest_keep_small" -> ((s, dir) =>
+      graft.operators.Reconcile.latestKeepSmall(
+          s.read.parquet(s"$dir/orders.parquet"),
+          "o_custkey", Seq("o_orderdate", "o_orderkey"), 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))),
+
+    // Multi-format datetime parse (data_source.py:301-302 make_datetime):
+    // three layouts synthesized deterministically, parsed back via a
+    // coalesce of try_to_timestamp probes
+    "q45_datetime" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val str = e.select(col("event_id"),
+        when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 3 === 1, date_format(col("ts"), "dd/MM/yyyy HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyyMMdd'T'HHmmss")).as("dt_str"))
+      str.withColumn("parsed", graft.functions.Datetimes.parseMulti(col("dt_str")))
+        .select(col("event_id"), col("dt_str"), col("parsed"))
+    }),
+
+    // P10 struct rewrite: withField adds a derived field, dropFields removes
+    // the original (the reference's provenance copy-and-patch on nested
+    // records), flattened for the oracle compare
+    "q46_withfield" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), struct(col("event_id").as("id"), col("value").as("v")).as("rec"))
+        .withColumn("rec", col("rec").withField("v2", col("rec.v") * 2))
+        .withColumn("rec", col("rec").dropFields("v"))
+        .select(col("event_type"), col("rec.id").as("id"), col("rec.v2").as("v2"))),
 
     // ── Scalar-function surface: url parse, first-match extract, MJD ──
     "q35_parse" -> ((s, dir) =>
@@ -241,7 +289,8 @@ object SparkEntry {
 
     // ── Broadcast-model scorers (north_star: mapPartitions over broadcast) ──
     "q30_langid" -> ((s, dir) =>
-      graft.functions.LangId(Pipeline.webdoc(s, dir))),
+      graft.functions.LangId(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("lang_pred"), col("lang_score"))),
     "q31_perplexity" -> ((s, dir) => {
       val wd = Pipeline.webdoc(s, dir)
       graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
@@ -274,9 +323,9 @@ object SparkEntry {
         " SELECT doc_id, url, scrub_email, scrub_phone, scrub_ip, scrub_lexicon, scrubbed_text FROM scrub"),
     "q06_audit" ->
       (pipelineCte +
-        " SELECT shard, count(*) AS docs_in, sum(CAST(keep AS BIGINT)) AS docs_out," +
-        " sum(scrub_email) AS n_email, sum(scrub_phone) AS n_phone," +
-        " sum(scrub_ip) AS n_ip, sum(scrub_lexicon) AS n_lexicon FROM scrub GROUP BY shard"),
+        " SELECT shard, count(*) AS docs_in, CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS docs_out," +
+        " CAST(sum(scrub_email) AS BIGINT) AS n_email, CAST(sum(scrub_phone) AS BIGINT) AS n_phone," +
+        " CAST(sum(scrub_ip) AS BIGINT) AS n_ip, CAST(sum(scrub_lexicon) AS BIGINT) AS n_lexicon FROM scrub GROUP BY shard"),
     "q07_reason_hist" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT reason, count(*) AS n FROM (SELECT unnest(string_split(drop_reasons, ',')) AS reason FROM verdict2) WHERE reason <> '' GROUP BY reason"),
@@ -368,7 +417,7 @@ object SparkEntry {
           | FROM wx JOIN cnts USING (w), tot GROUP BY doc_id""".stripMargin),
     "q19_hosts" ->
       (pipelineCte +
-        " SELECT host, count(*) AS n_docs, sum(CAST(keep AS BIGINT)) AS n_keep FROM scrub GROUP BY host"),
+        " SELECT host, count(*) AS n_docs, CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_keep FROM scrub GROUP BY host"),
     "q20_agg" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty," +
         " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n" +
@@ -409,7 +458,7 @@ object SparkEntry {
         " FROM webdoc GROUP BY host"),
     "q29_rollup" ->
       (webdocCte +
-        " SELECT lang, source, count(*) AS n, sum(length(text)) AS chars" +
+        " SELECT lang, source, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars" +
         " FROM webdoc GROUP BY ROLLUP (lang, source)"),
     "q33_distinct" ->
       (webdocCte +
@@ -438,8 +487,8 @@ object SparkEntry {
            |   WHERE ${h60("b.text")} = ${h60("a.text")} AND b.doc_id > a.doc_id)""".stripMargin),
     "q38_json" ->
       ("""SELECT event_type, count(*) AS n,
-         |  sum(coalesce(json_extract_string(props, '$.missing'),
-         |      json_extract_string(props, '$.k'), '0')::BIGINT) AS sum_k,
+         |  CAST(sum(coalesce(json_extract_string(props, '$.missing'),
+         |      json_extract_string(props, '$.k'), '0')::BIGINT) AS BIGINT) AS sum_k,
          |  max(coalesce(json_extract_string(props, '$.missing'),
          |      json_extract_string(props, '$.k'), '0')::BIGINT) AS max_k
          | FROM events GROUP BY event_type""".stripMargin),
@@ -472,7 +521,45 @@ object SparkEntry {
          |  SELECT user_id, session_id, count(*) AS n_events FROM s3 GROUP BY user_id, session_id
          |) SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
          |    max(n_events) AS max_session_events FROM s4 GROUP BY user_id""".stripMargin),
-    // q30_langid has no SQL oracle (model weights) → driver rows-only check.
+    // q30 oracle: profiles embedded as a VALUES literal; bit-identical
+    // fold-order arithmetic (OracleDdl.langidOracle scaladoc).
+    "q30_langid" -> langidOracle,
+    "q42_reconcile" ->
+      ("""WITH src AS (SELECT 'f' || event_id AS f_name, ts AS src_ts FROM events WHERE event_id % 5 <> 0),
+         |     dst AS (SELECT 'f' || event_id AS f_name,
+         |             CASE WHEN event_id % 7 = 0 THEN ts - INTERVAL 1 HOUR ELSE ts END AS dst_ts
+         |             FROM events WHERE event_id % 3 <> 0)
+         | SELECT f_name, 'not_at_dest' AS outcome FROM src WHERE f_name NOT IN (SELECT f_name FROM dst)
+         | UNION ALL
+         | SELECT f_name, 'not_at_src' AS outcome FROM dst WHERE f_name NOT IN (SELECT f_name FROM src)
+         | UNION ALL
+         | SELECT s.f_name, 'newer_at_src' AS outcome FROM src s JOIN dst d USING (f_name)
+         |   WHERE s.src_ts > d.dst_ts""".stripMargin),
+    "q43_prefix_latest" ->
+      (webdocCte +
+        """, probe AS (SELECT DISTINCT 'https://' || host || '/' AS stem FROM webdoc)
+          |, lookup AS (SELECT url AS f_name, warc_ts AS ts FROM webdoc WHERE doc_id % 20 = 0)
+          |, j AS (SELECT stem, f_name, ts FROM probe JOIN lookup ON starts_with(f_name, stem))
+          | SELECT stem, f_name AS latest_f, ts AS latest_ts FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY stem ORDER BY ts DESC, f_name DESC) AS rn FROM j)
+          | WHERE rn = 1""".stripMargin),
+    "q44_latest_keep_small" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (" +
+        " SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn," +
+        " count(*) OVER (PARTITION BY o_custkey) AS cnt FROM orders)" +
+        " WHERE cnt <= 2 OR rn = 1"),
+    "q45_datetime" ->
+      ("""WITH str AS (SELECT event_id,
+         |  CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+         |       WHEN event_id % 3 = 1 THEN strftime(ts, '%d/%m/%Y %H:%M:%S')
+         |       ELSE strftime(ts, '%Y%m%dT%H%M%S') END AS dt_str FROM events)
+         | SELECT event_id, dt_str,
+         |   coalesce(try_strptime(dt_str, '%Y-%m-%d %H:%M:%S'),
+         |            try_strptime(dt_str, '%d/%m/%Y %H:%M:%S'),
+         |            try_strptime(dt_str, '%Y%m%dT%H%M%S')) AS parsed
+         | FROM str""".stripMargin),
+    "q46_withfield" ->
+      "SELECT event_type, event_id AS id, value * 2 AS v2 FROM events",
     "q31_perplexity" ->
       (webdocCte + shingleCte +
         """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)

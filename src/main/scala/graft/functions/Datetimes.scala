@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multi-format datetime parsing — the reference accepts several timestamp
+  * layouts at its ingest edge (vlass2caom2/data_source.py:301-302
+  * make_datetime tries a format list). Spark-first form: a coalesce of
+  * try_to_timestamp probes, one per accepted layout — stays inside
+  * whole-stage codegen (no UDF) and returns null only when every layout
+  * misses. */
+object Datetimes {
+
+  /** The accepted layouts, Spark pattern syntax. Disjoint separators, so
+    * at most one probe can succeed per input. */
+  val Formats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss",
+    "dd/MM/yyyy HH:mm:ss",
+    "yyyyMMdd'T'HHmmss")
+
+  def parseMulti(c: Column): Column =
+    coalesce(Formats.map(f => try_to_timestamp(c, lit(f))): _*)
+}

@@ -15,10 +15,11 @@ import graft.operators.Rules
   * bigrams), so this model-driven stage still gets a hash-compare gate.
   *
   * Scale notes: training is two shuffles (unigram + bigram groupBy) with
-  * map-side partial aggregation; the collected model is capped at
-  * `maxVocab` entries (top-by-count, deterministic tie-break on the token)
-  * — at web scale the cap is what keeps the broadcast small, and backoff
-  * absorbs the tail. Scoring is shuffle-free.
+  * map-side partial aggregation; the collected model is capped on BOTH
+  * sides — `maxVocab` unigrams and `maxBigrams` bigrams (top-by-count,
+  * deterministic tie-break on the tokens) — at web scale the caps are what
+  * keep the broadcast small, and backoff absorbs the tail. Scoring is
+  * shuffle-free.
   */
 object NgramLM extends Serializable {
 
@@ -27,8 +28,15 @@ object NgramLM extends Serializable {
   case class Model(uni: Map[String, Long], big: Map[(String, String), Long], total: Long)
     extends Serializable
 
-  /** Train unigram+bigram counts over the `text` column of docs. */
-  def train(docs: DataFrame, maxVocab: Int = 1 << 22): Model = {
+  /** Train unigram+bigram counts over the `text` column of docs.
+    *
+    * Both collects are capped (top-by-count, deterministic tie-break) so the
+    * driver-side model is bounded regardless of corpus size: `maxVocab`
+    * unigrams and `maxBigrams` bigrams. At web scale the caps bind and
+    * stupid backoff absorbs the dropped tail; at test scale (sf≤0.1) neither
+    * binds, so the SQL oracle's uncapped model is identical.
+    */
+  def train(docs: DataFrame, maxVocab: Int = 1 << 22, maxBigrams: Int = 1 << 24): Model = {
     val words = docs.select(Rules.wordsOf(col("text")).as("ws"))
     val uniDf = words.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -40,7 +48,8 @@ object NgramLM extends Serializable {
     // deterministic cap: top-by-count, then token order
     val uni = uniDf.orderBy(col("cnt").desc, col("w")).limit(maxVocab).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = bigDf.collect().iterator
+    val big = bigDf.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
+      .collect().iterator
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .filter { case ((w1, w2), _) => uni.contains(w1) && uni.contains(w2) }
       .toMap

@@ -56,11 +56,15 @@ case class WordShingles(child: Expression)
 
 /** 16-permutation MinHash signature over an array<string> of shingles.
   * Returns null for an empty shingle array (callers filter those rows,
-  * matching the composable form's size(sh) > 0 guard). */
+  * matching the composable form's size(sh) > 0 guard) — so `nullable` is
+  * overridden: UnaryExpression would otherwise inherit child.nullable
+  * (false for word_shingles output), letting the optimizer fold
+  * IS NOT NULL checks on SQL users' minhash_sig calls to true. */
 case class MinHashSig(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any = {

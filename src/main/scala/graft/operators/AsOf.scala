@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe as-of join: each event gets the latest rate at-or-before its
+  * timestamp within its event_type.
+  *
+  * The naive union+window form partitions one window per event_type —
+  * with a handful of types that is a handful of window tasks no matter how
+  * many executors exist (every row of a type funnels through one task).
+  * Here the window key is (event_type, time_bucket) instead:
+  *
+  *  1. per-(type, bucket) latest rate → a tiny table (types × buckets rows);
+  *  2. a window over THAT tiny table rolls the latest rate forward across
+  *     buckets (exclusive frame) → per-bucket carry-in;
+  *  3. carry-in pseudo-rows (sorting before any real row of their bucket)
+  *     union with events + rates, and a window partitioned by
+  *     (type, bucket) resolves eff_rate locally per bucket.
+  *
+  * Parallelism is O(types × buckets) and each window partition holds one
+  * bucket's rows — at 100 TB pick bucketSeconds so a bucket fits a task.
+  * Only step 2 is per-type serial, and it runs on the tiny rollup.
+  * Result is identical to the global per-type window (same (ts, tag,
+  * event_id) order; ts→micros is injective at parquet's micro precision).
+  */
+object AsOf {
+
+  /** `events` needs (event_id, event_type, ts); `rates` needs (event_id,
+    * event_type, ts, rate). Returns (event_id, event_type, ts, eff_rate)
+    * for every event row; eff_rate is null before the first rate. */
+  def eventsAsOfRates(events: DataFrame, rates: DataFrame, bucketSeconds: Long): DataFrame = {
+    val bucketUs = bucketSeconds * 1000000L
+    val tsType = events.schema("ts").dataType
+    def withKeys(df: DataFrame) = df
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+
+    val ev = withKeys(events.select(col("event_id"), col("event_type"), col("ts")))
+      .withColumn("rate", lit(null).cast("double")).withColumn("tag", lit(1))
+    val rt = withKeys(rates.select(col("event_id"), col("event_type"), col("ts"),
+      col("rate").cast("double").as("rate")))
+      .withColumn("tag", lit(0))
+
+    // 1. latest rate per (type, bucket) — tiny
+    val bucketLast = rt.groupBy(col("event_type"), col("bucket"))
+      .agg(max_by(col("rate"), struct(col("ts_us"), col("event_id"))).as("bucket_last"))
+    // 2. roll forward across the bucket spine (exclusive frame = strictly
+    //    earlier buckets); spine covers every bucket any row touches
+    val spine = ev.select(col("event_type"), col("bucket"))
+      .unionByName(rt.select(col("event_type"), col("bucket"))).distinct()
+    val wCarry = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine.join(bucketLast, Seq("event_type", "bucket"), "left")
+      .withColumn("carry_rate", last(col("bucket_last"), ignoreNulls = true).over(wCarry))
+      .select(col("event_type"), col("bucket"), col("carry_rate"))
+    // 3. carry pseudo-rows sort first in their bucket: ts_us = bucket start
+    //    (≤ every real row's ts_us) and tag = -1 breaks the tie
+    val carryRows = carry.select(
+      lit(Long.MinValue).as("event_id"), col("event_type"),
+      lit(null).cast(tsType).as("ts"), (col("bucket") * bucketUs).as("ts_us"),
+      col("bucket"), col("carry_rate").as("rate"), lit(-1).as("tag"))
+
+    val w = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(rt).unionByName(carryRows)
+      .withColumn("eff_rate", last(col("rate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("event_type"), col("ts"), col("eff_rate"))
+  }
+}

@@ -114,11 +114,16 @@ object Dedup {
   /** Frequency-capped Jaccard: candidate pairs are generated ONLY from
     * shingles with document frequency ≤ maxDf (the standard web-scale
     * guard — a boilerplate shingle appearing in 10^6 docs would otherwise
-    * emit 10^12 pair rows), then exact Jaccard is verified on the full
-    * shingle sets of the surviving candidates. The df table is tiny
-    * relative to the corpus and joins on the shingle key. */
+    * emit 10^12 pair rows). Verification never re-joins the shingle ARRAYS:
+    * the intersection is counted in the exploded (doc_id, shingle) stream —
+    * each candidate pair fans out to doc_a's shingles, which probe doc_b's
+    * exploded shingles via an equi-join on (doc_b, s) — so every shuffle
+    * carries only (doc_a, doc_b, s) strings. Union size comes from a tiny
+    * per-doc size table. Candidates always share ≥1 rare shingle, so the
+    * inner probe join drops no pair. */
   def jaccardPairsCapped(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val ds = withShingles(docs).select(col("doc_id"), col("sh"))
+    val sizes = ds.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = ds.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
@@ -127,12 +132,15 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sa = ds.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = ds.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val inter = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

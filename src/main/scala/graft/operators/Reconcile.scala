@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Source/destination reconciliation + prefix-lookup join — the two
+  * remaining join shapes of the reference's validator/data-source layer:
+  *
+  *  - three-way diff (vlass2caom2/validator.py:181-195, semantics matrix in
+  *    tests/test_validator.py:85-158): entries missing at the destination,
+  *    entries missing at the source, and entries newer at the source;
+  *  - prefix-match lookup + latest-by-timestamp (data_source.py:348-407):
+  *    a file stem probes a cached listing by `startswith`, and the
+  *    newest matching entry wins.
+  */
+object Reconcile {
+
+  /** Three-way reconciliation. `src` must carry (f_name, src_ts), `dst`
+    * (f_name, dst_ts); emits one (f_name, outcome) row per discrepancy with
+    * outcome ∈ {not_at_dest, not_at_src, newer_at_src}.
+    *
+    * Scale: two anti-joins + one inner join, all shuffling on `f_name`
+    * only (timestamps ride along; no payload columns) — at 100 TB each is
+    * a standard shuffle join on the listing key, and AQE handles the
+    * usually-tiny diff outputs. */
+  def threeWay(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("f_name"), col("src_ts"))
+    val d = dst.select(col("f_name"), col("dst_ts"))
+    val notAtDest = s.join(d, Seq("f_name"), "left_anti")
+      .select(col("f_name"), lit("not_at_dest").as("outcome"))
+    val notAtSrc = d.join(s, Seq("f_name"), "left_anti")
+      .select(col("f_name"), lit("not_at_src").as("outcome"))
+    val newerAtSrc = s.join(d, Seq("f_name"))
+      .filter(col("src_ts") > col("dst_ts"))
+      .select(col("f_name"), lit("newer_at_src").as("outcome"))
+    notAtDest.unionByName(notAtSrc).unionByName(newerAtSrc)
+  }
+
+  /** Prefix-match lookup with latest-by-ts resolution: for each `probe`
+    * stem, the winning `lookup` row is the one whose `f_name` starts with
+    * the stem and sorts last by (ts, f_name). Probe stems with no match
+    * are dropped (inner semantics, like the reference's cache miss).
+    *
+    * Scale: `startswith` is not an equi-key, so this is intentionally a
+    * BroadcastNestedLoopJoin — the lookup side is the reference's small
+    * in-process listing cache and MUST stay broadcast-sized; the big probe
+    * side streams through without a shuffle. The rank-1 window then
+    * shuffles only (stem, f_name, ts) triples. */
+  def prefixLatest(probe: DataFrame, lookup: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("stem")).orderBy(col("ts").desc, col("f_name").desc)
+    probe.join(broadcast(lookup), col("f_name").startsWith(col("stem")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("stem"), col("f_name").as("latest_f"), col("ts").as("latest_ts"))
+  }
+
+  /** A2's conditional collapse (validator.py:144-152): per group keep ALL
+    * rows when the group has ≤ `keepAllUpTo` entries, else only the rank-1
+    * row by the (desc) ordering columns. One shuffle on the group key;
+    * both windows share it. */
+  def latestKeepSmall(df: DataFrame, groupCol: String, orderCols: Seq[String],
+                      keepAllUpTo: Int): DataFrame = {
+    val grp = Window.partitionBy(col(groupCol))
+    val ord = grp.orderBy(orderCols.map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(ord))
+      .withColumn("__cnt", count(lit(1)).over(grp))
+      .filter(col("__cnt") <= keepAllUpTo || col("__rn") === 1)
+      .drop("__rn", "__cnt")
+  }
+}

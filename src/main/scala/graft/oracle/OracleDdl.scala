@@ -203,4 +203,56 @@ object OracleDdl {
        |), n AS (
        |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
        |)""".stripMargin
+
+  /** LangId profile vectors as a SQL VALUES literal — the deterministic
+    * model (graft.functions.LangId.model) serialized at full double
+    * precision (Double.toString round-trips through DuckDB's decimal
+    * parser), nonzero dims only. ~2k rows; keeps the oracle self-contained
+    * with no fixture-file path dependency. */
+  def langProfileValues: String = {
+    import graft.functions.LangId
+    LangId.Langs.flatMap { lang =>
+      LangId.model(lang).iterator.zipWithIndex.collect {
+        case (w, dim) if w != 0.0 => s"('$lang',$dim,${java.lang.Double.toString(w)})"
+      }
+    }.mkString("(VALUES ", ",", ")")
+  }
+
+  /** q30 langid oracle: reproduces LangId.predictInto exactly in SQL.
+    * The doc text is pure ASCII (checked against the driver's documents
+    * table + all injections), so `ascii()` code points equal Java's UTF-16
+    * code units and the 3-gram polynomial hash matches bit-for-bit; dot
+    * and norm use idx-ascending left folds (list_reduce over ORDER BY idx)
+    * — the same IEEE order as the Java loop, whose zero terms are exact
+    * no-ops — so scores are bit-identical, not just close. Ties break to
+    * the alphabetically-first language in both engines. */
+  def langidOracle: String =
+    webdocCte +
+      s""", lt AS (SELECT doc_id, url, ' ' || lower(text) || ' ' AS t FROM webdoc)
+         |, grams AS (
+         |  SELECT doc_id, url,
+         |    ((7*31 + ascii(substr(g, 1, 1)))*31 + ascii(substr(g, 2, 1)))*31 + ascii(substr(g, 3, 1)) AS h
+         |  FROM (SELECT doc_id, url,
+         |          unnest(list_transform(range(1, greatest(length(t) - 1, 1)), i -> substr(t, i, 3))) AS g
+         |        FROM lt))
+         |, counts AS (SELECT doc_id, url, h % 4096 AS idx, CAST(count(*) AS DOUBLE) AS cnt
+         |             FROM grams GROUP BY 1, 2, 3)
+         |, nrms AS (SELECT doc_id, url,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(cnt * cnt ORDER BY idx)), (a, b) -> a + b)) AS nrm
+         |  FROM counts GROUP BY doc_id, url)
+         |, prof AS (SELECT * FROM $langProfileValues t(lang, dim, w))
+         |, dots AS (SELECT c.doc_id, p.lang,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(c.cnt * p.w ORDER BY p.dim)), (a, b) -> a + b) AS dot
+         |  FROM counts c JOIN prof p ON c.idx = p.dim GROUP BY c.doc_id, p.lang)
+         |, langs AS (SELECT unnest(['de','en','es','fr','zh']) AS lang)
+         |, ranked AS (
+         |  SELECT doc_id, url, lang, s,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+         |  FROM (SELECT n.doc_id, n.url, l.lang,
+         |          CASE WHEN n.nrm = 0 THEN 0.0 ELSE coalesce(d.dot, 0.0) / n.nrm END AS s
+         |        FROM nrms n CROSS JOIN langs l
+         |        LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.lang = l.lang))
+         | SELECT w.doc_id, w.url, coalesce(r.lang, 'de') AS lang_pred,
+         |   coalesce(floor(r.s * 1e6 + 0.5) / 1e6, 0.0) AS lang_score
+         | FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1""".stripMargin
 }

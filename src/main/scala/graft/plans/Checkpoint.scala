@@ -30,8 +30,53 @@ object Checkpoint {
 
   case class ShardLedger(runId: String, shard: Long, docsIn: Long, docsOut: Long)
 
+  /** Outcome of a retry-aware run: shards committed this invocation,
+    * shards that failed this invocation (eligible for retry on resume),
+    * and shards whose retry budget is exhausted (the reference's
+    * "retries remain failed → exit −1", test_composable.py:364-390). */
+  case class RunResult(processed: Seq[Long], failedThisRun: Seq[Long], exhausted: Seq[Long]) {
+    def exitCode: Int = if (exhausted.nonEmpty) -1 else 0
+  }
+
   private def ledgerPath(ledgerDir: String, shard: Long) =
     Paths.get(ledgerDir, s"shard_$shard.json")
+
+  private def failPath(ledgerDir: String, shard: Long) =
+    Paths.get(ledgerDir, s"fail_$shard.json")
+
+  /** Per-shard failure attempt counts from previous (possibly killed) runs. */
+  def failedAttempts(ledgerDir: String): Map[Long, Int] = {
+    val d = Paths.get(ledgerDir)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val it = Files.list(d).iterator()
+      var out = Map.empty[Long, Int]
+      while (it.hasNext) {
+        val p = it.next()
+        val f = p.getFileName.toString
+        if (f.startsWith("fail_") && f.endsWith(".json")) {
+          val shard = f.stripPrefix("fail_").stripSuffix(".json").toLong
+          val attempts = "\"attempts\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
+            .map(_.group(1).toInt).getOrElse(1)
+          out += shard -> attempts
+        }
+      }
+      out
+    }
+  }
+
+  /** Atomic failure record: write temp, rename into place (same commit
+    * discipline as the success ledger). */
+  private def recordFailure(ledgerDir: String, shard: Long, attempts: Int, reason: String): Unit = {
+    Files.createDirectories(Paths.get(ledgerDir))
+    val safe = reason.replaceAll("[\"\\\\\\n\\r]", " ").take(200)
+    val tmp = Paths.get(ledgerDir, s".fail_$shard.tmp")
+    Files.writeString(tmp, s"""{"shard":$shard,"attempts":$attempts,"reason":"$safe"}""")
+    Files.move(tmp, failPath(ledgerDir, shard), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def clearFailure(ledgerDir: String, shard: Long): Unit =
+    Files.deleteIfExists(failPath(ledgerDir, shard))
 
   /** Shards already committed in a previous (possibly killed) run. */
   def completedShards(ledgerDir: String): Set[Long] = {
@@ -75,30 +120,79 @@ object Checkpoint {
     var processed = Vector.empty[Long]
     todo.grouped(shardsPerCommit).zipWithIndex.foreach { case (group, gi) =>
       if (gi >= failAfterGroups) throw new RuntimeException(s"[test] simulated kill before group $gi")
-      val part = score(docs.filter(col("shard").isin(group: _*)))
-      part.withColumn("run_id", lit(runId))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("shard")
-        .parquet(outDir)
-      // audit from the written output (cheap scan of just-landed partitions)
-      val written = spark.read.parquet(outDir)
-        .filter(col("shard").isin(group: _*))
-      val stats = written.groupBy(col("shard").cast("long").as("shard"))
-        .agg(count(lit(1)).as("docs_in"), sum(col("keep").cast("long")).as("docs_out"),
-          sum(col("scrub_email")).as("n_email"), sum(col("scrub_phone")).as("n_phone"),
-          sum(col("scrub_ip")).as("n_ip"), sum(col("scrub_lexicon")).as("n_lexicon"))
-        .collect()
-      val hist = written
-        .select(col("shard"), explode(split(col("drop_reasons"), ",")).as("reason"))
-        .filter(col("reason") =!= "")
-        .groupBy(col("shard"), col("reason")).agg(count(lit(1)).as("n"))
-      hist.withColumn("run_id", lit(runId))
-        .write.mode(SaveMode.Append).parquet(s"$ledgerDir/audit")
-      stats.foreach { r =>
-        commitLedger(ledgerDir, ShardLedger(runId, r.getLong(0), r.getLong(1), r.getLong(2)))
-      }
+      processGroup(docs, score, outDir, ledgerDir, runId, group)
       processed ++= group
     }
     processed
+  }
+
+  /** Score + write + audit + ledger-commit for one shard group. */
+  private def processGroup(docs: DataFrame, score: DataFrame => DataFrame,
+                           outDir: String, ledgerDir: String, runId: String,
+                           group: Seq[Long]): Unit = {
+    val spark = docs.sparkSession
+    val part = score(docs.filter(col("shard").isin(group: _*)))
+    part.withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+    // audit from the written output (cheap scan of just-landed partitions)
+    val written = spark.read.parquet(outDir)
+      .filter(col("shard").isin(group: _*))
+    val stats = written.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("docs_in"), sum(col("keep").cast("long")).as("docs_out"),
+        sum(col("scrub_email")).as("n_email"), sum(col("scrub_phone")).as("n_phone"),
+        sum(col("scrub_ip")).as("n_ip"), sum(col("scrub_lexicon")).as("n_lexicon"))
+      .collect()
+    val hist = written
+      .select(col("shard"), explode(split(col("drop_reasons"), ",")).as("reason"))
+      .filter(col("reason") =!= "")
+      .groupBy(col("shard"), col("reason")).agg(count(lit(1)).as("n"))
+    hist.withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).parquet(s"$ledgerDir/audit")
+    stats.foreach { r =>
+      commitLedger(ledgerDir, ShardLedger(runId, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+  }
+
+  /** Retry-aware run (the reference's retry_failures/retry_count contract,
+    * config/config.yml:24-29): a shard group that throws records a
+    * fail_<shard>.json attempt count and the run CONTINUES with the next
+    * group; a resume re-attempts failed shards while attempts ≤ retryCount
+    * and reports the rest as exhausted (RunResult.exitCode = −1). A shard
+    * that finally succeeds has its failure record cleared. Completed
+    * shards are never reprocessed, exactly as in `run`.
+    *
+    * `groupFault` is a test hook invoked before each group (may throw to
+    * simulate a processing failure). */
+  def runWithRetry(docs: DataFrame, score: DataFrame => DataFrame, outDir: String,
+                   ledgerDir: String, runId: String, shardsPerCommit: Int = 8,
+                   retryCount: Int = 1,
+                   groupFault: Seq[Long] => Unit = _ => ()): RunResult = {
+    val spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = completedShards(ledgerDir)
+    val attempts = failedAttempts(ledgerDir)
+    val allShards = docs.select(col("shard").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val (exhausted, todo) = allShards.filterNot(done)
+      .partition(s => attempts.getOrElse(s, 0) > retryCount)
+    var processed = Vector.empty[Long]
+    var failedNow = Vector.empty[Long]
+    todo.grouped(shardsPerCommit).foreach { group =>
+      try {
+        groupFault(group)
+        processGroup(docs, score, outDir, ledgerDir, runId, group)
+        group.foreach(clearFailure(ledgerDir, _))
+        processed ++= group
+      } catch {
+        case e: Exception =>
+          group.foreach { s =>
+            recordFailure(ledgerDir, s, attempts.getOrElse(s, 0) + 1, String.valueOf(e.getMessage))
+          }
+          failedNow ++= group
+      }
+    }
+    RunResult(processed, failedNow, exhausted)
   }
 }

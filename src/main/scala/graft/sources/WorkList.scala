@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Todo-file work-list source — the reference's todo/work-list inputs
+  * (vlass2caom2 data_source todo files; catalog CSVs with a '#' comment
+  * prolog, tests/data &lt;name&gt;.catalog.csv:1-11): newline-delimited entries,
+  * blank lines and '#'-prefixed comment/prolog lines skipped.
+  *
+  * The list itself is read distributed (spark.read.textFile splits large
+  * lists across tasks); `shardIds` collects — work lists are driver-scale
+  * by construction (they enumerate shards/files, not rows). */
+object WorkList {
+
+  def load(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** Numeric shard work-list for Checkpoint-style runs, sorted. */
+  def shardIds(spark: SparkSession, path: String): Seq[Long] =
+    load(spark, path).collect().map(_.toLong).sorted.toSeq
+}

@@ -1,0 +1,21 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: reproduce the Bench checksum path for one query. */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args.headOption.getOrElse("q20_agg")
+    val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val r = df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
+      .agg(bit_xor(col("h"))).head()
+    println(s"CHECKSUM OK $name -> $r")
+    spark.stop()
+  }
+}

@@ -51,6 +51,65 @@ class InfraSpec extends SparkSpec {
     assert(audit.columns.toSet == Set("shard", "reason", "n", "run_id"))
   }
 
+  test("failed shards are retried up to retryCount, then reported exhausted") {
+    val out = tmpDir("retry-out")
+    val ledger = tmpDir("retry-ledger")
+    val docs = Pipeline.webdoc(spark, sfDir)
+    // shard 3 always fails; shard 5 fails only on its first attempt
+    var shard5Failed = false
+    val fault: Seq[Long] => Unit = { group =>
+      if (group.contains(3L)) throw new RuntimeException("boom shard 3")
+      if (group.contains(5L) && !shard5Failed) {
+        shard5Failed = true; throw new RuntimeException("boom shard 5")
+      }
+    }
+    def attempt() = Checkpoint.runWithRetry(docs, Pipeline.score, out, ledger, "r",
+      shardsPerCommit = 1, retryCount = 1, groupFault = fault)
+
+    // run 1: 30 shards land, 3 + 5 recorded failed, nothing exhausted yet
+    val r1 = attempt()
+    assert(r1.failedThisRun.toSet == Set(3L, 5L))
+    assert(r1.exhausted.isEmpty)
+    assert(r1.processed.size == 30)
+    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 1, 5L -> 1))
+    val mtimes = r1.processed.map(s =>
+      s -> Files.getLastModifiedTime(Paths.get(ledger, s"shard_$s.json"))).toMap
+
+    // run 2 (resume): 5 succeeds on retry and its record clears; 3 fails again
+    val r2 = attempt()
+    assert(r2.processed == Seq(5L))
+    assert(r2.failedThisRun == Seq(3L))
+    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 2))
+
+    // run 3: 3 has exhausted its retry budget → reported, nonzero exit
+    val r3 = attempt()
+    assert(r3.processed.isEmpty && r3.failedThisRun.isEmpty)
+    assert(r3.exhausted == Seq(3L))
+    assert(r3.exitCode == -1)
+
+    // completed shards were never reprocessed; shard 3 never landed
+    assert(Checkpoint.completedShards(ledger).size == 31)
+    r1.processed.foreach { s =>
+      assert(Files.getLastModifiedTime(Paths.get(ledger, s"shard_$s.json")) == mtimes(s))
+    }
+    val written = spark.read.parquet(out)
+    assert(written.select(col("shard").cast("long")).distinct().count() == 31)
+    assert(written.filter(col("shard") === 3).count() == 0)
+  }
+
+  test("work-list source skips '#' prolog; CSV scan honors comment prolog") {
+    val dir = tmpDir("todo")
+    val todo = Paths.get(dir, "todo.txt")
+    Files.writeString(todo, "# shard work list\n# generated 2024-01-01\n3\n1\n\n2\n")
+    assert(graft.sources.WorkList.shardIds(spark, todo.toString) == Seq(1L, 2L, 3L))
+    // catalog CSV with '#' comment prolog (reference catalog.csv fixtures)
+    val csv = Paths.get(dir, "cat.csv")
+    Files.writeString(csv, "# source catalog\n# epoch 1.1\nname,mjd\nf1,60000.5\nf2,60001.5\n")
+    val df = spark.read.option("comment", "#").option("header", "true").csv(csv.toString)
+    assert(df.columns.toSeq == Seq("name", "mjd"))
+    assert(df.count() == 2)
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val docs = Pipeline.scored(spark, sfDir)
     val direct = docs.groupBy(col("host").as("k"))

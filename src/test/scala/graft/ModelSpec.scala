@@ -50,6 +50,16 @@ class ModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ngram LM: train caps BOTH unigram and bigram model size, deterministically") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val m = NgramLM.train(docs, maxVocab = 10, maxBigrams = 7)
+    assert(m.uni.size == 10)
+    assert(m.big.size <= 7) // ≤: bigrams outside the capped vocab are dropped
+    assert(m.big.nonEmpty)
+    val m2 = NgramLM.train(docs, maxVocab = 10, maxBigrams = 7)
+    assert(m2.uni == m.uni && m2.big == m.big && m2.total == m.total)
+  }
+
   test("minhash jaccard estimates track exact jaccard on clone pairs") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val pairs = graft.operators.Dedup.minhashPairs(wd, 0.5).collect()

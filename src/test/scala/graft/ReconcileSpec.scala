@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{AsOf, Reconcile}
+
+/** Three-way reconciliation semantics matrix (≙ vlass2caom2/tests/
+  * test_validator.py:85-158), prefix-latest join plan + semantics, the A2
+  * ≤2-entries conditional collapse, and the bucketed as-of join's
+  * differential test against the global-window form. */
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("threeWay emits the full outcome matrix") {
+    // f1: both, same ts (in sync)     f2: src only
+    // f3: dst only                    f4: both, newer at source
+    // f5: both, newer at destination (NOT a discrepancy)
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val src = Seq(
+      ("f1", t("2024-01-01 00:00:00")),
+      ("f2", t("2024-01-02 00:00:00")),
+      ("f4", t("2024-01-04 12:00:00")),
+      ("f5", t("2024-01-05 00:00:00"))).toDF("f_name", "src_ts")
+    val dst = Seq(
+      ("f1", t("2024-01-01 00:00:00")),
+      ("f3", t("2024-01-03 00:00:00")),
+      ("f4", t("2024-01-04 00:00:00")),
+      ("f5", t("2024-01-05 12:00:00"))).toDF("f_name", "dst_ts")
+    val got = Reconcile.threeWay(src, dst)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("f2", "not_at_dest"),
+      ("f3", "not_at_src"),
+      ("f4", "newer_at_src")))
+  }
+
+  test("prefixLatest picks the newest matching entry per stem, via BNLJ") {
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val probe = Seq("a/", "b/", "zz/").toDF("stem")
+    val lookup = Seq(
+      ("a/one", t("2024-01-01 00:00:00")),
+      ("a/two", t("2024-01-03 00:00:00")),
+      ("a/three", t("2024-01-02 00:00:00")),
+      ("b/only", t("2024-01-01 00:00:00"))).toDF("f_name", "ts")
+    val res = Reconcile.prefixLatest(probe, lookup)
+    val got = res.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a/" -> "a/two", "b/" -> "b/only")) // zz/ unmatched → dropped
+    // the non-equi join must broadcast the small side, never shuffle-join
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("latestKeepSmall keeps all rows in groups of ≤2, rank-1 otherwise") {
+    val df = Seq(
+      (1L, 10L, "2024-01-01"), // custkey 1: one order → kept
+      (2L, 20L, "2024-01-01"), // custkey 2: two orders → both kept
+      (2L, 21L, "2024-01-02"),
+      (3L, 30L, "2024-01-01"), // custkey 3: three orders → only latest
+      (3L, 31L, "2024-01-03"),
+      (3L, 32L, "2024-01-02")).toDF("k", "id", "d")
+    val got = Reconcile.latestKeepSmall(df, "k", Seq("d", "id"), 2)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(10L, 20L, 21L, 31L))
+  }
+
+  test("bucketed as-of join equals the global per-type window") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val rates = events.filter(col("event_id") % 97 === 0)
+      .select(col("event_id"), col("event_type"), col("ts"), col("value").as("rate"))
+    val bucketed = AsOf.eventsAsOfRates(
+        events.select(col("event_id"), col("event_type"), col("ts")), rates, 3600L)
+      .collect().map(_.toString).sorted.toSeq
+
+    val ev = events.select(col("event_id"), col("event_type"), col("ts"),
+      lit(null).cast("double").as("rate"), lit(1).as("tag"))
+    val rt = rates.withColumn("tag", lit(0))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val global = ev.unionByName(rt)
+      .withColumn("eff_rate", last(col("rate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("event_type"), col("ts"), col("eff_rate"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(bucketed == global)
+    assert(bucketed.nonEmpty)
+  }
+}
