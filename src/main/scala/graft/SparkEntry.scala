@@ -296,6 +296,47 @@ object SparkEntry {
       graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
     }),
 
+    // S3 full semantics: version-shadow via NAME PARSE (stem + version
+    // extracted from the file name, reference data_source.py:234-273) —
+    // keep only entries with no higher version of the same stem
+    "q47_shadow_stem" -> ((s, dir) => {
+      val listing = Pipeline.webdoc(s, dir).select(
+        concat(col("source"), lit("/"), expr("doc_id div 8").cast("string"),
+          lit(".v"), (col("doc_id") % 8).cast("string"), lit(".dat")).as("f_name"))
+      val parsed = listing.select(col("f_name"),
+        regexp_extract(col("f_name"), "^(.*)\\.v[0-9]+\\.dat$", 1).as("stem"),
+        regexp_extract(col("f_name"), "\\.v([0-9]+)\\.dat$", 1).cast("long").as("ver"))
+      val newer = parsed.select(col("stem").as("s2"), col("ver").as("v2"))
+      parsed.join(newer, col("stem") === col("s2") && col("v2") > col("ver"), "left_anti")
+        .select(col("f_name"), col("stem"), col("ver"))
+    }),
+
+    // Near-dup CLUSTERS: LSH pairs → connected components → canonical
+    // (min doc_id) cluster label per duplicate-group member
+    "q48_dup_clusters" -> ((s, dir) =>
+      graft.operators.Dedup.dupClusters(Pipeline.webdoc(s, dir), 0.5)),
+
+    // Deterministic hash-gated stratified sample (reproducible, no RNG):
+    // keep 50% of English docs, 20% of the rest
+    "q49_sample" -> ((s, dir) =>
+      graft.operators.TrainPrep.hashSample(
+          Pipeline.webdoc(s, dir), col("doc_id"), "salt1",
+          when(col("lang") === "en", 0.5).otherwise(0.2))
+        .select(col("doc_id"), col("url"), col("lang"))),
+
+    // Fixed-width overlapping chunking (window 100 chars, stride 80)
+    "q50_chunks" -> ((s, dir) =>
+      graft.operators.TrainPrep.chunk(Pipeline.webdoc(s, dir), 100, 80)),
+
+    // Benchmark decontamination: training docs sharing ≥3 shingles with
+    // the (broadcast) eval slice doc_id % 101 == 0
+    "q51_contamination" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.operators.TrainPrep.contaminated(
+        wd.filter(col("doc_id") % 101 =!= 0),
+        wd.filter(col("doc_id") % 101 === 0), 3)
+    }),
+
     "q26_topk" -> ((s, dir) => {
       // A6 analogue: global top-k with deterministic tie-break
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -524,6 +565,45 @@ object SparkEntry {
     // q30 oracle: profiles embedded as a VALUES literal; bit-identical
     // fold-order arithmetic (OracleDdl.langidOracle scaladoc).
     "q30_langid" -> langidOracle,
+    "q47_shadow_stem" ->
+      (webdocCte +
+        """, listing AS (SELECT source || '/' || (doc_id // 8) || '.v' || (doc_id % 8) || '.dat' AS f_name FROM webdoc)
+          |, parsed AS (SELECT f_name, regexp_extract(f_name, '^(.*)\.v[0-9]+\.dat$', 1) AS stem,
+          |    CAST(regexp_extract(f_name, '\.v([0-9]+)\.dat$', 1) AS BIGINT) AS ver FROM listing)
+          | SELECT f_name, stem, ver FROM parsed a
+          | WHERE NOT EXISTS (SELECT 1 FROM parsed b WHERE b.stem = a.stem AND b.ver > a.ver)""".stripMargin),
+    "q48_dup_clusters" ->
+      ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
+        """, pairs AS (
+          |   SELECT doc_a, doc_b FROM (
+          |     SELECT doc_a, doc_b,
+          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          |   WHERE jaccard >= 0.5)
+          |, sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+          |, reach(id, r) AS (
+          |   SELECT DISTINCT src, src FROM sym
+          |   UNION
+          |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+          | SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+    "q49_sample" ->
+      (webdocCte +
+        s""" SELECT doc_id, url, lang FROM webdoc
+           | WHERE ${h60("doc_id || ':salt1'")} % 1000000
+           |   < CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END * 1000000.0 AS BIGINT)""".stripMargin),
+    "q50_chunks" ->
+      (webdocCte +
+        """, ch AS (SELECT doc_id, text,
+          |    unnest(range(0, greatest((length(text) - 1) // 80, 0) + 1)) AS chunk_idx FROM webdoc)
+          | SELECT doc_id, chunk_idx, substr(text, (chunk_idx * 80 + 1)::INT, 100) AS chunk,
+          |   CAST(length(substr(text, (chunk_idx * 80 + 1)::INT, 100)) AS INT) AS chunk_len
+          | FROM ch""".stripMargin),
+    "q51_contamination" ->
+      (webdocCte + shingleCte +
+        """, ex AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
+          |, ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % 101 = 0)
+          | SELECT doc_id, count(*) AS n_hits FROM ex JOIN ev USING (s)
+          | WHERE doc_id % 101 <> 0 GROUP BY doc_id HAVING count(*) >= 3""".stripMargin),
     "q42_reconcile" ->
       ("""WITH src AS (SELECT 'f' || event_id AS f_name, ts AS src_ts FROM events WHERE event_id % 5 <> 0),
          |     dst AS (SELECT 'f' || event_id AS f_name,

@@ -194,9 +194,52 @@ object Dedup {
     val b = banded.select(col("band_id"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("band_id", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // hamming BEFORE the pair-dedup: the filter is per-row cheap and
+      // shrinks the dropDuplicates shuffle to surviving pairs only
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Connected components over an undirected edge list (doc_a, doc_b) by
+    * iterative min-label propagation: every node's label converges to the
+    * smallest doc_id in its component — the canonical-doc selection step
+    * after near-dup pair mining (pairs alone don't say which docs form one
+    * duplicate group).
+    *
+    * Scale: each round is one shuffle join (edges ⋈ labels on the node
+    * key) + a min-aggregate; rounds needed = graph diameter, and near-dup
+    * graphs are shallow (clone clusters, not paths), so a handful of
+    * rounds. The driver loop only counts changes (an aggregate, never a
+    * collect). Labels are cached per round and unpersisted. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    labels.cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neigh = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neigh, col("id") === col("dst"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      next.cache()
+      val changed = next.filter(col("label") < col("old_label")).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+      converged = changed == 0
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters: MinHash-LSH pairs → connected components →
+    * (doc_id, cluster_id = min doc_id of the duplicate group). Docs with
+    * no near-dup partner are not emitted (singleton = its own cluster). */
+  def dupClusters(docs: DataFrame, threshold: Double): DataFrame =
+    connectedComponents(minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Hash60
+
+/** Training-data preparation operators a webtext pipeline needs beyond
+  * filter/scrub/dedup: reproducible sampling, chunking, and benchmark
+  * decontamination. All are pure column programs (codegen'd, shuffle-free
+  * except where stated) with DuckDB-oracle twins.
+  */
+object TrainPrep {
+
+  /** Deterministic hash-gated Bernoulli sample: keep a row iff
+    * h60(key || ':' || salt) mod 1e6 < rate·1e6. No RNG, no seed state —
+    * the same (key, salt) always lands on the same side, so reruns,
+    * resumes, and cross-engine oracles agree exactly. `rate` may be a
+    * per-row column (stratified rates). Shuffle-free. */
+  def hashSample(df: DataFrame, key: Column, salt: String, rate: Column): DataFrame =
+    df.filter(
+      pmod(md5Hash60(concat(key.cast("string"), lit(":" + salt))), lit(1000000L))
+        < (rate * 1000000.0).cast("long"))
+
+  /** Fixed-width character chunking with overlap: windows of `window`
+    * chars every `stride` chars (stride < window ⇒ overlap), covering the
+    * whole text. Emits (doc_id, chunk_idx, chunk, chunk_len). One narrow
+    * projection + explode — shuffle-free, scales with input splits. */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
+    val nMinus1 = greatest(expr(s"(length(text) - 1) div $stride"), lit(0L))
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nMinus1), i =>
+          struct(i.as("chunk_idx"),
+            col("text").substr((i * stride + 1).cast("int"), lit(window)).as("chunk")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"), length(col("c.chunk")).as("chunk_len"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing ≥ `minHits`
+    * 3-word shingles with an eval set. `evalDocs` must be the (small)
+    * benchmark — its distinct shingles broadcast; the training side then
+    * needs NO shuffle for the probe (broadcast hash join on the shingle),
+    * only the per-doc hit count aggregates. Emits (doc_id, n_hits) for
+    * contaminated docs. */
+  def contaminated(trainDocs: DataFrame, evalDocs: DataFrame, minHits: Int): DataFrame = {
+    def exploded(d: DataFrame) = Dedup.withShingles(d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalSh = exploded(evalDocs).select(col("s")).distinct()
+    exploded(trainDocs)
+      .join(broadcast(evalSh), "s")
+      // shingles are per-doc distinct already (withShingles), so count(*)
+      // counts distinct shared shingles
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+}

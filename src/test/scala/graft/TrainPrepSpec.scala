@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TrainPrep}
+
+/** Training-data prep operators: connected-component clustering,
+  * deterministic sampling, chunking, decontamination. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels every member with its component minimum") {
+    // components: {1,2,3,4} (path), {10,11}, singleton 99 not in edges
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters groups the synthetic exact clones with their originals") {
+    val clusters = Dedup.dupClusters(Pipeline.webdoc(spark, sfDir), 0.5)
+    val byCluster = clusters.groupBy(col("cluster_id"))
+      .agg(collect_set(col("doc_id")).as("members"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // every %47 exact clone (doc_id + 20M) lands in its original's cluster
+    val exactClonePairs = byCluster.values.count(m =>
+      m.exists(id => m.contains(id + 20000000L)))
+    assert(exactClonePairs > 0)
+    // cluster label is the component min
+    byCluster.foreach { case (cid, members) => assert(cid == members.min) }
+  }
+
+  test("hashSample is deterministic, stratified, and in-range") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val rate = when(col("lang") === "en", 0.5).otherwise(0.2)
+    val s1 = TrainPrep.hashSample(wd, col("doc_id"), "salt1", rate)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = TrainPrep.hashSample(wd, col("doc_id"), "salt1", rate)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2) // bit-reproducible
+    val s3 = TrainPrep.hashSample(wd, col("doc_id"), "salt2", rate)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 != s3) // salt actually matters
+    val en = wd.filter(col("lang") === "en").count().toDouble
+    val enKept = TrainPrep.hashSample(wd, col("doc_id"), "salt1", rate)
+      .filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.3 && enKept / en < 0.7) // ~0.5 ± hash noise
+  }
+
+  test("chunk covers the text exactly with the stated overlap") {
+    val docs = Seq((1L, "a" * 250), (2L, "xy"), (3L, "b" * 100)).toDF("doc_id", "text")
+    val ch = TrainPrep.chunk(docs, 100, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val d1 = ch.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3.length) == Seq(100, 100, 90, 10)) // starts 1,81,161,241
+    assert(ch.filter(_._1 == 2L).map(_._3) == Seq("xy")) // short text → 1 chunk
+    assert(ch.filter(_._1 == 3L).map(_._3.length).sorted == Seq(20, 100))
+    // stride-80 reconstruction: chunk i's first 80 chars tile the text
+    val rebuilt = d1.map(c => c._3.take(80)).mkString
+    assert(rebuilt == "a" * 250)
+  }
+
+  test("contaminated flags docs sharing shingles with the eval set") {
+    val mk = (id: Long, t: String) => (id, t)
+    val train = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today"), // heavy overlap
+      mk(2L, "completely different words appear in this sentence here now"),
+      mk(3L, "the quick brown cat sleeps all day long quietly")) // shares 2 shingles
+      .toDF("doc_id", "text")
+    val eval_ = Seq(mk(100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val hits = TrainPrep.contaminated(train, eval_, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 3)
+    assert(!hits.contains(2L))
+    assert(!hits.contains(3L)) // "the quick brown" + "quick brown cat"... < 3 shared
+  }
+}
