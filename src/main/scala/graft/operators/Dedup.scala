@@ -202,39 +202,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components over an undirected edge list (doc_a, doc_b) by
-    * iterative min-label propagation: every node's label converges to the
-    * smallest doc_id in its component — the canonical-doc selection step
-    * after near-dup pair mining (pairs alone don't say which docs form one
-    * duplicate group).
+  /** Connected components over an undirected edge list (doc_a, doc_b):
+    * every node labeled with the smallest doc_id in its component — the
+    * canonical-doc selection step after near-dup pair mining (pairs alone
+    * don't say which docs form one duplicate group).
     *
-    * Scale: each round is one shuffle join (edges ⋈ labels on the node
-    * key) + a min-aggregate; rounds needed = graph diameter, and near-dup
-    * graphs are shallow (clone clusters, not paths), so a handful of
-    * rounds. The driver loop only counts changes (an aggregate, never a
-    * collect). Labels are cached per round and unpersisted. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    labels.cache()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val neigh = sym.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neigh, col("id") === col("dst"), "left")
-        .select(col("id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      next.cache()
-      val changed = next.filter(col("label") < col("old_label")).count()
-      labels.unpersist()
-      labels = next.select(col("id"), col("label"))
-      iter += 1
-      converged = changed == 0
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    * Hybrid strategy, keyed on EDGE count (the edge graph is orders of
+    * magnitude smaller than the corpus — only near-dup pairs appear):
+    *
+    *  - ≤ `driverEdgeLimit` edges (default 10M ≈ 160 MB): collect the
+    *    pairs and run union-find with path compression on the driver —
+    *    a deliberate, BOUNDED collect: the distributed loop costs
+    *    diameter × (join + agg) jobs, pure scheduler overhead next to a
+    *    millisecond union-find (measured 6.9 s → ~0.1 s on 409 edges);
+    *  - above the limit: iterative min-label propagation, one shuffle
+    *    join + min-agg per round, localCheckpoint each round so the plan
+    *    doesn't deepen; rounds = graph diameter (shallow for dup
+    *    clusters). Both paths produce identical labels (differential-
+    *    tested). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          driverEdgeLimit: Long = 10000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e2 = edges.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")).cache()
+    val nEdges = e2.count() // one materialization of the pair-mining pipeline
+    val result =
+      if (nEdges <= driverEdgeLimit) {
+        val pairs = e2.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+        }
+        val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        import spark.implicits._
+        rows.toDF("doc_id", "cluster_id")
+      } else {
+        val sym = e2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(e2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        var labels = sym.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id"))
+          .localCheckpoint()
+        var iter = 0
+        var converged = false
+        while (!converged && iter < maxIter) {
+          val neigh = sym.join(labels, col("src") === col("id"))
+            .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+          val next = labels.join(neigh, col("id") === col("dst"), "left")
+            .select(col("id"), col("label").as("old_label"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .localCheckpoint()
+          val changed = next.filter(col("label") < col("old_label")).count()
+          labels = next.select(col("id"), col("label"))
+          iter += 1
+          converged = changed == 0
+        }
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      }
+    e2.unpersist()
+    result
   }
 
   /** Near-dup clusters: MinHash-LSH pairs → connected components →

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: phase timing for dup-cluster connected components. */
+object CCProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"PHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
+    }
+    val wd = graft.Pipeline.webdoc(spark, dir)
+    val edges = graft.operators.Dedup.minhashPairs(wd, 0.5).select(col("doc_a"), col("doc_b"))
+    edges.cache()
+    t("edges-materialize") { println("edges=" + edges.count()) }
+    val cc = t("cc-loop") { graft.operators.Dedup.connectedComponents(edges) }
+    t("cc-consume") { println("rows=" + cc.count()) }
+    spark.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100 TB contract, pinned so a
+  * refactor can't silently regress it: filters reach the parquet scan,
+  * dims broadcast, the hot pipeline stays exchange-free, windows key on
+  * scalable columns, and LSH shuffles carry keys instead of payloads. */
+class PlanSpec extends SparkSpec {
+
+  /** Physical plan with AQE off so Exchange nodes are statically visible. */
+  private def staticPlan(mk: => DataFrame): SparkPlan = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try mk.queryExecution.executedPlan finally spark.conf.set(key, prev)
+  }
+
+  test("q39: the source IN-filter is pushed into the parquet scan") {
+    val plan = SparkEntry.queries("q39_urlfilter")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("In(source"),
+      plan.take(3000))
+  }
+
+  test("filter+scrub pipeline is exchange-free (narrow, scan-bound)") {
+    val plan = staticPlan(Pipeline.scored(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty, plan.toString.take(2000))
+  }
+
+  test("q21: dimension tables join as broadcasts, never shuffle joins") {
+    val plan = staticPlan(SparkEntry.queries("q21_join")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // customer/nation must NOT appear under a shuffle-hash/sort-merge join
+    assert(!plan.contains("SortMergeJoin") || plan.indexOf("SortMergeJoin") == plan.lastIndexOf("SortMergeJoin"),
+      "dims should broadcast; only the fact-fact join may shuffle")
+  }
+
+  test("q34: windows partition on (event_type, bucket), not event_type alone") {
+    val plan = SparkEntry.queries("q34_asof")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the per-row window must include the bucket key; only the tiny
+    // carry-spine window may partition on event_type alone
+    assert(plan.contains("windowspecdefinition(event_type"), plan.take(3000))
+    assert("windowspecdefinition\\(event_type#\\d+, bucket#\\d+".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("LSH band shuffles carry only ids and band keys — never arrays or text") {
+    val plan = staticPlan(
+      graft.operators.Dedup.minhashCandidates(Pipeline.webdoc(spark, sfDir)))
+    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffleCols.nonEmpty)
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "sh" || c == "text" || c == "sig"), cols.mkString(","))
+    }
+  }
+
+  test("q43: prefix join broadcasts the lookup side (BroadcastNestedLoopJoin)") {
+    val plan = staticPlan(SparkEntry.queries("q43_prefix_latest")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q51: eval shingles probe via broadcast join — training side never shuffles for the probe") {
+    val plan = staticPlan(SparkEntry.queries("q51_contamination")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+}

@@ -8,12 +8,28 @@ import graft.operators.{Dedup, TrainPrep}
 class TrainPrepSpec extends SparkSpec {
   import spark.implicits._
 
-  test("connectedComponents labels every member with its component minimum") {
+  test("connectedComponents labels every member with its component minimum — both strategies") {
     // components: {1,2,3,4} (path), {10,11}, singleton 99 not in edges
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(edges)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+    val viaDriver = Dedup.connectedComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(viaDriver == want)
+    // driverEdgeLimit = 0 forces the distributed min-propagation loop
+    val viaLoop = Dedup.connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop == want)
+  }
+
+  test("connectedComponents strategies agree on the real near-dup graph") {
+    val edges = Dedup.minhashPairs(Pipeline.webdoc(spark, sfDir), 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val a = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Dedup.connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
   }
 
   test("dupClusters groups the synthetic exact clones with their originals") {
