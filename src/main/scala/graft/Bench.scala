@@ -63,10 +63,13 @@ object Bench {
     // 32-thread regime needs every core, making it hostage to host CPU
     // steal — 4 vs 16 measures the engine, not the neighbors. min-of-3
     // timed reps per level absorbs residual steal spikes.
+    // min-of-5: this host's CPU-steal spikes are the dominant error term;
+    // the min over k reps estimates the quiet-window throughput and
+    // converges with k (3 reps left the gate straddling 0.8 run-to-run)
     def measure(level: Int): Double = {
       val s = session(level)
       flagship(s, sfDir, mult) // warm-up (JIT + codegen cache)
-      val secs = (1 to 3).map { _ => timed(flagship(s, sfDir, mult))._2 }
+      val secs = (1 to 5).map { _ => timed(flagship(s, sfDir, mult))._2 }
       s.stop()
       secs.min
     }

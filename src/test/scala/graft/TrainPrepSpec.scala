@@ -75,6 +75,45 @@ class TrainPrepSpec extends SparkSpec {
     assert(rebuilt == "a" * 250)
   }
 
+  test("chunk property: take(stride) of each chunk tiles the original text exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      len <- Gen.choose(1, 400)
+      s <- Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString)
+      stride <- Gen.choose(1, 120)
+      extra <- Gen.choose(0, 60)
+    } yield (s, stride + extra, stride) // window ≥ stride
+    val cases = (1 to 60).map(i => gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val df = cases.zipWithIndex
+      .map { case ((s, _, _), i) => (i.toLong, s) }.toDF("doc_id", "text")
+    cases.zipWithIndex.foreach { case ((s, window, stride), i) =>
+      val chunks = TrainPrep.chunk(df.filter(col("doc_id") === i), window, stride)
+        .orderBy(col("chunk_idx")).collect().map(_.getString(2))
+      assert(chunks.map(_.take(stride)).mkString == s, s"case $i w=$window st=$stride")
+      assert(chunks.forall(_.length <= window))
+      assert(chunks.forall(_.nonEmpty))
+    }
+  }
+
+  test("streaming exact dedup (AvailableNow) equals batch distinct") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("dedup-src")
+    val hashed = Pipeline.webdoc(spark, sfDir)
+      .select(col("doc_id"), graft.functions.Hashing.md5Hash60(col("text")).as("content_hash"))
+    hashed.write.mode("overwrite").parquet(src)
+    val streamed = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+      .dropDuplicates("content_hash")
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").count()
+    val want = hashed.select(col("content_hash")).distinct().count()
+    assert(got == want)
+  }
+
   test("contaminated flags docs sharing shingles with the eval set") {
     val mk = (id: Long, t: String) => (id, t)
     val train = Seq(
