@@ -68,6 +68,12 @@ object SparkEntry {
     "q15_ann_ivf" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251)),
+    // Embedding-cosine near-dup: sign-random-projection LSH over
+    // embeddings ∪ deterministic near-dup clones, exact-cosine verified
+    "q52_emb_dup" -> ((s, dir) =>
+      graft.operators.Similarity.cosineDupPairs(
+        graft.operators.Similarity.withCloneVariants(
+          s.read.parquet(s"$dir/embeddings.parquet")), 0.95, 64)),
 
     // ── Text analysis ──
     "q16_tokens" -> ((s, dir) =>
@@ -437,6 +443,24 @@ object SparkEntry {
            |   FROM assigned q JOIN assigned x
            |     ON q.vec_id % 25 = 0 AND q.centroid_id = x.centroid_id AND q.vec_id <> x.vec_id)
            | WHERE rank <= 10""".stripMargin),
+    "q52_emb_dup" ->
+      (s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | e AS (SELECT vec_id, v FROM e0
+          |       UNION ALL
+          |       SELECT vec_id + 100000, list_transform(range(1, 65), i -> v[i] * (1 + (((i-1) % 7) - 3) * 0.003))
+          |       FROM e0 WHERE vec_id % 31 = 0),
+          | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+          | sgn AS (SELECT * FROM $signValues t(bit, s)),
+          | bits AS (SELECT n.vec_id, sgn.bit FROM n, sgn WHERE ${dotSql("n.v", "sgn.s")} > 0),
+          | sig AS (SELECT n.vec_id, CAST(coalesce(sum(1::BIGINT << bit), 0) AS BIGINT) AS sig
+          |         FROM n LEFT JOIN bits ON n.vec_id = bits.vec_id GROUP BY n.vec_id),
+          | bands AS (SELECT vec_id, j AS band_id, (sig >> (8*j)) & 255 AS chunk FROM sig, range(0, 2) t(j)),
+          | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |          FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
+          | SELECT vec_a, vec_b, cos FROM (
+          |   SELECT vec_a, vec_b, round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
+          |   FROM cand JOIN n x ON cand.vec_a = x.vec_id JOIN n y ON cand.vec_b = y.vec_id)
+          | WHERE cos >= 0.95""".stripMargin),
     "q16_tokens" ->
       (webdocCte +
         """ SELECT doc_id, url,

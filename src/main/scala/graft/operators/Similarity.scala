@@ -20,9 +20,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Composable left-fold dot product (interpreted HOF chain) — kept as
+    * the differential twin of the native DotProduct expression; both are
+    * ascending-index left folds, so they agree bit-for-bit. */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  /** Deterministic left-fold dot product — one native Java pass. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -55,6 +61,66 @@ object Similarity {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+  }
+
+  /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH
+    * (multiplicative-hash parity per (bit, component) — no RNG). */
+  val SignBits = 16
+  def signMatrix(dim: Int): Array[Array[Double]] =
+    Array.tabulate(SignBits, dim) { (i, j) =>
+      val h = (i.toLong * 64 + j) * 2654435761L + 1013904223L
+      if (((h >>> 16) & 1L) == 1L) 1.0 else -1.0
+    }
+
+  /** Embeddings ∪ deterministic near-dup clones (vec_id % 31 == 0, id
+    * offset 100000, each component scaled by 1 + ((j%7)−3)·0.003 — cosine
+    * ≈ 0.99996 to the original): the embedding-space analogue of the
+    * WebDocs clone rows, giving the cosine-dedup operator real positives
+    * on an otherwise-random table. */
+  def withCloneVariants(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val clones = base.filter(col("vec_id") % 31 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("v"), (x, j) =>
+          x * (lit(1.0) + ((j % 7) - 3).cast("double") * lit(0.003))).as("v"))
+    base.unionByName(clones)
+  }
+
+  /** Embedding-cosine near-dup pairs via sign-random-projection LSH:
+    * 16-bit signature (bit i = sign of dot(v, hyperplane_i)), 2 bands of
+    * 8 bits as the candidate filter, exact cosine ≥ threshold on the
+    * candidates. Near-identical vectors flip no sign bits, so they always
+    * collide; random pairs collide on an 8-bit band rarely.
+    *
+    * Scale: signatures are one projection (16 native dots per row, no
+    * shuffle); ONLY (vec_id, band, chunk) triples shuffle for the
+    * candidate join — vectors re-join just the (small) candidate set for
+    * verification, mirroring minhashPairs' posture. `vecs` needs
+    * (vec_id, v: array<double>). */
+  def cosineDupPairs(vecs: DataFrame, threshold: Double, dim: Int): DataFrame = {
+    val signs = signMatrix(dim)
+    val n = vecs.withColumn("nrm", norm(col("v")))
+    val sigCol = (0 until SignBits).map { i =>
+      when(dot(col("v"), typedlit(signs(i).toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val keys = n.withColumn("sig", sigCol)
+      .select(col("vec_id"),
+        explode(array((0 until 2).map(j => struct(lit(j).as("band_id"),
+          pmod(shiftright(col("sig"), 8 * j), lit(256L)).as("chunk"))): _*)).as("band"))
+      .select(col("vec_id"), col("band.band_id"), col("band.chunk"))
+    val a = keys.select(col("band_id"), col("chunk"), col("vec_id").as("vec_a"))
+    val b = keys.select(col("band_id"), col("chunk"), col("vec_id").as("vec_b"))
+    val cand = a.join(b, Seq("band_id", "chunk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    val x = n.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val y = n.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(x, "vec_a").join(y, "vec_b")
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
   /** IVF top-k (nprobe=1): search only the query's own cell. */

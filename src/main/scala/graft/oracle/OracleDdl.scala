@@ -204,6 +204,14 @@ object OracleDdl {
        |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e
        |)""".stripMargin
 
+  /** Sign-LSH hyperplanes as a SQL VALUES literal — the same deterministic
+    * ±1 matrix Similarity.signMatrix produces (components are exactly
+    * representable, so the literal round-trips). */
+  def signValues: String =
+    graft.operators.Similarity.signMatrix(64).zipWithIndex.map { case (row, i) =>
+      s"($i, [${row.map(v => if (v > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString("(VALUES ", ", ", ")")
+
   /** LangId profile vectors as a SQL VALUES literal — the deterministic
     * model (graft.functions.LangId.model) serialized at full double
     * precision (Double.toString round-trips through DuckDB's decimal

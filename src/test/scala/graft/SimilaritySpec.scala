@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN / embedding-dedup suite: native DotProduct differential twin,
+  * clone synthesis geometry, and sign-LSH cosine dedup recall. */
+class SimilaritySpec extends SparkSpec {
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("native DotProduct is bit-identical to the composable HOF fold") {
+    val prep = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mism = prep
+      .withColumn("native", Similarity.dot(col("v"), col("v")))
+      .withColumn("hof", Similarity.dotComposable(col("v"), col("v")))
+      .filter(col("native") =!= col("hof")) // exact, not approximate
+      .count()
+    assert(mism == 0)
+  }
+
+  test("clone variants sit at cosine ~1 to their originals, others far below") {
+    val vecs = Similarity.withCloneVariants(emb)
+    val n = vecs.withColumn("nrm", Similarity.norm(col("v")))
+    val orig = n.filter(col("vec_id") % 31 === 0 && col("vec_id") < 100000L)
+      .select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val clone = n.filter(col("vec_id") >= 100000L)
+      .select((col("vec_id") - 100000L).as("ia"), col("v").as("vb"), col("nrm").as("nb"))
+    val cos = orig.join(clone, "ia")
+      .select((Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cos.nonEmpty && cos.forall(_ > 0.999))
+  }
+
+  test("cosineDupPairs recovers exactly the clone pairs at threshold 0.95") {
+    val vecs = Similarity.withCloneVariants(emb)
+    val pairs = Similarity.cosineDupPairs(vecs, 0.95, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+      .map(id => (id, id + 100000L)).sorted.toSeq
+    assert(pairs == want) // every clone found (sign bits barely move), no false positives
+  }
+}
