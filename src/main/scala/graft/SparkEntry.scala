@@ -234,6 +234,9 @@ object SparkEntry {
     "q35_parse" -> ((s, dir) =>
       Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
         regexp_extract(col("url"), "https://([^/]+)/", 1).as("host_parsed"),
+        // SURVEY §2.8's parse_url mapping, exercised directly
+        parse_url(col("url"), lit("HOST")).as("host_url_fn"),
+        parse_url(col("url"), lit("PATH")).as("path_url_fn"),
         element_at(split(col("host"), "\\."), -1).as("tld"),
         regexp_extract(col("text"), "Call (\\d{3}-555-\\d{4})", 1).as("first_phone"),
         round(unix_timestamp(col("warc_ts")).cast("double") / 86400.0 + 40587.0, 6).as("mjd"))),
@@ -541,6 +544,8 @@ object SparkEntry {
       (webdocCte +
         """ SELECT doc_id, url,
           |   regexp_extract(url, 'https://([^/]+)/', 1) AS host_parsed,
+          |   regexp_extract(url, 'https://([^/]+)', 1) AS host_url_fn,
+          |   regexp_extract(url, 'https://[^/]+(/.*)$', 1) AS path_url_fn,
           |   (string_split(host, '.'))[-1] AS tld,
           |   regexp_extract(text, 'Call (\d{3}-555-\d{4})', 1) AS first_phone,
           |   round(epoch(warc_ts) / 86400.0 + 40587.0, 6) AS mjd

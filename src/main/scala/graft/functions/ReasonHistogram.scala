@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (SURVEY §2.10): drop-reason histogram as an `Aggregator` —
+  * merges per-row comma-joined reason strings into a reason→count map
+  * with map-side partial aggregation (the buffer merges associatively,
+  * so Spark runs it as a two-phase agg like any built-in).
+  *
+  * The plain `groupBy(reason).count()` form (q07) is preferred where the
+  * histogram can be its own result set; this Aggregator is for composing
+  * the histogram INSIDE another aggregation (one row per shard with an
+  * embedded map — the reference's per-report rejected-reason record,
+  * cleanup_augmentation.py:113). Differential-tested against the explode
+  * + groupBy form in OperatorSpec. */
+object ReasonHistogram extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], reasons: String): Map[String, Long] =
+    if (reasons == null || reasons.isEmpty) b
+    else reasons.split(",").foldLeft(b) { (m, r) =>
+      if (r.isEmpty) m else m.updated(r, m.getOrElse(r, 0L) + 1L)
+    }
+
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+
+  override def finish(m: Map[String, Long]): Map[String, Long] = m
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}

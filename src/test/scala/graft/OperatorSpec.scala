@@ -113,6 +113,29 @@ class OperatorSpec extends SparkSpec {
     assert(scored.head().url.startsWith("https://"))
   }
 
+  test("ReasonHistogram Aggregator equals the explode+groupBy histogram") {
+    import spark.implicits._
+    val scored = Pipeline.scored(spark, sfDir)
+    // typed UDAF: one map per shard, built with map-side partial merge
+    val viaAgg = scored.select(col("shard").cast("long").as("shard"), col("drop_reasons"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.ReasonHistogram.toColumn.name("hist"))
+      .collect().toMap
+    // reference form: explode + groupBy
+    val viaGroupBy = scored
+      .select(col("shard").cast("long").as("shard"),
+        explode(split(col("drop_reasons"), ",")).as("reason"))
+      .filter(col("reason") =!= "")
+      .groupBy(col("shard"), col("reason")).count()
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rows) => s -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    assert(viaAgg.filter(_._2.nonEmpty) == viaGroupBy)
+    assert(viaAgg.values.exists(_.nonEmpty))
+  }
+
   test("approx_count_distinct tracks exact distinct within its error bound") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val r = wd.agg(countDistinct(col("host")).as("exact"),

@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("S1: shard-partitioned output reads back with partition pruning") {
+    val out = tmpDir("part-prune")
+    Pipeline.webdoc(spark, sfDir)
+      .select(col("doc_id"), col("url"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("shard") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the shard predicate must be a PartitionFilter (directory pruning),
+    // not a data filter over a full scan
+    assert(plan.contains("PartitionFilters:") && "PartitionFilters: \\[[^\\]]*shard".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    assert(pruned.count() > 0)
+  }
+
   test("q43: prefix join broadcasts the lookup side (BroadcastNestedLoopJoin)") {
     val plan = staticPlan(SparkEntry.queries("q43_prefix_latest")(spark, sfDir)).toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
