@@ -63,23 +63,31 @@ object Bench {
     // 32-thread regime needs every core, making it hostage to host CPU
     // steal — 4 vs 16 measures the engine, not the neighbors. min-of-3
     // timed reps per level absorbs residual steal spikes.
-    // min-of-5: this host's CPU-steal spikes are the dominant error term;
-    // the min over k reps estimates the quiet-window throughput and
-    // converges with k (3 reps left the gate straddling 0.8 run-to-run)
-    def measure(level: Int): Double = {
+    // min-of-5, INTERLEAVED levels: this host's CPU-steal spikes are the
+    // dominant error term, and they are bursty — measuring all reps of
+    // one level then all of the other lets a storm bias a single level
+    // (observed efficiency swinging 0.76–0.90 run-to-run). Alternating
+    // 4-core and 16-core reps exposes both levels to the same noise
+    // windows; min per level then estimates each level's quiet floor
+    // from the same overall period. Session re-creation per rep is ~2 s
+    // and JIT state survives (same JVM).
+    def warm(level: Int): Unit = {
+      val s = session(level); flagship(s, sfDir, mult); s.stop()
+    }
+    def once(level: Int): Double = {
       val s = session(level)
-      flagship(s, sfDir, mult) // warm-up (JIT + codegen cache)
-      val secs = (1 to 5).map { _ => timed(flagship(s, sfDir, mult))._2 }
-      s.stop()
-      secs.min
+      val t = timed(flagship(s, sfDir, mult))._2
+      s.stop(); t
     }
     val nDocs = {
       val s = session(4)
       val n = graft.sources.WebDocs.buildReplicated(s, sfDir, mult).count()
       s.stop(); n
     }
-    val secLo = measure(4)
-    val secHi = measure(16)
+    warm(4); warm(16)
+    val reps = (1 to 5).map(_ => (once(4), once(16)))
+    val secLo = reps.map(_._1).min
+    val secHi = reps.map(_._2).min
 
     // part 2: per-query times at the driver-requested parallelism. Each
     // query is consumed via a checksum over ALL its output columns (xxhash64

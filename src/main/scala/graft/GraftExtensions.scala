@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   *   SELECT poly_hash(text), text_signals(text).dup5_frac,
   *          scrub_all(text).scrubbed_text, word_shingles(text),
-  *          minhash_sig(word_shingles(text)) FROM docs
+  *          minhash_sig(word_shingles(text)), simhash60(text),
+  *          dot_product(va, vb) FROM docs
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -25,5 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("scrub_all", exprs => graft.functions.ScrubAll(exprs.head))
     reg("word_shingles", exprs => graft.functions.WordShingles(exprs.head))
     reg("minhash_sig", exprs => graft.functions.MinHashSig(exprs.head))
+    reg("simhash60", exprs => graft.functions.SimHash60(exprs.head))
+    reg("dot_product", exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
   }
 }

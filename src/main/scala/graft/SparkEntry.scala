@@ -68,6 +68,11 @@ object SparkEntry {
     "q15_ann_ivf" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251)),
+    // IVF with multi-probe (nprobe=2): the recall/cost knob of the IVF
+    // scale path — queries search their two nearest cells
+    "q53_ann_ivf2" -> ((s, dir) =>
+      graft.operators.Similarity.ivfTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251, nprobe = 2)),
     // Embedding-cosine near-dup: sign-random-projection LSH over
     // embeddings ∪ deterministic near-dup clones, exact-cosine verified
     "q52_emb_dup" -> ((s, dir) =>
@@ -445,6 +450,24 @@ object SparkEntry {
            |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
            |   FROM assigned q JOIN assigned x
            |     ON q.vec_id % 25 = 0 AND q.centroid_id = x.centroid_id AND q.vec_id <> x.vec_id)
+           | WHERE rank <= 10""".stripMargin),
+    "q53_ann_ivf2" ->
+      (embCte +
+        s""", cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 251 = 0)
+           |, ranked AS (
+           |   SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           |     row_number() OVER (PARTITION BY n.vec_id
+           |       ORDER BY round(${dotSql("n.v", "c.cv")} / (n.nrm * c.cn), 6) DESC, c.centroid_id) AS rn
+           |   FROM n, cents c)
+           |, assigned AS (SELECT vec_id, v, nrm, centroid_id FROM ranked WHERE rn = 1)
+           |, qcells AS (SELECT vec_id, v, nrm, centroid_id FROM ranked WHERE vec_id % 25 = 0 AND rn <= 2)
+           | SELECT query_id, neighbor_id, rank, cos FROM (
+           |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |     round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cos,
+           |     row_number() OVER (PARTITION BY q.vec_id
+           |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
+           |   FROM qcells q JOIN assigned x
+           |     ON q.centroid_id = x.centroid_id AND q.vec_id <> x.vec_id)
            | WHERE rank <= 10""".stripMargin),
     "q52_emb_dup" ->
       (s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

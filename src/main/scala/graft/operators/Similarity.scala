@@ -50,18 +50,24 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** IVF assignment: centroids = vec_id % centroidMod == 0; each vector is
-    * assigned to its max-cosine centroid (deterministic tie-break on id). */
-  def ivfAssign(embeddings: DataFrame, centroidMod: Int): DataFrame = {
+  /** Centroid ranking per vector: (vector, centroid) cosines with a
+    * per-vector rank (1 = nearest cell). Centroids = vec_id % centroidMod
+    * == 0, broadcast; deterministic tie-break on centroid id. */
+  private def centroidRanks(embeddings: DataFrame, centroidMod: Int): DataFrame = {
     val all = prepared(embeddings)
     val cents = all.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = all.join(broadcast(cents))
       .withColumn("ccos", round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"), col("rn"))
   }
+
+  /** IVF assignment: each vector lives in its single nearest cell. */
+  def ivfAssign(embeddings: DataFrame, centroidMod: Int): DataFrame =
+    centroidRanks(embeddings, centroidMod).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
 
   /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH
     * (multiplicative-hash parity per (bit, component) — no RNG). */
@@ -123,10 +129,17 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
 
-  /** IVF top-k (nprobe=1): search only the query's own cell. */
-  def ivfTopK(embeddings: DataFrame, k: Int, queryMod: Int, centroidMod: Int): DataFrame = {
-    val assigned = ivfAssign(embeddings, centroidMod)
-    val q = assigned.filter(col("vec_id") % queryMod === 0)
+  /** IVF top-k: queries probe their `nprobe` nearest cells (data vectors
+    * live in exactly one cell, so multi-probe candidate sets are disjoint
+    * — no dedup needed). nprobe is the recall/cost knob: cells scanned per
+    * query grow linearly and recall approaches brute force (recall test in
+    * SimilaritySpec); nprobe=1 reproduces the original single-cell path. */
+  def ivfTopK(embeddings: DataFrame, k: Int, queryMod: Int, centroidMod: Int,
+              nprobe: Int = 1): DataFrame = {
+    val ranked = centroidRanks(embeddings, centroidMod)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
+    val q = ranked.filter(col("vec_id") % queryMod === 0 && col("rn") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("centroid_id").as("cell"))
     val scored = broadcast(q)

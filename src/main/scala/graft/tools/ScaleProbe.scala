@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: flagship throughput at arbitrary core counts. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "256").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.map(_.toInt).foreach { cpus =>
+      val s = SparkSession.builder().master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val docs = graft.sources.WebDocs.buildReplicated(s, sfDir, mult)
+        val scored = graft.Pipeline.score(docs).select(col("doc_id"), col("url"),
+          col("lang"), col("text"), col("keep"), length(col("scrubbed_text")).as("scrub_len"))
+        graft.functions.LangId(scored, onlyKept = true)
+          .agg(count(lit(1)).as("n"), sum(col("scrub_len")).as("bytes")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // warmup
+      val times = (1 to reps).map(_ => run())
+      println(f"SCALE cpus=$cpus mult=$mult min=${times.min}%.2f times=${times.map(t => f"$t%.1f").mkString(",")}")
+      s.stop()
+    }
+  }
+}

@@ -97,6 +97,34 @@ class InfraSpec extends SparkSpec {
     assert(written.filter(col("shard") === 3).count() == 0)
   }
 
+  test("lifecycle: todo-file drives a checkpointed run, then validate reconciles clean") {
+    // SURVEY §3's three entry points composed: todo-run (§3.2) scoped by a
+    // WorkList file, checkpointed processing, then validation (§3.3) via
+    // three-way reconcile of the landed output against the source listing
+    val dir = tmpDir("lifecycle")
+    val todoPath = java.nio.file.Paths.get(dir, "todo.txt")
+    Files.writeString(todoPath, "# todo: shards pending ingest\n3\n5\n8\n")
+    val todoShards = graft.sources.WorkList.shardIds(spark, todoPath.toString)
+    assert(todoShards == Seq(3L, 5L, 8L))
+
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val scoped = docs.filter(col("shard").isin(todoShards: _*))
+    val res = Checkpoint.runWithRetry(scoped, Pipeline.score,
+      s"$dir/out", s"$dir/ledger", "life1", shardsPerCommit = 2)
+    assert(res.exitCode == 0)
+    assert(res.processed.toSet == todoShards.toSet)
+
+    val src = scoped.select(col("url").as("f_name"), col("warc_ts").as("src_ts"))
+    val dst = spark.read.parquet(s"$dir/out")
+      .select(col("url").as("f_name"), col("warc_ts").as("dst_ts"))
+    assert(graft.operators.Reconcile.threeWay(src, dst).count() == 0)
+
+    // a doc dropped from the destination surfaces as not_at_dest
+    val dstMissing = dst.orderBy(col("f_name")).limit(dst.count().toInt - 1)
+    val diff = graft.operators.Reconcile.threeWay(src, dstMissing).collect()
+    assert(diff.length == 1 && diff.head.getString(1) == "not_at_dest")
+  }
+
   test("work-list source skips '#' prolog; CSV scan honors comment prolog") {
     val dir = tmpDir("todo")
     val todo = Paths.get(dir, "todo.txt")

@@ -46,10 +46,13 @@ class OperatorSpec extends SparkSpec {
       Pipeline.webdoc(s2, sfDir).limit(5).createOrReplaceTempView("wd_ext")
       val r = s2.sql(
         """SELECT poly_hash(text) AS h, text_signals(text).n_words AS nw,
-          |scrub_all(text).scrubbed_text AS st, size(word_shingles(text)) AS ns
+          |scrub_all(text).scrubbed_text AS st, size(word_shingles(text)) AS ns,
+          |simhash60(text) AS sh,
+          |dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp
           |FROM wd_ext""".stripMargin).collect()
       assert(r.length == 5)
       assert(r.forall(_.getLong(1) > 0))
+      assert(r.forall(_.getDouble(5) == 32.0))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(main)
       org.apache.spark.sql.SparkSession.setDefaultSession(main)

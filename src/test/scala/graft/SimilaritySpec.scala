@@ -32,6 +32,19 @@ class SimilaritySpec extends SparkSpec {
     assert(cos.nonEmpty && cos.forall(_ > 0.999))
   }
 
+  test("IVF recall@10 rises with nprobe and nprobe=2 beats single-cell") {
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(emb, 10, 25))
+    val p1 = resultSet(Similarity.ivfTopK(emb, 10, 25, 61, nprobe = 1))
+    val p2 = resultSet(Similarity.ivfTopK(emb, 10, 25, 61, nprobe = 2))
+    val r1 = (truth & p1).size.toDouble / truth.size
+    val r2 = (truth & p2).size.toDouble / truth.size
+    assert(r2 > r1, s"recall@10 nprobe=1 $r1 vs nprobe=2 $r2")
+    assert(r2 > 0.2) // multi-probe recovers a real fraction of true neighbors
+  }
+
   test("cosineDupPairs recovers exactly the clone pairs at threshold 0.95") {
     val vecs = Similarity.withCloneVariants(emb)
     val pairs = Similarity.cosineDupPairs(vecs, 0.95, 64)
