@@ -351,6 +351,57 @@ object SparkEntry {
         wd.filter(col("doc_id") % 101 === 0), 3)
     }),
 
+    // Signal-distribution quantiles per language (threshold-tuning view):
+    // exact interpolated percentiles of doc length
+    "q54_signal_quantiles" -> ((s, dir) => {
+      val sc = Pipeline.scored(s, dir)
+      sc.groupBy(col("lang")).agg(
+        round(percentile(col("n_chars"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("q50"),
+        round(percentile(col("n_chars"), lit(0.75)), 6).as("q75"),
+        round(percentile(col("n_chars"), lit(0.95)), 6).as("q95"))
+    }),
+
+    // Drop-reason × language report matrix via pivot (A5 report shape)
+    "q55_reason_pivot" -> ((s, dir) => {
+      val reasons = Seq("too_short", "too_long", "word_len", "symbol", "bullet",
+        "ellipsis", "dup_line", "rep_5gram", "low_alpha", "no_stopword",
+        "non_english", "lexicon")
+      Pipeline.scored(s, dir)
+        .select(col("lang"), explode(split(col("drop_reasons"), ",")).as("reason"))
+        .filter(col("reason") =!= "")
+        .groupBy(col("lang")).pivot("reason", reasons).agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // Dedup the corpus: near-dup clusters → keep only each cluster's
+    // canonical (min doc_id) member plus all unclustered docs
+    "q56_dedup_corpus" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val losers = graft.operators.Dedup.dupClusters(wd, 0.5)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      wd.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("url"))
+    }),
+
+    // TF-IDF (linear inverse-df weighting — exact integer-ratio math, so
+    // the cross-engine scores are bit-identical): top-3 terms per host
+    "q57_tfidf" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val tf = wd.select(col("host"),
+          explode(graft.operators.Rules.wordsOf(col("text"))).as("term"))
+        .groupBy(col("host"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nh = wd.agg(countDistinct(col("host")).as("n_hosts"))
+      val scored = tf.join(dfT, "term").crossJoin(broadcast(nh))
+        .withColumn("score", col("tf").cast("double") * col("n_hosts") / col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("host"), col("term"), round(col("score"), 6).as("score"), col("rank"))
+    }),
+
     "q26_topk" -> ((s, dir) => {
       // A6 analogue: global top-k with deterministic tie-break
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -650,6 +701,51 @@ object SparkEntry {
           | SELECT doc_id, chunk_idx, substr(text, (chunk_idx * 80 + 1)::INT, 100) AS chunk,
           |   CAST(length(substr(text, (chunk_idx * 80 + 1)::INT, 100)) AS INT) AS chunk_len
           | FROM ch""".stripMargin),
+    "q54_signal_quantiles" ->
+      (webdocCte + signalsCte +
+        """ SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS q25,
+          |   round(quantile_cont(n_chars, 0.5), 6) AS q50,
+          |   round(quantile_cont(n_chars, 0.75), 6) AS q75,
+          |   round(quantile_cont(n_chars, 0.95), 6) AS q95
+          | FROM sig GROUP BY lang""".stripMargin),
+    "q55_reason_pivot" -> {
+      val reasons = Seq("too_short", "too_long", "word_len", "symbol", "bullet",
+        "ellipsis", "dup_line", "rep_5gram", "low_alpha", "no_stopword",
+        "non_english", "lexicon")
+      val cols = reasons.map(r =>
+        s"CAST(sum(CASE WHEN reason = '$r' THEN 1 ELSE 0 END) AS BIGINT) AS $r").mkString(", ")
+      (webdocCte + signalsCte + verdictCte +
+        s""" SELECT lang, $cols FROM (
+           |   SELECT lang, unnest(string_split(drop_reasons, ',')) AS reason FROM verdict2)
+           | WHERE reason <> '' GROUP BY lang""".stripMargin)
+    },
+    "q56_dedup_corpus" ->
+      ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
+        """, pairs AS (
+          |   SELECT doc_a, doc_b FROM (
+          |     SELECT doc_a, doc_b,
+          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          |   WHERE jaccard >= 0.5)
+          |, sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+          |, reach(id, r) AS (
+          |   SELECT DISTINCT src, src FROM sym
+          |   UNION
+          |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+          |, comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+          | SELECT w.doc_id, w.url FROM webdoc w
+          | WHERE w.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)""".stripMargin),
+    "q57_tfidf" ->
+      (webdocCte +
+        """, terms AS (SELECT host, unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS term FROM webdoc)
+          |, tf AS (SELECT host, term, count(*) AS tf FROM terms GROUP BY host, term)
+          |, dfT AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+          |, nh AS (SELECT count(DISTINCT host) AS n_hosts FROM webdoc)
+          |, scored AS (SELECT tf.host, tf.term, tf.tf * 1.0 * n_hosts / df AS score
+          |             FROM tf JOIN dfT USING (term), nh)
+          | SELECT host, term, round(score, 6) AS score, rank FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY host ORDER BY score DESC, term) AS rank FROM scored)
+          | WHERE rank <= 3""".stripMargin),
     "q51_contamination" ->
       (webdocCte + shingleCte +
         """, ex AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
