@@ -96,6 +96,27 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("full scoring pipeline runs as a stream: AvailableNow scored == batch scored") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmpDir("pipe-src")
+    val wd = Pipeline.webdoc(spark, sfDir)
+    wd.write.mode("overwrite").parquet(src)
+    // the whole rules→scrub→verdict chain is stateless column programs,
+    // so it composes onto a streaming source unchanged
+    val streamed = Pipeline.score(
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src))
+      .select(col("url"), col("keep"), col("drop_reasons"), col("scrubbed_text"))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("pipe_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("pipe_out").collect().map(_.toString).sorted.toSeq
+    val want = Pipeline.score(wd)
+      .select(col("url"), col("keep"), col("drop_reasons"), col("scrubbed_text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming exact dedup (AvailableNow) equals batch distinct") {
     import org.apache.spark.sql.streaming.Trigger
     val src = tmpDir("dedup-src")
