@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,33 +22,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * scrub_lexicon).
   */
 case class ScrubAll(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ScrubAll.schema
   override def prettyName: String = "scrub_all"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    var s = input.asInstanceOf[UTF8String].toString
-    val counts = new Array[Long](ScrubAll.compiled.length)
-    var i = 0
-    while (i < ScrubAll.compiled.length) {
-      val (p, rep) = ScrubAll.compiled(i)
-      val m = p.matcher(s)
-      if (m.find()) {
-        val sb = new java.lang.StringBuilder(s.length)
-        var n = 0L
-        do {
-          n += 1
-          m.appendReplacement(sb, rep)
-        } while (m.find())
-        m.appendTail(sb)
-        s = sb.toString
-        counts(i) = n
-      }
-      i += 1
-    }
-    InternalRow(UTF8String.fromString(s), counts(0), counts(1), counts(2), counts(3))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ScrubAll.compute(input.asInstanceOf[UTF8String].toString)
+
+  // static-kernel call from generated code keeps the scrub stage inside
+  // the fused whole-stage codegen span (see TextSignals.doGenCode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ScrubAll$$.MODULE$$.compute($c.toString());")
 
   override protected def withNewChildInternal(newChild: Expression): ScrubAll =
     copy(child = newChild)
@@ -68,6 +54,30 @@ object ScrubAll {
     graft.operators.Scrub.patterns.map { case (_, pat, rep) =>
       (java.util.regex.Pattern.compile(pat), rep)
     }.toArray
+
+  /** The scrub kernel (shared by interpreted eval and generated code). */
+  def compute(input: String): InternalRow = {
+    var s = input
+    val counts = new Array[Long](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val (p, rep) = compiled(i)
+      val m = p.matcher(s)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        var n = 0L
+        do {
+          n += 1
+          m.appendReplacement(sb, rep)
+        } while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+        counts(i) = n
+      }
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(s), counts(0), counts(1), counts(2), counts(3))
+  }
 
   def apply(c: Column): Column =
     GraftBridge.column(ScrubAll(GraftBridge.expression(c)))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,14 +25,83 @@ import org.apache.spark.unsafe.types.UTF8String
   * the composable twins in OperatorSpec.
   */
 case class WordShingles(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val words = ShingleExprs.splitWords(s)
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleExprs.shinglesCompute(input.asInstanceOf[UTF8String].toString)
+
+  // static-kernel call keeps the expression inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleExprs$$.MODULE$$.shinglesCompute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** 16-permutation MinHash signature over an array<string> of shingles.
+  * Returns null for an empty shingle array (callers filter those rows,
+  * matching the composable form's size(sh) > 0 guard) — so `nullable` is
+  * overridden: UnaryExpression would otherwise inherit child.nullable
+  * (false for word_shingles output), letting the optimizer fold
+  * IS NOT NULL checks on SQL users' minhash_sig calls to true. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleExprs.minhashCompute(input.asInstanceOf[ArrayData])
+
+  // the kernel returns null for empty shingle arrays, so the generated
+  // code re-checks isNull after the call (plain nullSafeCodeGen assumes a
+  // non-null result)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ShingleExprs$$.MODULE$$.minhashCompute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over the distinct \s+-tokens of a text column: per-bit
+  * majority vote over the md5-60 hashes of the words. Composable twin:
+  * Dedup.withSimhashComposable (aggregate over sequence(0,59) with a
+  * nested filter — 60 interpreted array passes per doc); this is one pass
+  * over the word hashes. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleExprs.simhashCompute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleExprs$$.MODULE$$.simhashCompute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+object ShingleExprs {
+
+  def simhash60(c: Column): Column =
+    GraftBridge.column(SimHash60(GraftBridge.expression(c)))
+
+  /** WordShingles kernel (shared by interpreted eval + generated code). */
+  def shinglesCompute(s: String): GenericArrayData = {
+    val words = splitWords(s)
     if (words.length < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder(48)
@@ -50,33 +119,16 @@ case class WordShingles(child: Expression)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-}
-
-/** 16-permutation MinHash signature over an array<string> of shingles.
-  * Returns null for an empty shingle array (callers filter those rows,
-  * matching the composable form's size(sh) > 0 guard) — so `nullable` is
-  * overridden: UnaryExpression would otherwise inherit child.nullable
-  * (false for word_shingles output), letting the optimizer fold
-  * IS NOT NULL checks on SQL users' minhash_sig calls to true. */
-case class MinHashSig(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "minhash_sig"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** MinHashSig kernel: null for empty input arrays. */
+  def minhashCompute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val mins = Array.fill(16)(Long.MaxValue)
-    val md = ShingleExprs.md5.get()
+    val md = md5.get()
     var i = 0
     while (i < n) {
       md.reset()
-      val h = ShingleExprs.md5Hash60(md, arr.getUTF8String(i).getBytes) % Hashing.P
+      val h = md5Hash60(md, arr.getUTF8String(i).getBytes) % Hashing.P
       var k = 0
       while (k < 16) {
         val v = (Hashing.minhashA(k) * h + Hashing.minhashB(k)) % Hashing.P
@@ -88,33 +140,18 @@ case class MinHashSig(child: Expression)
     new GenericArrayData(mins.map(v => v: Any))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** 60-bit SimHash over the distinct \s+-tokens of a text column: per-bit
-  * majority vote over the md5-60 hashes of the words. Composable twin:
-  * Dedup.withSimhashComposable (aggregate over sequence(0,59) with a
-  * nested filter — 60 interpreted array passes per doc); this is one pass
-  * over the word hashes. */
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash60"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val words = ShingleExprs.splitWords(s)
+  /** SimHash60 kernel. */
+  def simhashCompute(s: String): Long = {
+    val words = splitWords(s)
     val seen = new java.util.HashSet[String](words.length * 2)
     val counts = new Array[Int](60)
-    val md = ShingleExprs.md5.get()
+    val md = md5.get()
     var n = 0
     var i = 0
     while (i < words.length) {
       if (seen.add(words(i))) {
         n += 1
-        val h = ShingleExprs.md5Hash60(md, words(i).getBytes("UTF-8"))
+        val h = md5Hash60(md, words(i).getBytes("UTF-8"))
         var b = 0
         while (b < 60) { counts(b) += ((h >> b) & 1L).toInt; b += 1 }
       }
@@ -128,15 +165,6 @@ case class SimHash60(child: Expression)
     }
     sim
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
-    copy(child = newChild)
-}
-
-object ShingleExprs {
-
-  def simhash60(c: Column): Column =
-    GraftBridge.column(SimHash60(GraftBridge.expression(c)))
 
   private[functions] val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

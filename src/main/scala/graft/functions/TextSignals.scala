@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus); rounding = HALF_UP at 6 dp exactly like Spark round().
   */
 case class TextSignals(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TextSignals.schema
   override def prettyName: String = "text_signals"
@@ -40,6 +40,14 @@ case class TextSignals(child: Expression)
     val s = input.asInstanceOf[UTF8String].toString
     TextSignals.compute(s)
   }
+
+  // call the same static kernel from generated code: unlike
+  // CodegenFallback this keeps the expression INSIDE whole-stage codegen,
+  // so the pipeline's projection span stays fused (no row materialization
+  // boundary around the rules stage)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextSignals$$.MODULE$$.compute($c.toString());")
 
   override protected def withNewChildInternal(newChild: Expression): TextSignals =
     copy(child = newChild)

@@ -33,13 +33,14 @@ object Verdict {
     // (Verdict therefore runs AFTER Scrub in Pipeline.score)
     "lexicon" -> (col("scrub_lexicon") > 0))
 
-  /** Adds `drop_reasons` (canonical comma-joined string) and `keep`. */
+  /** Adds `drop_reasons` (canonical comma-joined string) and `keep`.
+    * concat_ws skips null arguments by definition, so the reason whens
+    * feed it DIRECTLY — no array + higher-order filter(isnotnull), which
+    * has no codegen and was the last whole-stage-codegen break in the
+    * scoring pipeline's projection span. */
   def apply(df: DataFrame): DataFrame = {
-    val reasons = array(reasonPredicates.map { case (name, pred) =>
-      when(pred, lit(name))
-    }: _*)
-    df.withColumn("drop_reasons",
-        concat_ws(",", filter(reasons, r => r.isNotNull)))
+    val reasons = reasonPredicates.map { case (name, pred) => when(pred, lit(name)) }
+    df.withColumn("drop_reasons", concat_ws(",", reasons: _*))
       .withColumn("keep", col("drop_reasons") === "")
   }
 }
