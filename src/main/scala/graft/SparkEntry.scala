@@ -402,6 +402,40 @@ object SparkEntry {
         .select(col("host"), col("term"), round(col("score"), 6).as("score"), col("rank"))
     }),
 
+    // Intra-doc repetition removal (C4-style): keep each line's FIRST
+    // occurrence, reassemble the text in original order. Docs %3==0 get a
+    // deterministic repeated-share-bar injection so the operator has real
+    // duplicates to remove (the base corpus has none)
+    "q58_dedup_lines" -> ((s, dir) => {
+      val withDups = Pipeline.webdoc(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nshare this page\nshare this page\nsubscribe now\nshare this page")))
+          .otherwise(col("text")))
+      val lines = withDups
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"), col("line")).orderBy(col("pos"))
+      lines.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("dedup_text"))
+    }),
+
+    // Global boilerplate-line removal (C4-style): lines appearing in more
+    // than maxDf distinct docs are dropped from every doc
+    "q59_boilerplate" -> ((s, dir) => {
+      val lines = Pipeline.webdoc(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val hot = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("line_df"))
+        .filter(col("line_df") > 20).select(col("line"))
+      lines.join(hot, Seq("line"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept_lines"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    }),
+
     "q26_topk" -> ((s, dir) => {
       // A6 analogue: global top-k with deterministic tie-break
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -746,6 +780,30 @@ object SparkEntry {
           | SELECT host, term, round(score, 6) AS score, rank FROM (
           |   SELECT *, row_number() OVER (PARTITION BY host ORDER BY score DESC, term) AS rank FROM scored)
           | WHERE rank <= 3""".stripMargin),
+    "q58_dedup_lines" ->
+      (webdocCte +
+        """, wd2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+          |    THEN text || chr(10) || 'share this page' || chr(10) || 'share this page' || chr(10) || 'subscribe now' || chr(10) || 'share this page'
+          |    ELSE text END AS text FROM webdoc)
+          |, lns AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |            generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM wd2)
+          |, firsts AS (SELECT doc_id, pos, line FROM (
+          |    SELECT doc_id, pos, line,
+          |      row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn FROM lns)
+          |  WHERE rn = 1)
+          | SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS dedup_text
+          | FROM firsts GROUP BY doc_id""".stripMargin),
+    "q59_boilerplate" ->
+      (webdocCte +
+        """, lns AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |            generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM webdoc)
+          |, hot AS (SELECT line FROM (
+          |    SELECT line, count(DISTINCT doc_id) AS line_df FROM lns GROUP BY line)
+          |  WHERE line_df > 20)
+          | SELECT doc_id, count(*) AS n_kept_lines,
+          |   array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+          | FROM lns WHERE line NOT IN (SELECT line FROM hot)
+          | GROUP BY doc_id""".stripMargin),
     "q51_contamination" ->
       (webdocCte + shingleCte +
         """, ex AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
