@@ -31,6 +31,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty, plan.toString.take(2000))
   }
 
+  test("scoring pipeline is a fully fused whole-stage-codegen span") {
+    val plan = staticPlan(Pipeline.scored(spark, sfDir)).toString
+    // a non-codegen Project line (no '*' marker) means a CodegenFallback
+    // expression or HOF crept back into the chain and broke the span
+    val bare = plan.linesIterator
+      .filter(l => "^[:+\\-\\s]*Project \\[".r.findFirstIn(l).isDefined)
+      .toSeq
+    assert(bare.isEmpty, "non-codegen Project nodes:\n" + bare.mkString("\n"))
+  }
+
   test("q21: dimension tables join as broadcasts, never shuffle joins") {
     val plan = staticPlan(SparkEntry.queries("q21_join")(spark, sfDir)).toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))

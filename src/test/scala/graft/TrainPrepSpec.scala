@@ -75,6 +75,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(rebuilt == "a" * 250)
   }
 
+  test("hashSample rate endpoints and monotonicity: 0 keeps none, 1 keeps all, nested in between") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    assert(TrainPrep.hashSample(wd, col("doc_id"), "s", lit(0.0)).count() == 0)
+    assert(TrainPrep.hashSample(wd, col("doc_id"), "s", lit(1.0)).count() == wd.count())
+    // same salt, higher rate ⇒ superset (the hash gate is a fixed uniform
+    // score per key; raising the threshold only admits more rows)
+    val lo = TrainPrep.hashSample(wd, col("doc_id"), "s", lit(0.2))
+      .select("doc_id").as[Long].collect().toSet
+    val hi = TrainPrep.hashSample(wd, col("doc_id"), "s", lit(0.6))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
   test("chunk property: take(stride) of each chunk tiles the original text exactly") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
