@@ -153,6 +153,16 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("blob_len"), col("blob_md5"),
           col("media_width"), col("media_height"), col("media_format"))),
 
+    // Multimodal feature extraction over the blob bytes (mapPartitions,
+    // no blob shuffle): 16-bin byte histogram + mean byte — the stub
+    // decode is deterministic arithmetic, so even IT gets an oracle
+    "q60_blob_features" -> ((s, dir) =>
+      graft.operators.Multimodal.extractFeatures(Pipeline.webdoc(s, dir))),
+    // Frame-sample analogue: k deterministic byte windows per asset,
+    // blob pruned immediately after the projection
+    "q61_frame_windows" -> ((s, dir) =>
+      graft.operators.Multimodal.sampleWindows(Pipeline.webdoc(s, dir), 4, 100)),
+
     // ── Grouping surface: collect, rollup, distinct ──
     "q28_collect" -> ((s, dir) =>
       Pipeline.webdoc(s, dir)
@@ -780,6 +790,31 @@ object SparkEntry {
           | SELECT host, term, round(score, 6) AS score, rank FROM (
           |   SELECT *, row_number() OVER (PARTITION BY host ORDER BY score DESC, term) AS rank FROM scored)
           | WHERE rank <= 3""".stripMargin),
+    // q60: html_str is ASCII, so char code points == blob bytes and the
+    // stubbed "decode" arithmetic mirrors exactly in SQL
+    "q60_blob_features" ->
+      (webdocCte +
+        """, bytes AS (SELECT doc_id, url, html_str, length(html_str) AS n FROM webdoc)
+          |, ch AS (SELECT doc_id, ascii(c) AS code FROM (
+          |    SELECT doc_id, unnest(string_split(html_str, '')) AS c FROM bytes))
+          |, hist AS (SELECT doc_id, code // 16 AS bin, count(*) AS cnt FROM ch GROUP BY 1, 2)
+          |, bins AS (SELECT unnest(range(0, 16)) AS bin)
+          |, dense AS (SELECT d.doc_id, bins.bin, coalesce(h.cnt, 0) AS cnt
+          |            FROM (SELECT DISTINCT doc_id FROM bytes) d CROSS JOIN bins
+          |            LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = bins.bin)
+          |, hl AS (SELECT doc_id, list(cnt ORDER BY bin) AS byte_hist FROM dense GROUP BY doc_id)
+          |, mb AS (SELECT doc_id,
+          |    floor(CAST(sum(code) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_byte
+          |  FROM ch GROUP BY doc_id)
+          | SELECT b.doc_id, b.url, CAST(b.n AS BIGINT) AS blob_len, hl.byte_hist, mb.mean_byte
+          | FROM bytes b JOIN hl USING (doc_id) JOIN mb USING (doc_id)""".stripMargin),
+    "q61_frame_windows" ->
+      (webdocCte +
+        """, bytes AS (SELECT doc_id, html_str, length(html_str) AS n FROM webdoc)
+          |, fr AS (SELECT doc_id, html_str, n, unnest(range(0, 4)) AS f FROM bytes)
+          | SELECT doc_id, CAST(f AS INT) AS f,
+          |   substr(html_str, CAST(floor(f * greatest((n - 100) * 1.0 / 3, 1.0) + 1) AS INT), 100) AS chunk
+          | FROM fr""".stripMargin),
     "q58_dedup_lines" ->
       (webdocCte +
         """, wd2 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
