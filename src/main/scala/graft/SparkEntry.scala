@@ -163,6 +163,18 @@ object SparkEntry {
     "q61_frame_windows" -> ((s, dir) =>
       graft.operators.Multimodal.sampleWindows(Pipeline.webdoc(s, dir), 4, 100)),
 
+    // Per-domain cap: at most 5 docs per host by deterministic hash rank
+    // (the anti-domination mixing rule)
+    "q62_domain_cap" -> ((s, dir) =>
+      graft.operators.TrainPrep.domainCap(Pipeline.webdoc(s, dir), col("host"), 5, "cap1")
+        .select(col("doc_id"), col("url"), col("host"))),
+
+    // Mean-pooled embedding centroids per bucket (component-wise, no
+    // per-group vector materialization)
+    "q63_vec_mean" -> ((s, dir) =>
+      graft.operators.Similarity.meanPooled(
+        s.read.parquet(s"$dir/embeddings.parquet"), 10)),
+
     // ── Grouping surface: collect, rollup, distinct ──
     "q28_collect" -> ((s, dir) =>
       Pipeline.webdoc(s, dir)
@@ -790,6 +802,18 @@ object SparkEntry {
           | SELECT host, term, round(score, 6) AS score, rank FROM (
           |   SELECT *, row_number() OVER (PARTITION BY host ORDER BY score DESC, term) AS rank FROM scored)
           | WHERE rank <= 3""".stripMargin),
+    "q62_domain_cap" ->
+      (webdocCte +
+        s""" SELECT doc_id, url, host FROM (
+           |   SELECT doc_id, url, host, row_number() OVER (PARTITION BY host
+           |     ORDER BY ${h60("doc_id || ':cap1'")} % 1000000007, doc_id) AS rk
+           |   FROM webdoc)
+           | WHERE rk <= 5""".stripMargin),
+    "q63_vec_mean" ->
+      ("""WITH e AS (SELECT vec_id % 10 AS g, unnest(embedding::DOUBLE[]) AS x,
+         |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
+         | SELECT g, CAST(pos - 1 AS INT) AS pos, round(avg(x), 6) AS mean_x, count(*) AS n
+         | FROM e GROUP BY g, pos""".stripMargin),
     // q60: html_str is ASCII, so char code points == blob bytes and the
     // stubbed "decode" arithmetic mirrors exactly in SQL
     "q60_blob_features" ->

@@ -69,6 +69,17 @@ object Similarity {
     centroidRanks(embeddings, centroidMod).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id"))
 
+  /** Mean-pooled embedding per bucket (centroid computation — domain/
+    * cluster embeddings): posexplode to (bucket, pos, x), one groupBy —
+    * the component average never materializes a per-group vector list.
+    * Emitted as (g, pos, mean_x) rows; reassemble with sort_array ∘
+    * collect_list only if an array form is needed downstream. */
+  def meanPooled(embeddings: DataFrame, buckets: Int): DataFrame =
+    embeddings.select((col("vec_id") % buckets).as("g"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
+
   /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH
     * (multiplicative-hash parity per (bit, component) — no RNG). */
   val SignBits = 16

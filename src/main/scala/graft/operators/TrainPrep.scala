@@ -36,6 +36,19 @@ object TrainPrep {
         col("c.chunk").as("chunk"), length(col("c.chunk")).as("chunk_len"))
   }
 
+  /** Per-domain cap (anti-domination sampling): keep at most `maxPerKey`
+    * rows per key, chosen by deterministic hash rank — the standard
+    * webtext mixing rule that stops one domain from dominating the
+    * training set, reproducible across runs and engines. One shuffle on
+    * the key; the hash rank gives an unbiased, salt-controlled pick. */
+  def domainCap(docs: DataFrame, key: Column, maxPerKey: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      .orderBy(pmod(md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt))),
+        lit(1000000007L)), col("doc_id"))
+    docs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerKey).drop("__rk")
+  }
+
   /** Benchmark decontamination: flag training docs sharing ≥ `minHits`
     * 3-word shingles with an eval set. `evalDocs` must be the (small)
     * benchmark — its distinct shingles broadcast; the training side then
