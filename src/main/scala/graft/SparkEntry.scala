@@ -733,13 +733,13 @@ object SparkEntry {
           | WHERE NOT EXISTS (SELECT 1 FROM parsed b WHERE b.stem = a.stem AND b.ver > a.ver)""".stripMargin),
     "q48_dup_clusters" ->
       ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
-        """, pairs AS (
+        """, pairs AS MATERIALIZED (
           |   SELECT doc_a, doc_b FROM (
           |     SELECT doc_a, doc_b,
           |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
           |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           |   WHERE jaccard >= 0.5)
-          |, sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+          |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
           |, reach(id, r) AS (
           |   SELECT DISTINCT src, src FROM sym
           |   UNION
@@ -777,13 +777,13 @@ object SparkEntry {
     },
     "q56_dedup_corpus" ->
       ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
-        """, pairs AS (
+        """, pairs AS MATERIALIZED (
           |   SELECT doc_a, doc_b FROM (
           |     SELECT doc_a, doc_b,
           |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
           |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           |   WHERE jaccard >= 0.5)
-          |, sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+          |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
           |, reach(id, r) AS (
           |   SELECT DISTINCT src, src FROM sym
           |   UNION
@@ -910,7 +910,7 @@ object SparkEntry {
         """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
           |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
           |, tot AS (SELECT sum(cnt) AS total FROM uni)
-          |, pairs AS (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
+          |, pairs AS MATERIALIZED (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
           |, big AS (SELECT w1, w2, count(*) AS bcnt FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2)
           |, terms AS (
           |   SELECT p.doc_id, p.url,
