@@ -17,16 +17,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-    def reg(name: String, build: Seq[Expression] => Expression): Unit =
+    // arity-checked builder: a wrong argument count surfaces as a clear
+    // analysis-time error, not an IndexOutOfBoundsException from the
+    // registry builder (ADVICE r2)
+    def reg(name: String, arity: Int, build: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft", name), build))
+        new ExpressionInfo("graft", name), exprs => {
+          if (exprs.length != arity) throw new IllegalArgumentException(
+            s"function $name expects $arity argument(s), got ${exprs.length}")
+          build(exprs)
+        }))
 
-    reg("poly_hash", exprs => graft.functions.PolyHash(exprs.head))
-    reg("text_signals", exprs => graft.functions.TextSignals(exprs.head))
-    reg("scrub_all", exprs => graft.functions.ScrubAll(exprs.head))
-    reg("word_shingles", exprs => graft.functions.WordShingles(exprs.head))
-    reg("minhash_sig", exprs => graft.functions.MinHashSig(exprs.head))
-    reg("simhash60", exprs => graft.functions.SimHash60(exprs.head))
-    reg("dot_product", exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
+    reg("poly_hash", 1, exprs => graft.functions.PolyHash(exprs.head))
+    reg("text_signals", 1, exprs => graft.functions.TextSignals(exprs.head))
+    reg("scrub_all", 1, exprs => graft.functions.ScrubAll(exprs.head))
+    reg("word_shingles", 1, exprs => graft.functions.WordShingles(exprs.head))
+    reg("minhash_sig", 1, exprs => graft.functions.MinHashSig(exprs.head))
+    reg("simhash60", 1, exprs => graft.functions.SimHash60(exprs.head))
+    reg("dot_product", 2, exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
   }
 }

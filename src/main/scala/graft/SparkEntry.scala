@@ -365,13 +365,11 @@ object SparkEntry {
       graft.operators.TrainPrep.chunk(Pipeline.webdoc(s, dir), 100, 80)),
 
     // Benchmark decontamination: training docs sharing ≥3 shingles with
-    // the (broadcast) eval slice doc_id % 101 == 0
-    "q51_contamination" -> ((s, dir) => {
-      val wd = Pipeline.webdoc(s, dir)
-      graft.operators.TrainPrep.contaminated(
-        wd.filter(col("doc_id") % 101 =!= 0),
-        wd.filter(col("doc_id") % 101 === 0), 3)
-    }),
+    // the (broadcast) eval slice doc_id % 101 == 0 — single shared
+    // lineage, predicate split pushed to the scan on both branches
+    "q51_contamination" -> ((s, dir) =>
+      graft.operators.TrainPrep.contaminatedSplit(
+        Pipeline.webdoc(s, dir), col("doc_id") % 101 === 0, 3)),
 
     // Signal-distribution quantiles per language (threshold-tuning view):
     // exact interpolated percentiles of doc length
@@ -464,6 +462,34 @@ object SparkEntry {
       e.orderBy(col("value").desc, col("event_id"))
         .limit(20)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    }),
+
+    // A6 FULL semantics: mask-and-retry argmax (preview_augmentation.py:
+    // 237-296) — per event_type, best-value event whose user passes the
+    // predicate within 5 tries, deterministic rank-1 fallback otherwise
+    "q64_masked_argmax" -> ((s, dir) =>
+      graft.operators.MaskedArgmax(
+        s.read.parquet(s"$dir/events.parquet"),
+        col("event_type"),
+        Seq(col("value").desc, col("event_id")),
+        col("event_id"),
+        col("user_id") % 10 =!= 0, 5)
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          col("value"), col("tries"), col("fell_back"))),
+
+    // A5 UDAF surface, oracle-gated (r2 directive #9): ReasonHistogram
+    // Aggregator composed inside a per-shard aggregation, map emitted as
+    // a sorted k:v string so the driver can hash it
+    "q65_reason_hist_udaf" -> ((s, dir) => {
+      val h = udaf(graft.functions.ReasonHistogram,
+        org.apache.spark.sql.Encoders.STRING)
+      Pipeline.scored(s, dir)
+        .groupBy(col("shard"))
+        .agg(h(col("drop_reasons")).as("m"))
+        .select(col("shard"), array_join(
+          transform(array_sort(map_keys(col("m"))),
+            k => concat(k, lit(":"), element_at(col("m"), k).cast("string"))),
+          ",").as("hist"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -826,7 +852,7 @@ object SparkEntry {
           |, dense AS (SELECT d.doc_id, bins.bin, coalesce(h.cnt, 0) AS cnt
           |            FROM (SELECT DISTINCT doc_id FROM bytes) d CROSS JOIN bins
           |            LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = bins.bin)
-          |, hl AS (SELECT doc_id, list(cnt ORDER BY bin) AS byte_hist FROM dense GROUP BY doc_id)
+          |, hl AS (SELECT doc_id, array_to_string(list(cnt ORDER BY bin), ',') AS byte_hist FROM dense GROUP BY doc_id)
           |, mb AS (SELECT doc_id,
           |    floor(CAST(sum(code) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_byte
           |  FROM ch GROUP BY doc_id)
@@ -905,6 +931,25 @@ object SparkEntry {
          | FROM str""".stripMargin),
     "q46_withfield" ->
       "SELECT event_type, event_id AS id, value * 2 AS v2 FROM events",
+    "q64_masked_argmax" ->
+      ("""WITH ranked AS (SELECT event_type, event_id, user_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS try
+         |  FROM events),
+         | cand AS (SELECT *, CASE WHEN user_id % 10 <> 0 THEN try END AS pick FROM ranked WHERE try <= 5),
+         | win AS (SELECT event_type, min(pick) AS w FROM cand GROUP BY event_type)
+         | SELECT c.event_type, c.event_id, c.user_id, c.value,
+         |   CAST(coalesce(w.w, 5) AS BIGINT) AS tries,
+         |   (w.w IS NULL) AS fell_back
+         | FROM cand c JOIN win w USING (event_type)
+         | WHERE (w.w IS NOT NULL AND c.try = w.w) OR (w.w IS NULL AND c.try = 1)""".stripMargin),
+    "q65_reason_hist_udaf" ->
+      (pipelineCte +
+        """, rx AS (SELECT shard, unnest(string_split(drop_reasons, ',')) AS reason FROM scrub)
+          |, cnt AS (SELECT shard, reason, count(*) AS n FROM rx WHERE reason <> '' GROUP BY shard, reason)
+          |, allsh AS (SELECT DISTINCT shard FROM scrub)
+          | SELECT a.shard,
+          |   coalesce(string_agg(reason || ':' || CAST(n AS VARCHAR), ',' ORDER BY reason), '') AS hist
+          | FROM allsh a LEFT JOIN cnt c ON a.shard = c.shard GROUP BY a.shard""".stripMargin),
     "q31_perplexity" ->
       (webdocCte + shingleCte +
         """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)

@@ -45,13 +45,25 @@ object NgramLM extends Serializable {
           transform(sequence(lit(1), size(col("ws")) - 1), i =>
             struct(element_at(col("ws"), i).as("w1"), element_at(col("ws"), i + 1).as("w2"))))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2")).agg(count(lit(1)).as("cnt"))
-    // deterministic cap: top-by-count, then token order
+    // deterministic cap: top-by-count, then token order. Both `limit`s
+    // compile to TakeOrderedAndProject (distributed top-k, NOT a total
+    // sort — do not "simplify" them into orderBy alone).
     val uni = uniDf.orderBy(col("cnt").desc, col("w")).limit(maxVocab).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val big = bigDf.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
+    // restrict bigrams to the capped vocab BEFORE taking the top-k:
+    // out-of-vocab bigrams (unscorable — backoff handles them) must not
+    // consume cap slots that in-vocab bigrams could use. The vocab is
+    // already driver-side, so the membership probe broadcasts it.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocabDf = broadcast(uni.keys.toSeq.toDF("w"))
+    val bigInVocab = bigDf
+      .join(vocabDf.select(col("w").as("w1")), Seq("w1"), "left_semi")
+      .join(vocabDf.select(col("w").as("w2")), Seq("w2"), "left_semi")
+      .select(col("w1"), col("w2"), col("cnt"))
+    val big = bigInVocab.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
       .collect().iterator
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .filter { case ((w1, w2), _) => uni.contains(w1) && uni.contains(w2) }
       .toMap
     Model(uni, big, uni.valuesIterator.sum)
   }

@@ -52,20 +52,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
   /** Per-doc MinHash signature columns m0..m15 — single projection, no
-    * shuffle, one native MinHashSig eval per row. */
+    * shuffle, one native MinHashSig eval per row. Docs with no shingles
+    * (< 3 words) get NULL m-columns (MinHashSig returns null for empty
+    * input) — deliberately NOT filtered here: a `size(sh) > 0` filter
+    * gets alias-pushed below the sh projection, re-inlining the full
+    * synthesis+shingle expression and doubling the dominant per-row CPU
+    * (VERDICT r2 #3). Consumers guard at the band level instead
+    * (minhashCandidates), where the guard sits above a Generate and
+    * cannot sink. */
   def withMinhash(docs: DataFrame): DataFrame = {
     val sig = withShingles(docs)
-      .filter(size(col("sh")) > 0)
       .withColumn("sig", graft.functions.ShingleExprs.minhashSig(col("sh")))
     minhashA.indices.foldLeft(sig) { (d, i) =>
       d.withColumn(s"m$i", element_at(col("sig"), i + 1))
     }.drop("sig")
   }
 
-  /** Composable twin of withMinhash (interpreted HOF permutations). */
+  /** Composable twin of withMinhash (interpreted HOF permutations; empty
+    * shingle sets yield NULL m-columns via array_min(empty) = null, same
+    * as the native form). */
   def withMinhashComposable(docs: DataFrame): DataFrame = {
     val hashed = withShinglesComposable(docs)
-      .filter(size(col("sh")) > 0)
       .withColumn("shh", transform(col("sh"), s => pmod(md5Hash60(s), lit(P))))
     minhashA.indices.foldLeft(hashed) { (d, i) =>
       d.withColumn(s"m$i",
@@ -76,15 +83,25 @@ object Dedup {
   /** LSH candidate pairs: 4 bands × 4 rows; docs sharing any band bucket.
     * The band join carries ONLY (band_id, band_key, doc_id) — never the
     * shingle arrays — so the shuffle stays bytes-per-doc-sized no matter
-    * how long the documents are. */
+    * how long the documents are.
+    *
+    * Empty-shingle docs are excluded HERE, not in withMinhash: the band
+    * key uses null-propagating `concat` (null m-cols ⇒ null key) and the
+    * isNotNull guard applies to the Generate's OUTPUT, which Catalyst
+    * cannot push below the signature projection — so the shingle+minhash
+    * expression evaluates exactly once per row (VERDICT r2 #3; pinned by
+    * PlanSpec). Without the guard every empty doc would share one bucket
+    * and emit O(n_empty²) candidate pairs at web scale. */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sig = withMinhash(docs).select(
       col("doc_id"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),
-          md5(concat_ws("-", (0 until 4).map(r => col(s"m${4 * j + r}")): _*)).as("band_key"))
+          md5(concat((0 until 4).flatMap(r =>
+            Seq(col(s"m${4 * j + r}").cast("string"), lit("-"))): _*)).as("band_key"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      .filter(col("band_key").isNotNull)
     val a = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band_id", "band_key"))
@@ -265,6 +282,11 @@ object Dedup {
           iter += 1
           converged = changed == 0
         }
+        // silent partial propagation would emit WRONG cluster ids for any
+        // component with diameter > maxIter — fail loudly instead
+        if (!converged) throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(a component has diameter > maxIter); raise maxIter")
         labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       }
     e2.unpersist()

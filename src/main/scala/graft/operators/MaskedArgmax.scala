@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Mask-and-retry argmax — the reference's only iterative numeric kernel
+  * (vlass2caom2/preview_augmentation.py:237-296: find the brightest pixel,
+  * reject it if it fails a predicate — too close to the border — mask it
+  * out, retry up to N times, deterministic fallback when every try fails).
+  *
+  * Spark-first shape: the sequential mask-and-retry loop over one group is
+  * equivalent to "rank the candidates in argmax order and take the FIRST
+  * one that passes the predicate among the top `maxTries`, else the rank-1
+  * row" — so it compiles to two bounded window passes instead of an
+  * iterative job per retry. Emits one row per group with the attempt
+  * number (`tries`) and whether the fallback fired (`fell_back`).
+  *
+  * Scale: candidate ranking is the hot path; groups can be few and huge
+  * (Zipf), so the top-`maxTries` pre-prune uses the same salted two-phase
+  * pattern as TrainPrep.domainCap — phase 1 keeps `maxTries` rows per
+  * (group, deterministic sub-bucket), phase 2 ranks the ≤ maxTries×fanout
+  * survivors. The predicate + fallback window then runs over ≤ maxTries
+  * rows per group.
+  */
+object MaskedArgmax {
+
+  /** @param df        input rows
+    * @param groupCol  grouping key (one winner per group)
+    * @param ordered   argmax ordering (best first), must be total —
+    *                  include a unique tiebreaker
+    * @param bucketOn  unique-ish column used to derive the phase-1
+    *                  sub-bucket (e.g. the id column)
+    * @param pass      acceptance predicate (the "not near the border" test)
+    * @param maxTries  retry budget before the deterministic fallback
+    */
+  def apply(df: DataFrame, groupCol: Column, ordered: Seq[Column], bucketOn: Column,
+            pass: Column, maxTries: Int, fanout: Int = 64): DataFrame = {
+    val pre = df
+      .withColumn("__bkt", pmod(xxhash64(bucketOn), lit(fanout.toLong)))
+      .withColumn("__rk1", row_number().over(
+        Window.partitionBy(groupCol, col("__bkt")).orderBy(ordered: _*)))
+      .filter(col("__rk1") <= maxTries)
+    val ranked = pre
+      .withColumn("__try", row_number().over(
+        Window.partitionBy(groupCol).orderBy(ordered: _*)))
+      .filter(col("__try") <= maxTries)
+      .withColumn("__pick", when(pass, col("__try")))
+      .withColumn("__win", min(col("__pick")).over(Window.partitionBy(groupCol)))
+    ranked
+      .filter((col("__win").isNotNull && col("__try") === col("__win")) ||
+        (col("__win").isNull && col("__try") === 1))
+      .withColumn("tries", coalesce(col("__win"), lit(maxTries)).cast("long"))
+      .withColumn("fell_back", col("__win").isNull)
+      .drop("__bkt", "__rk1", "__try", "__pick", "__win")
+  }
+}

@@ -32,14 +32,19 @@ object Multimodal {
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("url", StringType),
     StructField("blob_len", LongType),
-    StructField("byte_hist", ArrayType(LongType, containsNull = false)),
+    StructField("byte_hist", StringType),
     StructField("mean_byte", DoubleType)))
 
   /** "Decode + feature extract" over the blob bytes in partition-sized
     * batches. REAL: per-partition iteration, schema, no blob shuffle.
     * STUB: the "features" are a 16-bin byte histogram + mean byte — a
     * deterministic stand-in for image decode / resize / embed (the
-    * codecs are not in this container). */
+    * codecs are not in this container).
+    *
+    * `byte_hist` is emitted as a comma-joined string, not array<bigint>:
+    * every cell must be sortable/hashable by the driver's row
+    * canonicalizer (r2's q60 harness error was pandas failing to
+    * sort_values on ndarray cells). */
   def extractFeatures(docs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featSchema)
     docs.select(col("doc_id"), col("url"), col("html"))
@@ -58,7 +63,7 @@ object Multimodal {
           val mean =
             if (bytes.length == 0) 0.0
             else math.floor(sum.toDouble / bytes.length * 1e6 + 0.5) / 1e6
-          Row(r.getLong(0), r.getString(1), bytes.length.toLong, hist.toSeq, mean)
+          Row(r.getLong(0), r.getString(1), bytes.length.toLong, hist.mkString(","), mean)
         }
       }(enc)
   }

@@ -31,9 +31,14 @@ object Checkpoint {
   case class ShardLedger(runId: String, shard: Long, docsIn: Long, docsOut: Long)
 
   /** Outcome of a retry-aware run: shards committed this invocation,
-    * shards that failed this invocation (eligible for retry on resume),
+    * shards that failed at least one attempt during this invocation
+    * (diagnostics — they may still have succeeded on an in-run retry),
     * and shards whose retry budget is exhausted (the reference's
-    * "retries remain failed → exit −1", test_composable.py:364-390). */
+    * "retries remain failed → exit −1", test_composable.py:364-390).
+    * Because failed shards are re-attempted IN-RUN until the budget is
+    * spent, a run that ends with any shard still failing reports −1
+    * itself — a one-shot orchestration keying on the exit code never
+    * mistakes a permanent failure for success. */
   case class RunResult(processed: Seq[Long], failedThisRun: Seq[Long], exhausted: Seq[Long]) {
     def exitCode: Int = if (exhausted.nonEmpty) -1 else 0
   }
@@ -49,19 +54,22 @@ object Checkpoint {
     val d = Paths.get(ledgerDir)
     if (!Files.exists(d)) Map.empty
     else {
-      val it = Files.list(d).iterator()
-      var out = Map.empty[Long, Int]
-      while (it.hasNext) {
-        val p = it.next()
-        val f = p.getFileName.toString
-        if (f.startsWith("fail_") && f.endsWith(".json")) {
-          val shard = f.stripPrefix("fail_").stripSuffix(".json").toLong
-          val attempts = "\"attempts\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
-            .map(_.group(1).toInt).getOrElse(1)
-          out += shard -> attempts
+      val stream = Files.list(d) // closed below — Files.list leaks an fd otherwise
+      try {
+        val it = stream.iterator()
+        var out = Map.empty[Long, Int]
+        while (it.hasNext) {
+          val p = it.next()
+          val f = p.getFileName.toString
+          if (f.startsWith("fail_") && f.endsWith(".json")) {
+            val shard = f.stripPrefix("fail_").stripSuffix(".json").toLong
+            val attempts = "\"attempts\":(\\d+)".r.findFirstMatchIn(Files.readString(p))
+              .map(_.group(1).toInt).getOrElse(1)
+            out += shard -> attempts
+          }
         }
-      }
-      out
+        out
+      } finally stream.close()
     }
   }
 
@@ -83,14 +91,17 @@ object Checkpoint {
     val d = Paths.get(ledgerDir)
     if (!Files.exists(d)) Set.empty
     else {
-      val it = Files.list(d).iterator()
-      var out = Set.empty[Long]
-      while (it.hasNext) {
-        val f = it.next().getFileName.toString
-        if (f.startsWith("shard_") && f.endsWith(".json"))
-          out += f.stripPrefix("shard_").stripSuffix(".json").toLong
-      }
-      out
+      val stream = Files.list(d) // closed below — Files.list leaks an fd otherwise
+      try {
+        val it = stream.iterator()
+        var out = Set.empty[Long]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("shard_") && f.endsWith(".json"))
+            out += f.stripPrefix("shard_").stripSuffix(".json").toLong
+        }
+        out
+      } finally stream.close()
     }
   }
 
@@ -156,12 +167,18 @@ object Checkpoint {
   }
 
   /** Retry-aware run (the reference's retry_failures/retry_count contract,
-    * config/config.yml:24-29): a shard group that throws records a
-    * fail_<shard>.json attempt count and the run CONTINUES with the next
-    * group; a resume re-attempts failed shards while attempts ≤ retryCount
-    * and reports the rest as exhausted (RunResult.exitCode = −1). A shard
-    * that finally succeeds has its failure record cleared. Completed
-    * shards are never reprocessed, exactly as in `run`.
+    * config/config.yml:24-29; test_composable.py:364-390 retries WITHIN
+    * one run and exits −1 when failures remain): a shard group that
+    * throws records a fail_<shard>.json attempt count and the run
+    * CONTINUES with the next group; after the first pass, still-failed
+    * shards are RE-ATTEMPTED in-run while their recorded attempts ≤
+    * retryCount, so the run itself spends the whole retry budget. Shards
+    * still failing when the budget is spent are reported exhausted
+    * (RunResult.exitCode = −1) by THIS run — not deferred to a future
+    * resume. A shard that finally succeeds has its failure record
+    * cleared. Attempt counts persist across runs (a resume of a crashed
+    * run continues the same budget); completed shards are never
+    * reprocessed, exactly as in `run`.
     *
     * `groupFault` is a test hook invoked before each group (may throw to
     * simulate a processing failure). */
@@ -172,27 +189,40 @@ object Checkpoint {
     val spark = docs.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedShards(ledgerDir)
-    val attempts = failedAttempts(ledgerDir)
+    var attempts = failedAttempts(ledgerDir)
     val allShards = docs.select(col("shard").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val (exhausted, todo) = allShards.filterNot(done)
+    val (priorExhausted, todo) = allShards.filterNot(done)
       .partition(s => attempts.getOrElse(s, 0) > retryCount)
     var processed = Vector.empty[Long]
-    var failedNow = Vector.empty[Long]
-    todo.grouped(shardsPerCommit).foreach { group =>
-      try {
-        groupFault(group)
-        processGroup(docs, score, outDir, ledgerDir, runId, group)
-        group.foreach(clearFailure(ledgerDir, _))
-        processed ++= group
-      } catch {
-        case e: Exception =>
-          group.foreach { s =>
-            recordFailure(ledgerDir, s, attempts.getOrElse(s, 0) + 1, String.valueOf(e.getMessage))
-          }
-          failedNow ++= group
+    var everFailed = Set.empty[Long]
+    var pending = todo
+    while (pending.nonEmpty) {
+      var failedPass = Vector.empty[Long]
+      pending.grouped(shardsPerCommit).foreach { group =>
+        try {
+          groupFault(group)
+          processGroup(docs, score, outDir, ledgerDir, runId, group)
+          group.foreach(clearFailure(ledgerDir, _))
+          attempts --= group
+          processed ++= group
+        } catch {
+          case e: Exception =>
+            group.foreach { s =>
+              val n = attempts.getOrElse(s, 0) + 1
+              attempts += s -> n
+              recordFailure(ledgerDir, s, n, String.valueOf(e.getMessage))
+            }
+            everFailed ++= group
+            failedPass ++= group
+        }
       }
+      // in-run retry: re-attempt whatever still has budget; terminate when
+      // every still-failed shard has spent its attempts
+      pending = failedPass.filter(s => attempts.getOrElse(s, 0) <= retryCount)
     }
-    RunResult(processed, failedNow, exhausted)
+    val exhausted = priorExhausted ++
+      everFailed.toSeq.sorted.filter(s => attempts.getOrElse(s, 0) > retryCount)
+    RunResult(processed, everFailed.toSeq.sorted, exhausted)
   }
 }

@@ -2,60 +2,90 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Time-boxed incremental processing with a persisted bookmark — the
   * reference's primary execution mode (vlass2caom2/composable.py:116-134
-  * `_run_state`: per source, per `interval`-minute time-box, advance the
+  * `_run_state`: PER SOURCE, per `interval`-minute time-box, advance the
   * bookmark after each box, even when a box has zero records —
-  * tests/test_composable.py:196-200,320-326).
+  * tests/test_composable.py:196-200,320-326; the two-source cross-timebox
+  * traversal with independent bookmarks: tests/test_composable.py:492-631).
   *
   * Spark-native shape (SURVEY.md §2.9): incremental batch with a
   * high-watermark, not DStreams — each call processes
   * (bookmark, bookmark + interval] and commits the new bookmark atomically
-  * after the output lands. An Iceberg incremental snapshot read replaces
-  * the ts-range filter when a table format with snapshots is available.
+  * after the output lands. Bookmarks are keyed by source id, so multiple
+  * sources sharing one state dir advance independently (r2 "What's
+  * missing #1"). An Iceberg incremental snapshot read replaces the
+  * ts-range filter when a table format with snapshots is available.
   */
 object Incremental {
 
-  private def bookmarkPath(stateDir: String) = Paths.get(stateDir, "bookmark")
+  val DefaultSource = "default"
 
-  def readBookmark(stateDir: String, default: Timestamp): Timestamp = {
-    val p = bookmarkPath(stateDir)
+  private def bookmarkPath(stateDir: String, sourceId: String) =
+    Paths.get(stateDir, s"bookmark_$sourceId")
+
+  def readBookmark(stateDir: String, sourceId: String, default: Timestamp): Timestamp = {
+    val p = bookmarkPath(stateDir, sourceId)
     if (Files.exists(p)) Timestamp.valueOf(Files.readString(p)) else default
   }
 
-  def writeBookmark(stateDir: String, ts: Timestamp): Unit = {
+  def readBookmark(stateDir: String, default: Timestamp): Timestamp =
+    readBookmark(stateDir, DefaultSource, default)
+
+  def writeBookmark(stateDir: String, sourceId: String, ts: Timestamp): Unit = {
     Files.createDirectories(Paths.get(stateDir))
-    val tmp = Paths.get(stateDir, ".bookmark.tmp")
+    val tmp = Paths.get(stateDir, s".bookmark_$sourceId.tmp")
     Files.writeString(tmp, ts.toString)
-    Files.move(tmp, bookmarkPath(stateDir), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, bookmarkPath(stateDir, sourceId), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  case class BoxResult(boxStart: Timestamp, boxEnd: Timestamp, records: Long)
+  def writeBookmark(stateDir: String, ts: Timestamp): Unit =
+    writeBookmark(stateDir, DefaultSource, ts)
+
+  case class BoxResult(sourceId: String, boxStart: Timestamp, boxEnd: Timestamp, records: Long)
 
   /** Process `src` (must have a `ts` column) from the stored bookmark to
     * `endTs` in `intervalSec` boxes, applying `work` to each box's rows and
     * appending its output to `outDir`. The bookmark advances per box —
-    * zero-record boxes advance it too (reference semantics). */
+    * zero-record boxes advance it too (reference semantics).
+    *
+    * Each box is evaluated ONCE: the record count rides the write as an
+    * `Observation` metric instead of a separate count() action (r2
+    * "What's wrong #4" — count-then-write recomputed `work(box)`). */
   def runBoxes(src: DataFrame, work: DataFrame => DataFrame, outDir: String,
                stateDir: String, startTs: Timestamp, endTs: Timestamp,
-               intervalSec: Long): Seq[BoxResult] = {
-    var bookmark = readBookmark(stateDir, startTs)
+               intervalSec: Long, sourceId: String = DefaultSource): Seq[BoxResult] = {
+    var bookmark = readBookmark(stateDir, sourceId, startTs)
     var results = Vector.empty[BoxResult]
+    var boxIdx = 0
     while (bookmark.before(endTs)) {
       val boxEnd = new Timestamp(
         math.min(bookmark.getTime + intervalSec * 1000L, endTs.getTime))
       val box = src.filter(col("ts") > lit(bookmark) && col("ts") <= lit(boxEnd))
-      val out = work(box)
-      val n = out.count()
-      if (n > 0)
-        out.write.mode(SaveMode.Append).parquet(outDir)
-      writeBookmark(stateDir, boxEnd) // advance even on zero records
-      results :+= BoxResult(bookmark, boxEnd, n)
+      val obs = Observation(s"box_${sourceId}_${boxEnd.getTime}_$boxIdx")
+      work(box).observe(obs, count(lit(1)).as("n"))
+        .write.mode(SaveMode.Append).parquet(outDir)
+      val n = obs.get("n").asInstanceOf[Long]
+      writeBookmark(stateDir, sourceId, boxEnd) // advance even on zero records
+      results :+= BoxResult(sourceId, bookmark, boxEnd, n)
       bookmark = boxEnd
+      boxIdx += 1
     }
     results
   }
+
+  /** Multi-source state run: each (sourceId, frame) advances its OWN
+    * bookmark in the shared state dir — one source's progress (or
+    * failure) never moves another's high-watermark. Sources process
+    * sequentially (the reference loops sources in one run); their boxes
+    * interleave in the output via append. */
+  def runSources(sources: Seq[(String, DataFrame)], work: DataFrame => DataFrame,
+                 outDir: String, stateDir: String, startTs: Timestamp,
+                 endTs: Timestamp, intervalSec: Long): Seq[BoxResult] =
+    sources.flatMap { case (id, src) =>
+      runBoxes(src, work, outDir, stateDir, startTs, endTs, intervalSec, id)
+    }
 }

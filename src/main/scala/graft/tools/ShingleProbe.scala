@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the shingle double-evaluation defect (VERDICT r2 #3):
+  * counts `word_shingles` occurrences in optimized plans with and without
+  * `InferFiltersFromGenerate`, and checks that a filter on a generator
+  * output does NOT sink below the Generate. */
+object ShingleProbe {
+  def main(args: Array[String]): Unit = {
+    val exclude = args.contains("exclude")
+    val b = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+    if (exclude) graft.Sessions.tune(b)
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.Pipeline.webdoc(spark, "/root/testdata/sf0.001")
+
+    def count(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val plan = df.queryExecution.optimizedPlan.toString
+      val n = "word_shingles".r.findAllIn(plan).length
+      println(s"[$tag] word_shingles occurrences in optimized plan: $n")
+    }
+
+    // explode path (q51/q41 shape)
+    count("explode", graft.operators.Dedup.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s")))
+
+    // withMinhash path (q12 shape) — current code
+    count("minhash-bands", graft.operators.Dedup.minhashCandidates(docs))
+
+    spark.stop()
+  }
+}

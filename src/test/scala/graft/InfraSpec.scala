@@ -66,26 +66,24 @@ class InfraSpec extends SparkSpec {
     def attempt() = Checkpoint.runWithRetry(docs, Pipeline.score, out, ledger, "r",
       shardsPerCommit = 1, retryCount = 1, groupFault = fault)
 
-    // run 1: 30 shards land, 3 + 5 recorded failed, nothing exhausted yet
+    // run 1 spends the whole retry budget IN-RUN (reference contract,
+    // test_composable.py:364-390): 5 fails once then lands on its in-run
+    // retry; 3 fails attempt 1 + retry → exhausted, and THIS run reports
+    // the nonzero exit — no resume needed to surface a permanent failure
     val r1 = attempt()
     assert(r1.failedThisRun.toSet == Set(3L, 5L))
-    assert(r1.exhausted.isEmpty)
-    assert(r1.processed.size == 30)
-    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 1, 5L -> 1))
+    assert(r1.processed.size == 31 && r1.processed.contains(5L))
+    assert(r1.exhausted == Seq(3L))
+    assert(r1.exitCode == -1)
+    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 2))
     val mtimes = r1.processed.map(s =>
       s -> Files.getLastModifiedTime(Paths.get(ledger, s"shard_$s.json"))).toMap
 
-    // run 2 (resume): 5 succeeds on retry and its record clears; 3 fails again
+    // run 2 (resume): nothing retryable remains; 3 still reported exhausted
     val r2 = attempt()
-    assert(r2.processed == Seq(5L))
-    assert(r2.failedThisRun == Seq(3L))
-    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 2))
-
-    // run 3: 3 has exhausted its retry budget → reported, nonzero exit
-    val r3 = attempt()
-    assert(r3.processed.isEmpty && r3.failedThisRun.isEmpty)
-    assert(r3.exhausted == Seq(3L))
-    assert(r3.exitCode == -1)
+    assert(r2.processed.isEmpty && r2.failedThisRun.isEmpty)
+    assert(r2.exhausted == Seq(3L))
+    assert(r2.exitCode == -1)
 
     // completed shards were never reprocessed; shard 3 never landed
     assert(Checkpoint.completedShards(ledger).size == 31)
@@ -193,5 +191,52 @@ class InfraSpec extends SparkSpec {
     // re-run over the same range: bookmark says nothing to do
     val res2 = Incremental.runBoxes(events, identity, out, state, t0, end, boxSec)
     assert(res2.isEmpty)
+  }
+
+  test("two sources share a state dir with independent bookmarks (per-source state run)") {
+    // ≙ composable.py:116-134 per-source _run_state + the two-source
+    // cross-timebox traversal of tests/test_composable.py:492-631
+    val out = tmpDir("inc2-out")
+    val state = tmpDir("inc2-state")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val t0 = events.agg(min("ts")).head().get(0) match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val boxSec = 6L * 3600
+    val srcA = events.filter(col("event_id") % 2 === 0)
+    val srcB = events.filter(col("event_id") % 2 === 1)
+
+    // source A runs 2 boxes; source B, started later, runs 4 — neither
+    // touches the other's bookmark
+    val endA2 = new Timestamp(t0.getTime + 2 * boxSec * 1000)
+    val endB4 = new Timestamp(t0.getTime + 4 * boxSec * 1000)
+    val ra = Incremental.runBoxes(srcA, identity, out, state, t0, endA2, boxSec, "srcA")
+    val rb = Incremental.runBoxes(srcB, identity, out, state, t0, endB4, boxSec, "srcB")
+    assert(ra.size == 2 && rb.size == 4)
+    assert(ra.forall(_.sourceId == "srcA") && rb.forall(_.sourceId == "srcB"))
+    assert(Incremental.readBookmark(state, "srcA", t0) == endA2)
+    assert(Incremental.readBookmark(state, "srcB", t0) == endB4)
+
+    // zero-record boxes still advance ONLY their own bookmark
+    val farA = new Timestamp(endB4.getTime + 2 * boxSec * 1000)
+    val ra2 = Incremental.runBoxes(srcA.filter(lit(false)), identity, out, state,
+      t0, farA, boxSec, "srcA")
+    assert(ra2.nonEmpty && ra2.forall(_.records == 0L))
+    assert(Incremental.readBookmark(state, "srcA", t0) == farA)
+    assert(Incremental.readBookmark(state, "srcB", t0) == endB4) // untouched
+
+    // catch-up via runSources: A has nothing to do, B advances to farA
+    val r3 = Incremental.runSources(Seq("srcA" -> srcA, "srcB" -> srcB),
+      identity, out, state, t0, farA, boxSec)
+    assert(r3.count(_.sourceId == "srcA") == 0)
+    assert(r3.count(_.sourceId == "srcB") == 2)
+    assert(Incremental.readBookmark(state, "srcB", t0) == farA)
+
+    // the landed output equals one-shot processing of both sources' spans
+    val total = spark.read.parquet(out).count()
+    val wantA = srcA.filter(col("ts") > lit(t0) && col("ts") <= lit(endA2)).count()
+    val wantB = srcB.filter(col("ts") > lit(t0) && col("ts") <= lit(farA)).count()
+    assert(total == wantA + wantB)
   }
 }

@@ -10,7 +10,9 @@ class OperatorSpec extends SparkSpec {
   test("multimodal feature extraction: histogram mass equals blob length") {
     val docs = Pipeline.webdoc(spark, sfDir).limit(100)
     val feats = graft.operators.Multimodal.extractFeatures(docs)
-    val bad = feats.withColumn("mass", aggregate(col("byte_hist"), lit(0L), (a, b) => a + b))
+    val bad = feats.withColumn("mass",
+        aggregate(transform(split(col("byte_hist"), ","), x => x.cast("long")),
+          lit(0L), (a, b) => a + b))
       .filter(col("mass") =!= col("blob_len")).count()
     assert(bad == 0)
     // blob never shuffles: features stay 1:1 with input rows
@@ -22,6 +24,32 @@ class OperatorSpec extends SparkSpec {
     val s = graft.operators.Multimodal.sampleWindows(docs, 4, 32)
     assert(s.count() == 80)
     assert(s.filter(length(col("chunk")) > 32).count() == 0)
+  }
+
+  test("MaskedArgmax equals the reference's sequential mask-and-retry loop") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val got = graft.operators.MaskedArgmax(
+        e, col("event_type"), Seq(col("value").desc, col("event_id")),
+        col("event_id"), col("user_id") % 10 =!= 0, 5)
+      .select(col("event_type"), col("event_id"), col("tries"), col("fell_back"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // imperative twin: per group, walk candidates best-first, reject-mask-
+    // retry up to 5 tries, deterministic fallback to the overall argmax
+    val want = e.select("event_type", "event_id", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val ordered = rows.sortBy(t => (-t._4, t._2)).take(5)
+        val hit = ordered.zipWithIndex.find { case (t, _) => t._3 % 10 != 0 }
+        g -> (hit match {
+          case Some((t, i)) => (t._2, (i + 1).toLong, false)
+          case None         => (ordered.head._2, 5L, true)
+        })
+      }
+    assert(got == want)
+    // at least one group must actually exercise a retry (tries > 1) for
+    // the test to mean anything
+    assert(got.values.exists(_._2 > 1L) || got.values.exists(_._3))
   }
 
   test("PolyHash native expression equals the interpreted HOF form") {

@@ -92,4 +92,32 @@ class PlanSpec extends SparkSpec {
     val plan = staticPlan(SparkEntry.queries("q51_contamination")(spark, sfDir)).toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("shingle/tokenize expressions are never re-inlined into Filters (no double evaluation)") {
+    // VERDICT r2 #3: Catalyst's InferFiltersFromGenerate + alias-pushdown
+    // used to copy the whole synthesis+tokenize+shingle expression into a
+    // scan-side Filter, evaluating it twice per row. Pinned here: in the
+    // optimized plan of every shingle-family query, NO Filter condition
+    // may mention word_shingles (the projection is the only evaluator).
+    Seq("q11_jaccard", "q12_minhash_lsh", "q41_jaccard_capped",
+        "q51_contamination", "q57_tfidf").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      val offending = plan.linesIterator
+        .filter(l => l.contains("Filter") && l.contains("word_shingles"))
+        .toSeq
+      assert(offending.isEmpty,
+        s"$q re-evaluates word_shingles in a Filter:\n" + offending.mkString("\n").take(2000))
+    }
+  }
+
+  test("q62: phase-1 window partitions on (host, sub-bucket), never host alone over raw rows") {
+    val plan = SparkEntry.queries("q62_domain_cap")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the first (full-data) window must include the fanout bucket so the
+    // Zipf-hot host spreads over many tasks; only the survivor window
+    // (≤ maxPerKey × fanout rows/key) may partition on host alone
+    assert("windowspecdefinition\\(host#\\d+, __bkt#\\d+".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
 }

@@ -6,12 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session per suite (one JVM for the whole `sbt test` run —
   * getOrCreate dedupes). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Sessions.tune(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
   def sfDir = "/root/testdata/sf0.001"

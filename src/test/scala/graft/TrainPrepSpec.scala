@@ -163,4 +163,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(!hits.contains(2L))
     assert(!hits.contains(3L)) // "the quick brown" + "quick brown cat"... < 3 shared
   }
+
+  test("contaminatedSplit (single-lineage) equals the two-frame contaminated form") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val isEval = col("doc_id") % 101 === 0
+    val split = TrainPrep.contaminatedSplit(wd, isEval, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoFrame = TrainPrep.contaminated(wd.filter(!isEval), wd.filter(isEval), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split == twoFrame)
+  }
+
+  test("two-phase domainCap equals the single-window form and bounds the hot key per task") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val fanout = 8
+    val twoPhase = TrainPrep.domainCap(wd, col("host"), 5, "cap1", fanout)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val single = TrainPrep.domainCapSingleWindow(wd, col("host"), 5, "cap1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twoPhase == single && twoPhase.nonEmpty)
+
+    // skew bound: after phase 1, no key feeds the final window more than
+    // maxPerKey × fanout rows — the Zipf-hot host can never concentrate
+    // its full row count in one window task's input
+    val phase1Max = wd
+      .withColumn("__rh", pmod(graft.functions.Hashing.md5Hash60(
+        concat(col("doc_id").cast("string"), lit(":cap1"))), lit(1000000007L)))
+      .withColumn("__bkt", pmod(col("__rh"), lit(fanout.toLong)))
+      .withColumn("__rk1", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host"), col("__bkt"))
+          .orderBy(col("__rh"), col("doc_id"))))
+      .filter(col("__rk1") <= 5)
+      .groupBy(col("host")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(phase1Max <= 5L * fanout)
+    // and the hot host genuinely has more rows than that bound upstream
+    val hotRows = wd.filter(col("host") === "popular.example.com").count()
+    assert(hotRows > 5L * fanout)
+  }
 }
