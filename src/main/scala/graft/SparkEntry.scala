@@ -364,6 +364,13 @@ object SparkEntry {
     "q50_chunks" -> ((s, dir) =>
       graft.operators.TrainPrep.chunk(Pipeline.webdoc(s, dir), 100, 80)),
 
+    // Greedy sequence packing: chunks → fixed 512-token-budget packs per
+    // shard (cumulative-sum window; parallelism O(shards))
+    "q66_pack_chunks" -> ((s, dir) =>
+      graft.operators.TrainPrep.packChunks(
+        graft.operators.TrainPrep.chunk(Pipeline.webdoc(s, dir), 100, 80, Seq("shard")),
+        col("shard"), 512L)),
+
     // Benchmark decontamination: training docs sharing ≥3 shingles with
     // the (broadcast) eval slice doc_id % 101 == 0 — single shared
     // lineage, predicate split pushed to the scan on both branches
@@ -783,6 +790,17 @@ object SparkEntry {
           | SELECT doc_id, chunk_idx, substr(text, (chunk_idx * 80 + 1)::INT, 100) AS chunk,
           |   CAST(length(substr(text, (chunk_idx * 80 + 1)::INT, 100)) AS INT) AS chunk_len
           | FROM ch""".stripMargin),
+    "q66_pack_chunks" ->
+      (webdocCte +
+        """, ch AS (SELECT doc_id, shard, text,
+          |    unnest(range(0, greatest((length(text) - 1) // 80, 0) + 1)) AS chunk_idx FROM webdoc)
+          |, cl AS (SELECT doc_id, shard, chunk_idx,
+          |    length(substr(text, (chunk_idx * 80 + 1)::INT, 100)) AS chunk_len FROM ch)
+          |, cum AS (SELECT shard, doc_id, chunk_idx, chunk_len,
+          |    sum(chunk_len) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx) AS cum FROM cl)
+          | SELECT shard, CAST((cum - chunk_len) // 512 AS BIGINT) AS pack_id,
+          |   count(*) AS n_chunks, CAST(sum(chunk_len) AS BIGINT) AS pack_tokens
+          | FROM cum GROUP BY shard, pack_id""".stripMargin),
     "q54_signal_quantiles" ->
       (webdocCte + signalsCte +
         """ SELECT lang, round(quantile_cont(n_chars, 0.25), 6) AS q25,

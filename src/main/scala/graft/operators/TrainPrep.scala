@@ -25,15 +25,37 @@ object TrainPrep {
     * chars every `stride` chars (stride < window ⇒ overlap), covering the
     * whole text. Emits (doc_id, chunk_idx, chunk, chunk_len). One narrow
     * projection + explode — shuffle-free, scales with input splits. */
-  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+  def chunk(docs: DataFrame, window: Int, stride: Int,
+            carry: Seq[String] = Nil): DataFrame = {
     require(stride > 0 && window >= stride, "need 0 < stride <= window")
     val nMinus1 = greatest(expr(s"(length(text) - 1) div $stride"), lit(0L))
-    docs.select(col("doc_id"),
+    docs.select((Seq(col("doc_id")) ++ carry.map(col) :+
         explode(transform(sequence(lit(0L), nMinus1), i =>
           struct(i.as("chunk_idx"),
-            col("text").substr((i * stride + 1).cast("int"), lit(window)).as("chunk")))).as("c"))
-      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk").as("chunk"), length(col("c.chunk")).as("chunk_len"))
+            col("text").substr((i * stride + 1).cast("int"), lit(window)).as("chunk")))).as("c")): _*)
+      .select((Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"), length(col("c.chunk")).as("chunk_len"))): _*)
+  }
+
+  /** Greedy sequence packing: assign chunks, in deterministic corpus order
+    * within each packing bucket, to fixed token-budget packs — the
+    * training-prep step that turns variable-length chunks into dense
+    * fixed-size training sequences. Rule: a chunk starts a new pack when
+    * the running total BEFORE it has crossed the next multiple of
+    * `budget` (first-fit-in-order with overflow: every pack reaches ≥
+    * budget except the last). Expressed as one cumulative-sum window per
+    * bucket, so parallelism is O(buckets) and each pack id is a pure
+    * function of the prefix sums — identical across engines and reruns.
+    * Emits per-pack fill stats. */
+  def packChunks(chunks: DataFrame, bucket: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucket).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("cum", sum(col("chunk_len")).over(w))
+      .withColumn("pack_id", expr(s"(cum - chunk_len) div ${budget}L"))
+      .groupBy(bucket, col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("pack_tokens"))
   }
 
   /** Per-domain cap (anti-domination sampling): keep at most `maxPerKey`

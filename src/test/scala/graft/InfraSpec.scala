@@ -239,4 +239,37 @@ class InfraSpec extends SparkSpec {
     val wantB = srcB.filter(col("ts") > lit(t0) && col("ts") <= lit(farA)).count()
     assert(total == wantA + wantB)
   }
+
+  test("SideCache memoizes the side-table broadcast across jobs and rebuilds on staleness (S4 weblog cache)") {
+    import spark.implicits._
+    val dir = tmpDir("sidecache")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    var ver = 1L
+    val cache = graft.sources.SideCache.fromDataFrame[Long, String](
+      s => s.read.parquet(dir), () => ver)
+
+    // laziest init + reuse: two jobs, one build, same broadcast instance
+    val b1 = cache.get(spark)
+    assert(b1.value == Map(1L -> "a", 2L -> "b"))
+    val looked = spark.range(1, 3).mapPartitions { it =>
+      val m = b1.value; it.map(m(_))
+    }.collect().sorted.toSeq
+    assert(looked == Seq("a", "b"))
+    assert((cache.get(spark) eq b1) && cache.builds == 1)
+
+    // source snapshot moves → exactly one rebuild, new content visible
+    Seq((1L, "a2"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    ver = 2L
+    val b2 = cache.get(spark)
+    assert(cache.builds == 2 && b2.value(1L) == "a2")
+    assert((cache.get(spark) eq b2) && cache.builds == 2)
+
+    // the file-mtime staleness probe notices a newer file
+    val dv = graft.sources.SideCache.dirVersion(dir)
+    val v0 = dv()
+    val f = Files.list(Paths.get(dir)).iterator().next()
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(v0 + 5000))
+    assert(dv() == v0 + 5000)
+  }
 }

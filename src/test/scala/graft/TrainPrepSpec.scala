@@ -174,6 +174,23 @@ class TrainPrepSpec extends SparkSpec {
     assert(split == twoFrame)
   }
 
+  test("packChunks: dense fixed-budget packs, chunks and tokens conserved") {
+    val chunks = TrainPrep.chunk(Pipeline.webdoc(spark, sfDir), 100, 80, Seq("shard"))
+    val packs = TrainPrep.packChunks(chunks, col("shard"), 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every chunk lands in exactly one pack
+    assert(packs.map(_._3).sum == chunks.count())
+    assert(packs.map(_._4).sum ==
+      chunks.agg(sum(col("chunk_len"))).head().getLong(0))
+    // density: every non-final pack fills to within one chunk of budget
+    // (first-fit-with-overflow: 512 - 99 ≤ tokens ≤ 512 + 99)
+    val lastPack = packs.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).max }
+    packs.filter { case (s, pid, _, _) => pid < lastPack(s) }.foreach {
+      case (s, pid, _, tokens) =>
+        assert(tokens >= 512 - 99 && tokens <= 512 + 99, s"shard=$s pack=$pid tokens=$tokens")
+    }
+  }
+
   test("two-phase domainCap equals the single-window form and bounds the hot key per task") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val fanout = 8
