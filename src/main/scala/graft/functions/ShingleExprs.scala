@@ -96,11 +96,19 @@ case class SimHash60(child: Expression)
 
 object ShingleExprs {
 
+  /** Dev/test work metric: WordShingles kernel invocations. Host CPU
+    * steal makes wall time useless for A/B on this box; plan regressions
+    * that re-evaluate the shingle pipeline (VERDICT r2 #3) show up here
+    * deterministically (PlanSpec asserts evals == rows scanned, not 2×).
+    * LongAdder: uncontended per-thread cells, no hot-path serialization. */
+  val evals = new java.util.concurrent.atomic.LongAdder()
+
   def simhash60(c: Column): Column =
     GraftBridge.column(SimHash60(GraftBridge.expression(c)))
 
   /** WordShingles kernel (shared by interpreted eval + generated code). */
   def shinglesCompute(s: String): GenericArrayData = {
+    evals.increment()
     val words = splitWords(s)
     if (words.length < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)

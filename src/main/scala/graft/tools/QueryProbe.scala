@@ -14,11 +14,13 @@ object QueryProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.foreach { name =>
+      val e0 = graft.functions.ShingleExprs.evals.sum()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, dir)
       df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
         .agg(bit_xor(col("h"))).head()
-      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val evals = graft.functions.ShingleExprs.evals.sum() - e0
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s shingle_evals=$evals%d")
     }
     spark.stop()
   }

@@ -111,6 +111,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q41/q12 run EXACTLY one shingle pass over the corpus (persisted shingle table)") {
+    // the kernel-level twin of the Filter assertion above: the persisted
+    // exploded/shingle tables mean each dedup query tokenizes+shingles
+    // every doc once — not once per DAG leg (was 5× for q41, 3× for q12)
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val n = docs.count()
+    def evalsOf(q: String): Long = {
+      spark.catalog.clearCache() // drop any shingle table a prior query persisted
+      graft.functions.ShingleExprs.evals.reset()
+      SparkEntry.queries(q)(spark, sfDir).collect()
+      graft.functions.ShingleExprs.evals.sum()
+    }
+    assert(evalsOf("q41_jaccard_capped") == n)
+    assert(evalsOf("q12_minhash_lsh") == n)
+    spark.catalog.clearCache()
+  }
+
   test("q62: phase-1 window partitions on (host, sub-bucket), never host alone over raw rows") {
     val plan = SparkEntry.queries("q62_domain_cap")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
