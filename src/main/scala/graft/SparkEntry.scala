@@ -175,6 +175,27 @@ object SparkEntry {
       graft.operators.Similarity.meanPooled(
         s.read.parquet(s"$dir/embeddings.parquet"), 10)),
 
+    // Per-vector int8 affine quantization + reconstruction error (the
+    // embedding-store compression step before ANN at scale)
+    "q67_quantize" -> ((s, dir) =>
+      graft.operators.Similarity.quantizeInt8(
+        s.read.parquet(s"$dir/embeddings.parquet"))),
+
+    // URL canonicalization dedup: base urls ∪ deterministic tracking/
+    // fragment/host-case variants, collapsed by canonical form
+    "q68_url_canon" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val base = wd.select(col("doc_id"), col("url"))
+      val variants = wd.select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            concat(col("url"), lit("?utm_source=feed&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 1,
+            regexp_replace(col("url"), "^https://host-", "https://HOST-"))
+          .when(col("doc_id") % 4 === 2, concat(col("url"), lit("#section-2")))
+          .otherwise(col("url")).as("url"))
+      graft.operators.UrlOps.dedupByCanonical(base.unionByName(variants), col("url"))
+    }),
+
     // ── Grouping surface: collect, rollup, distinct ──
     "q28_collect" -> ((s, dir) =>
       Pipeline.webdoc(s, dir)
@@ -949,6 +970,35 @@ object SparkEntry {
          | FROM str""".stripMargin),
     "q46_withfield" ->
       "SELECT event_type, event_id AS id, value * 2 AS v2 FROM events",
+    "q67_quantize" ->
+      ("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
+         | s AS (SELECT vec_id, v, vmin,
+         |   CASE WHEN vmax = vmin THEN 1.0 ELSE (vmax - vmin) / 255.0 END AS scale FROM m)
+         | SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
+         |   array_to_string(list_transform(v, x -> CAST(floor((x - vmin) / scale + 0.5) AS INT)), ',') AS q_str,
+         |   round(list_max(list_transform(v, x ->
+         |     abs(x - (floor((x - vmin) / scale + 0.5) * scale + vmin)))), 6) AS max_err
+         | FROM s""".stripMargin),
+    "q68_url_canon" ->
+      (webdocCte +
+        """, ub AS (SELECT doc_id, url FROM webdoc)
+          |, uv AS (SELECT doc_id + 1000000 AS doc_id,
+          |    CASE WHEN doc_id % 4 = 0 THEN url || '?utm_source=feed&utm_campaign=x'
+          |         WHEN doc_id % 4 = 1 THEN regexp_replace(url, '^https://host-', 'https://HOST-')
+          |         WHEN doc_id % 4 = 2 THEN url || '#section-2'
+          |         ELSE url END AS url FROM webdoc)
+          |, u AS (SELECT * FROM ub UNION ALL SELECT * FROM uv)
+          |, nd AS (SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''),
+          |      'utm_[a-zA-Z_]*=[^&]*&?', '', 'g'), '[?&]+$', '') AS n FROM u)
+          |, c AS (SELECT doc_id,
+          |    regexp_replace(
+          |      lower(regexp_extract(n, '^(https?://[^/?]*)', 1)) ||
+          |        regexp_extract(n, '^https?://[^/?]*(.*)$', 1), '/$', '') AS canonical_url
+          |  FROM nd)
+          | SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_variants
+          | FROM c GROUP BY canonical_url""".stripMargin),
     "q64_masked_argmax" ->
       ("""WITH ranked AS (SELECT event_type, event_id, user_id, value,
          |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS try

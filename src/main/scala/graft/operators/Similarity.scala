@@ -74,6 +74,27 @@ object Similarity {
     * the component average never materializes a per-group vector list.
     * Emitted as (g, pos, mean_x) rows; reassemble with sort_array ∘
     * collect_list only if an array form is needed downstream. */
+  /** Per-vector affine int8 quantization — the compression step an
+    * embedding store applies before ANN at scale (4× smaller vectors,
+    * scan-bandwidth-bound search): q_i = ⌊(x_i − min)/scale + 0.5⌋ with
+    * scale = (max − min)/255, plus the max reconstruction error per
+    * vector. Pure codegen'd column program, shuffle-free; the error is
+    * recomputed from x (not via the q array) so the DuckDB oracle mirrors
+    * the identical IEEE expression tree. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vmin", array_min(col("v")))
+      .withColumn("vmax", array_max(col("v")))
+      .withColumn("scale", when(col("vmax") === col("vmin"), lit(1.0))
+        .otherwise((col("vmax") - col("vmin")) / 255.0))
+      .withColumn("q_str", array_join(transform(col("v"), x =>
+        floor((x - col("vmin")) / col("scale") + 0.5).cast("int")), ","))
+      .withColumn("max_err", round(array_max(transform(col("v"), x =>
+        abs(x - (floor((x - col("vmin")) / col("scale") + 0.5) * col("scale")
+          + col("vmin"))))), 6))
+      .select(col("vec_id"), round(col("vmin"), 6).as("vmin"),
+        round(col("scale"), 6).as("scale"), col("q_str"), col("max_err"))
+
   def meanPooled(embeddings: DataFrame, buckets: Int): DataFrame =
     embeddings.select((col("vec_id") % buckets).as("g"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))

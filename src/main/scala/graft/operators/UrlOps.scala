@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + canonical-URL dedup — the first dedup pass of
+  * every web-crawl pipeline (the same page is fetched under tracking
+  * params, fragments, host-case and trailing-slash variants; collapsing
+  * them is orders of magnitude cheaper than content dedup because the
+  * key is the URL, not the text). Reference analogue: the name-keyed
+  * shadow collapse of vlass2caom2/data_source.py:234-273 — "normalize
+  * the identifier, then keep one entry per normalized identifier".
+  *
+  * Pure codegen'd column program (regexp chain); the dedup is one
+  * shuffle on the canonical key carrying (key, doc_id) only.
+  */
+object UrlOps {
+
+  /** Canonical form: strip fragment → strip utm_* tracking params →
+    * strip dangling '?'/'&' → lowercase scheme+host (path case is
+    * significant and preserved) → strip one trailing slash. Patterns are
+    * RE2-simple so the DuckDB oracle mirrors them verbatim. */
+  def canonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noUtm = regexp_replace(noFrag, "utm_[a-zA-Z_]*=[^&]*&?", "")
+    val noDangle = regexp_replace(noUtm, "[?&]+$", "")
+    val hostLower = concat(
+      lower(regexp_extract(noDangle, "^(https?://[^/?]*)", 1)),
+      regexp_extract(noDangle, "^https?://[^/?]*(.*)$", 1))
+    regexp_replace(hostLower, "/$", "")
+  }
+
+  /** Collapse rows sharing a canonical URL: keep the smallest doc_id
+    * (deterministic winner) and report the variant count. */
+  def dedupByCanonical(docs: DataFrame, url: Column): DataFrame =
+    docs.withColumn("canonical_url", canonicalize(url))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+}

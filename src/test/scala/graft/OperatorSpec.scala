@@ -26,6 +26,39 @@ class OperatorSpec extends SparkSpec {
     assert(s.filter(length(col("chunk")) > 32).count() == 0)
   }
 
+  test("UrlOps.canonicalize collapses tracking/fragment/host-case/slash variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://Host-1.Example.com/a/b?utm_source=feed&utm_campaign=x",
+      "https://host-1.example.com/a/b#frag",
+      "https://host-1.example.com/a/b/",
+      "https://host-1.example.com/a/b",
+      "https://host-1.example.com/a/b?id=7&utm_medium=m", // non-utm param kept
+      "https://host-1.example.com/A/B" // path case is significant
+    ).toDF("url")
+    val got = urls.select(graft.operators.UrlOps.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "https://host-1.example.com/a/b")
+    assert(got(1) == "https://host-1.example.com/a/b")
+    assert(got(2) == "https://host-1.example.com/a/b")
+    assert(got(3) == "https://host-1.example.com/a/b")
+    assert(got(4) == "https://host-1.example.com/a/b?id=7")
+    assert(got(5) == "https://host-1.example.com/A/B")
+  }
+
+  test("quantizeInt8: codes in [0,255], max reconstruction error within half a step") {
+    val q = graft.operators.Similarity.quantizeInt8(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val bad = q.withColumn("codes", transform(split(col("q_str"), ","), x => x.cast("int")))
+      // scale and max_err are both 6-dp-rounded outputs, so allow one
+      // rounding quantum of slack on the half-step bound
+      .filter(exists(col("codes"), c => c < 0 || c > 255) ||
+        col("max_err") > col("scale") / 2 + lit(1e-6))
+      .count()
+    assert(bad == 0)
+    assert(q.count() > 0)
+  }
+
   test("MaskedArgmax equals the reference's sequential mask-and-retry loop") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val got = graft.operators.MaskedArgmax(
