@@ -518,6 +518,47 @@ object SparkEntry {
           transform(array_sort(map_keys(col("m"))),
             k => concat(k, lit(":"), element_at(col("m"), k).cast("string"))),
           ",").as("hist"))
+    }),
+
+    // Temperature-style language-mixture rebalance: per-lang keep rate
+    // min(1, 8/sqrt(n)), deterministic hash gate; emits the mixing audit
+    "q69_lang_rebalance" -> ((s, dir) =>
+      graft.operators.TrainPrep.langRebalance(
+        Pipeline.webdoc(s, dir), "lang", "mix1", 8.0)),
+
+    // Fraction-thresholded decontamination: train docs with ≥20% of their
+    // distinct shingles in the (broadcast) eval slice doc_id % 97 == 0
+    "q70_overlap_frac" -> ((s, dir) =>
+      graft.operators.TrainPrep.contaminationFractionSplit(
+        Pipeline.webdoc(s, dir), col("doc_id") % 97 === 0, 0.2)),
+
+    // Exact URL-blocklist hits via bloom pre-filter + exact verify: the
+    // corpus side never joins/shuffles — might_contain runs in the scan
+    // stage and only the tiny candidate set reaches the semi-join
+    "q71_bloom_blocklist" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val block = wd.filter(col("doc_id") % 31 === 0).select(col("url"))
+        .union(wd.filter(col("doc_id") % 53 === 0)
+          .select(concat(lit("https://blocked.example.com/p"),
+            col("doc_id")).as("url")))
+      graft.operators.UrlOps.blocklistHits(wd, block, 5000L, 0.01)
+    }),
+
+    // Deterministic output-shard assignment + balance audit (S10 layout):
+    // shard = h60(url||salt) % 64 — pure function of the url, skew-immune
+    "q72_shard_assign" -> ((s, dir) =>
+      graft.operators.TrainPrep.shardAssign(Pipeline.webdoc(s, dir), 64, "rs1")),
+
+    // SLIDING event-time windows (60 min window, 15 min slide — each
+    // event lands in 4 overlapping windows), the §2.9 surface q25's
+    // tumbling boxes don't cover
+    "q73_sliding" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      e.groupBy(
+          window(col("ts"), "60 minutes", "15 minutes")
+            .getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1036,5 +1077,46 @@ object SparkEntry {
           |   LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2, tot)
           | SELECT doc_id, url, count(*) AS n_words,
           |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
-          | FROM terms GROUP BY doc_id, url""".stripMargin))
+          | FROM terms GROUP BY doc_id, url""".stripMargin),
+    "q69_lang_rebalance" ->
+      (webdocCte +
+        s""", lc AS (SELECT lang, count(*) AS n_docs FROM webdoc GROUP BY lang)
+           |, lr AS (SELECT lang, n_docs,
+           |    least(1.0, 8.0 / sqrt(CAST(n_docs AS DOUBLE))) AS rate FROM lc)
+           |, kept AS (SELECT w.lang, lr.n_docs, lr.rate
+           |    FROM webdoc w JOIN lr USING (lang)
+           |    WHERE ${h60("w.doc_id || ':mix1'")} % 1000000
+           |      < CAST(floor(lr.rate * 1000000.0) AS BIGINT))
+           | SELECT lang, n_docs, round(rate, 6) AS rate, count(*) AS n_kept
+           | FROM kept GROUP BY lang, n_docs, rate""".stripMargin),
+    "q70_overlap_frac" ->
+      (webdocCte + shingleCte +
+        """, exs AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
+          |, ev AS (SELECT DISTINCT s FROM exs WHERE doc_id % 97 = 0)
+          |, tr AS (SELECT e.doc_id, ev.s AS hit FROM exs e
+          |    LEFT JOIN ev ON e.s = ev.s WHERE e.doc_id % 97 <> 0)
+          |, ag AS (SELECT doc_id, count(*) AS n_sh, count(hit) AS n_hits
+          |    FROM tr GROUP BY doc_id)
+          | SELECT doc_id, n_hits, n_sh,
+          |   round(n_hits * 1.0 / n_sh, 6) AS overlap_frac
+          | FROM ag WHERE n_hits >= n_sh * 0.2""".stripMargin),
+    "q71_bloom_blocklist" ->
+      (webdocCte +
+        " SELECT doc_id, url FROM webdoc WHERE doc_id % 31 = 0"),
+    "q72_shard_assign" ->
+      (webdocCte +
+        s""" SELECT ${h60("url || ':rs1'")} % 64 AS out_shard,
+           |   count(*) AS n_docs,
+           |   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           |   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           | FROM webdoc GROUP BY 1""".stripMargin),
+    "q73_sliding" ->
+      ("""WITH ks AS (SELECT unnest(range(0, 4)) AS k)
+         |, sw AS (SELECT e.*,
+         |    time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(k * 15) AS w_start
+         |  FROM events e CROSS JOIN ks)
+         | SELECT w_start, event_type, count(*) AS n,
+         |   round(sum(value), 2) AS sum_value
+         | FROM sw WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+         | GROUP BY w_start, event_type""".stripMargin))
 }

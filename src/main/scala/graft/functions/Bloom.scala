@@ -1,0 +1,36 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-sketch membership surface built on Spark's own codegen'd
+  * `BloomFilterMightContain` expression (the kernel behind Spark's
+  * runtime row-level filtering) — exposed here as a library primitive so
+  * operators can pre-filter a huge scan against a compact sketch of a
+  * much smaller key set without joining the big side at all.
+  */
+object Bloom {
+
+  /** Serialize a sketch to the byte form `BloomFilterMightContain`
+    * deserializes (`BloomFilter.readFrom`). */
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen'd `might_contain(sketch, xxhash64-value)` predicate over a
+    * serialized sketch embedded as a binary literal. `value` MUST be the
+    * same `xxhash64(...)` keying the sketch was built over (the sketch
+    * stores longs via `putLong`; the probe reads `mightContainLong`).
+    * False positives possible (bounded by the build fpp), false negatives
+    * impossible — callers needing exactness verify survivors with an
+    * exact join, which by then sees only the tiny candidate set. */
+  def mightContain(sketchBytes: Array[Byte], value: Column): Column =
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(sketchBytes, BinaryType), GraftBridge.expression(value)))
+}

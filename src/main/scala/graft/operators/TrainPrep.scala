@@ -140,4 +140,75 @@ object TrainPrep {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** Fractional contamination (the thresholded variant real decontam
+    * pipelines use — WMT/GPT-style "drop if ≥ X % of the doc's n-grams
+    * appear in the benchmark"): same single-lineage broadcast probe as
+    * `contaminatedSplit`, but the per-doc denominator (total distinct
+    * shingles) is counted IN THE SAME aggregation as the hits via a
+    * broadcast LEFT join + count of the non-null marker, so the corpus is
+    * still shingled exactly once and never shuffled for the probe. The
+    * keep/drop compare is `n_hits >= n_sh * minFrac` on both engines
+    * (identical IEEE multiply), so the decision is bit-stable. */
+  def contaminationFractionSplit(docs: DataFrame, isEval: Column,
+                                 minFrac: Double): DataFrame = {
+    val ex = Dedup.withShingles(docs.withColumn("__is_eval", isEval))
+      .select(col("doc_id"), col("__is_eval"), explode(col("sh")).as("s"))
+    val evalSh = ex.filter(col("__is_eval")).select(col("s")).distinct()
+      .withColumn("__hit", lit(1))
+    ex.filter(!col("__is_eval")).select(col("doc_id"), col("s"))
+      .join(broadcast(evalSh), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hits"))
+      .filter(col("n_hits") >= col("n_sh") * lit(minFrac))
+      .select(col("doc_id"), col("n_hits"), col("n_sh"),
+        round(col("n_hits") / col("n_sh"), 6).as("overlap_frac"))
+  }
+
+  /** Temperature-style language-mixture rebalancing (the multilingual
+    * training-mix step: downsample dominant languages toward a flatter
+    * distribution, à la XLM-R's p^(1/T) sampling): per-language keep rate
+    * `min(1, k / sqrt(n_lang))` — the unnormalized T=2 temperature curve.
+    * The normalized form would divide by a cross-language float SUM whose
+    * accumulation order differs between engines; the capped-constant form
+    * is bit-identical everywhere (sqrt and divide are single IEEE ops) and
+    * has the same qualitative effect: hot languages get rate < 1, tail
+    * languages stay at 1.
+    *
+    * Scale shape: the per-language census is a tiny two-stage count, the
+    * rate table (|languages| rows) broadcasts back onto the corpus, and
+    * the gate itself is the shuffle-free deterministic `hashSample` —
+    * the corpus is scanned once and never shuffled. Emits the per-language
+    * audit row (census, rate, survivors), not the sampled corpus, because
+    * that is what the mixing report needs; callers wanting rows apply the
+    * same gate via `hashSample`. */
+  def langRebalance(docs: DataFrame, langName: String, salt: String,
+                    k: Double): DataFrame = {
+    val rates = docs.groupBy(col(langName)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        least(lit(1.0), lit(k) / sqrt(col("n_docs").cast("double"))))
+    hashSample(docs.join(broadcast(rates), Seq(langName)),
+        col("doc_id"), salt, col("rate"))
+      .groupBy(col(langName), col("n_docs"), col("rate"))
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col(langName), col("n_docs"), round(col("rate"), 6).as("rate"),
+        col("n_kept"))
+  }
+
+  /** Deterministic output-shard assignment + balance audit (the S10 sink's
+    * web-scale layout rule): every doc lands in `pmod(h60(url||salt), n)`
+    * — a pure function of the url, so reruns, resumes, and late-arriving
+    * partitions all agree with no coordination. Emits the per-shard audit
+    * (doc count, payload bytes, id range) a writer uses to verify balance
+    * before committing; the hash spreads Zipf-hot hosts uniformly, so
+    * shard sizes concentrate tightly around corpus/n regardless of domain
+    * skew (asserted in TrainPrepSpec). One narrow projection + one
+    * n-shard-wide aggregation; the corpus never shuffles by host. */
+  def shardAssign(docs: DataFrame, nShards: Int, salt: String): DataFrame =
+    docs.withColumn("out_shard",
+        pmod(md5Hash60(concat(col("url"), lit(":" + salt))), lit(nShards.toLong)))
+      .groupBy(col("out_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
 }

@@ -36,4 +36,33 @@ object UrlOps {
     docs.withColumn("canonical_url", canonicalize(url))
       .groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+
+  /** Exact URL-blocklist hits via a bloom pre-filter (the crawl-pipeline
+    * pattern for "match a 100 TB corpus against a blocklist too big to
+    * broadcast raw": the corpus side must not shuffle, and the exact join
+    * must only ever see candidates). Three stages:
+    *
+    *   1. the blocklist aggregates DISTRIBUTED into one compact sketch
+    *      (`df.stat.bloomFilter` over `xxhash64(url)` — partial sketches
+    *      merge associatively; the single driver-side result is
+    *      O(blocklist · log 1/fpp) BITS, never O(corpus));
+    *   2. the corpus scan applies the codegen'd `might_contain` predicate
+    *      in the scan stage — no shuffle, no join, survivors =
+    *      true hits + fpp·|corpus| false positives (size fpp to the
+    *      corpus: fpp=1e-4 at 10^12 docs leaves ~10^8 candidates);
+    *   3. survivors alone verify with an exact semi-join against the
+    *      blocklist, so the final answer is EXACT — the sketch only moved
+    *      the join input from 10^12 rows to the candidate set.
+    *
+    * Emits the blocked (doc_id, url) rows. */
+  def blocklistHits(docs: DataFrame, blockUrls: DataFrame,
+                    expectedItems: Long, fpp: Double): DataFrame = {
+    val sketch = graft.functions.Bloom.serialize(
+      blockUrls.stat.bloomFilter(xxhash64(col("url")), expectedItems, fpp))
+    // no distinct() on the build side: LeftSemi ignores build duplicates,
+    // and dropping it removes the only url-keyed exchange in the plan
+    docs.filter(graft.functions.Bloom.mightContain(sketch, xxhash64(col("url"))))
+      .join(blockUrls.select(col("url")), Seq("url"), "left_semi")
+      .select(col("doc_id"), col("url"))
+  }
 }

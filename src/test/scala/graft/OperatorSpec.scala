@@ -262,4 +262,43 @@ class OperatorSpec extends SparkSpec {
       .agg(count(lit(1)).as("n")).collect().map(_.toString).sorted.toSeq
     assert(got == want)
   }
+
+  test("bloom blocklistHits is EXACT: equals the naive semi-join, at any fpp") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val block = wd.filter(col("doc_id") % 31 === 0).select(col("url"))
+      .union(wd.filter(col("doc_id") % 53 === 0)
+        .select(concat(lit("https://blocked.example.com/p"), col("doc_id")).as("url")))
+    val naive = wd.join(block.distinct(), Seq("url"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(naive.nonEmpty)
+    // tight and sloppy sketches both yield the exact answer — false
+    // positives die in the verify join, false negatives cannot exist
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = graft.operators.UrlOps.blocklistHits(wd, block, 100L, fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == naive, s"fpp=$fpp")
+    }
+    // the sketch alone admits every true hit (no false negatives)
+    val sketch = graft.functions.Bloom.serialize(
+      block.stat.bloomFilter(xxhash64(col("url")), 100L, 0.01))
+    val candidates = wd.filter(
+      graft.functions.Bloom.mightContain(sketch, xxhash64(col("url")))).count()
+    assert(candidates >= naive.size)
+  }
+
+  test("sliding windows: every event lands in exactly window/slide overlapping windows") {
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val win = e.groupBy(
+        window(col("ts"), "60 minutes", "15 minutes").getField("start").as("w_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = win.collect()
+    assert(rows.map(_.getLong(2)).sum == 4L * e.count()) // 60/15 = 4 windows each
+    // starts are slide-aligned
+    rows.foreach { r =>
+      val micros = r.getAs[java.time.LocalDateTime]("w_start")
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      assert(micros % (15 * 60) == 0)
+    }
+  }
 }

@@ -125,7 +125,21 @@ class PlanSpec extends SparkSpec {
     }
     assert(evalsOf("q41_jaccard_capped") == n)
     assert(evalsOf("q12_minhash_lsh") == n)
+    // fractional decontamination: the doc_id-level eval/train predicate
+    // pushes to the scan, so each doc is shingled in exactly ONE branch
+    assert(evalsOf("q70_overlap_frac") == n)
     spark.catalog.clearCache()
+  }
+
+  test("q71: the corpus side reaches the bloom predicate with no exchange below it") {
+    val plan = staticPlan(SparkEntry.queries("q71_bloom_blocklist")(spark, sfDir)).toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // the exact verify is a BROADCAST semi join: nothing in this plan may
+    // shuffle on the url key — the corpus leg's only operators are
+    // scan → synthesis → bloom filter → (broadcast) semi join
+    assert(!plan.contains("Exchange hashpartitioning(url"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(3000))
   }
 
   test("q62: phase-1 window partitions on (host, sub-bucket), never host alone over raw rows") {

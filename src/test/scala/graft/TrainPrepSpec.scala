@@ -219,4 +219,62 @@ class TrainPrepSpec extends SparkSpec {
     val hotRows = wd.filter(col("host") === "popular.example.com").count()
     assert(hotRows > 5L * fanout)
   }
+
+  test("langRebalance: capped rates, survivors consistent with the raw hash gate") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    // k=2 so the dominant language (n > 4) genuinely gets rate < 1
+    val audit = TrainPrep.langRebalance(wd, "lang", "mixT", 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(audit.nonEmpty)
+    audit.foreach { case (_, nDocs, rate, nKept) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(nKept <= nDocs)
+      if (rate == 1.0) assert(nKept == nDocs) // rate-1 langs keep everything
+    }
+    assert(audit.exists(_._3 < 1.0)) // the hot language was downsampled
+    // audit survivors == independently applying the same gate per lang
+    val rates = audit.map { case (l, n, _, _) =>
+      l -> math.min(1.0, 2.0 / math.sqrt(n.toDouble)) }.toMap
+    val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc) }
+    val direct = TrainPrep.hashSample(wd, col("doc_id"), "mixT", rateCol)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit.map(a => a._1 -> a._4).toMap == direct)
+  }
+
+  test("contaminationFractionSplit thresholds on the shingle-overlap fraction") {
+    // doc 0 is the eval doc; doc 1 shares exactly 1 of its 4 shingles
+    // (0.25 >= 0.2 -> contaminated); doc 2 shares none
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c x y z"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val got = TrainPrep.contaminationFractionSplit(docs, col("doc_id") === 0, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1L, 4L, 0.25)))
+    // threshold above the overlap excludes it
+    assert(TrainPrep.contaminationFractionSplit(docs, col("doc_id") === 0, 0.3)
+      .count() == 0L)
+  }
+
+  test("shardAssign partitions the corpus exactly and spreads the hot host") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val total = wd.count()
+    val shards = TrainPrep.shardAssign(wd, 8, "rsT")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shards.map(_._2).sum == total)          // exact partition
+    assert(shards.forall(s => s._1 >= 0 && s._1 < 8))
+    // url-hash sharding ignores host skew: the Zipf-hot host must NOT
+    // land in one shard — its rows spread across most of the 8 shards
+    val hotSpread = wd.filter(col("host") === "popular.example.com")
+      .withColumn("out_shard", pmod(graft.functions.Hashing.md5Hash60(
+        concat(col("url"), lit(":rsT"))), lit(8L)))
+      .select(countDistinct(col("out_shard"))).head().getLong(0)
+    assert(hotSpread >= 4L)
+    // deterministic across runs
+    val again = TrainPrep.shardAssign(wd, 8, "rsT")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(shards.sorted.toSeq == again.sorted.toSeq)
+  }
 }
