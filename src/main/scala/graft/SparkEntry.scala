@@ -559,7 +559,13 @@ object SparkEntry {
             .getField("start").as("w_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-    }))
+    }),
+
+    // Cross-doc repeated spans: window-granularity exact-substring dedup
+    // (10-word windows, stride 5) — per doc, how many of its spans occur
+    // verbatim in another doc; spans shuffle as 60-bit hashes only
+    "q74_repeated_spans" -> ((s, dir) =>
+      graft.operators.Dedup.repeatedSpans(Pipeline.webdoc(s, dir), 10, 5)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
@@ -1118,5 +1124,20 @@ object SparkEntry {
          | SELECT w_start, event_type, count(*) AS n,
          |   round(sum(value), 2) AS sum_value
          | FROM sw WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
-         | GROUP BY w_start, event_type""".stripMargin))
+         | GROUP BY w_start, event_type""".stripMargin),
+    "q74_repeated_spans" ->
+      (webdocCte +
+        s""", ww AS (SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
+           |  FROM webdoc)
+           |, sp AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 10
+           |    THEN list_transform(range(0, (len(words) - 10) // 5 + 1),
+           |         i -> array_to_string(words[(i*5+1):(i*5+10)], ' '))
+           |    ELSE []::VARCHAR[] END) AS span FROM ww)
+           |, sh2 AS (SELECT doc_id, ${h60("span")} AS h FROM sp)
+           |, dfs AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM sh2 GROUP BY h)
+           |, ag AS (SELECT doc_id, count(*) AS n_spans,
+           |    CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_spans
+           |  FROM sh2 JOIN dfs USING (h) GROUP BY doc_id)
+           | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin))
 }

@@ -328,4 +328,45 @@ object Dedup {
     * no near-dup partner are not emitted (singleton = its own cluster). */
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame =
     connectedComponents(minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
+
+  /** Cross-document repeated-span detection — the window-granularity form
+    * of exact-substring dedup (the "same 50-token passage appears in many
+    * documents" pathology suffix-array dedup targets; at 100 TB the exact
+    * suffix array is replaced by fixed windows: `width`-word spans every
+    * `stride` words, so a shared passage of ≥ width+stride−1 words is
+    * guaranteed to produce at least one exactly-aligned shared window).
+    * Emits, per document having any, the count of its spans that also
+    * occur VERBATIM in at least one other document.
+    *
+    * Scale shape: spans leave the row as 60-bit hashes immediately, so
+    * both shuffles (the span-df aggregation and the df probe join) carry
+    * only (long, long) pairs — never span text. The df side is unique per
+    * hash, so the probe join cannot fan out. The words array is built in
+    * its own projection and referenced 3× from the next one — Catalyst's
+    * CollapseProject keeps multiply-referenced non-cheap aliases
+    * un-inlined, so the tokenizer runs once per row (same discipline as
+    * the shingle family). */
+  def repeatedSpans(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    val spans = docs
+      .select(col("doc_id"), graft.operators.Rules.wordsOf(col("text")).as("__w"))
+      .select(col("doc_id"),
+        when(size(col("__w")) >= width,
+          transform(sequence(lit(0), expr(s"(size(__w) - $width) div $stride").cast("int")),
+            i => concat_ws(" ", slice(col("__w"), i * stride + 1, lit(width)))))
+          .otherwise(array().cast("array<string>")).as("spans"))
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), graft.functions.Hashing.md5Hash60(col("span")).as("h"))
+      // one persisted span-hash table feeds BOTH the df-count leg and the
+      // probe leg — same materialize-once discipline as the shingle
+      // family (without it the corpus is synthesized + tokenized twice)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfs = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ddf"))
+    spans.join(dfs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("ddf") >= 2).cast("long")).as("n_rep_spans"))
+      .filter(col("n_rep_spans") > 0)
+  }
 }

@@ -263,6 +263,40 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("repeatedSpans flags exactly the docs sharing an aligned verbatim window") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val twenty = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " aa bb cc dd"),             // 14 words -> 1 span (the shared one)
+      (2L, shared + " ee ff gg hh"),             // same first-10 window
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // unique words -> no cross-doc span
+      (4L, twenty),                              // 20 words -> (20-10)/5+1 = 3 spans
+      (5L, twenty)                               // verbatim copy: all 3 spans shared
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.repeatedSpans(docs, 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (4L, 3L, 3L), (5L, 3L, 3L)))
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark removes cross-file replays") {
+    val src = tmpDir("stream-dedup")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.write.mode("overwrite").parquet(src)
+    events.write.mode("append").parquet(src) // replay every event once more
+    val streamed = spark.readStream.schema(events.schema).parquet(src)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // every replay is either state-deduped (same batch / within watermark)
+    // or dropped as late data — never emitted twice
+    assert(spark.table("dedup_out").count() == events.count())
+  }
+
   test("bloom blocklistHits is EXACT: equals the naive semi-join, at any fpp") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val block = wd.filter(col("doc_id") % 31 === 0).select(col("url"))
