@@ -142,6 +142,38 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("bucketed tables co-locate the join: zero exchanges between bucketed scans") {
+    // the 100 TB co-location pattern: two fact tables bucketed on the
+    // join key join WITHOUT shuffling either side — at scale this is the
+    // difference between a metadata operation and re-shuffling 100 TB
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1") // force a real join, not a tiny-table broadcast
+    try {
+      docs.select(col("doc_id"), col("host")).write.mode("overwrite")
+        .option("path", tmpDir("bkt-a")).bucketBy(8, "doc_id")
+        .sortBy("doc_id").saveAsTable("bkt_a")
+      docs.select(col("doc_id"), col("url")).write.mode("overwrite")
+        .option("path", tmpDir("bkt-b")).bucketBy(8, "doc_id")
+        .sortBy("doc_id").saveAsTable("bkt_b")
+      val bucketed = staticPlan(
+        spark.table("bkt_a").join(spark.table("bkt_b"), "doc_id")).toString
+      assert(!bucketed.contains("Exchange hashpartitioning(doc_id"), bucketed.take(2000))
+      // control: the same join over plain parquet MUST shuffle both sides
+      val pa = tmpDir("plain-a"); val pb = tmpDir("plain-b")
+      docs.select(col("doc_id"), col("host")).write.mode("overwrite").parquet(pa)
+      docs.select(col("doc_id"), col("url")).write.mode("overwrite").parquet(pb)
+      val plain = staticPlan(
+        spark.read.parquet(pa).join(spark.read.parquet(pb), "doc_id")).toString
+      assert(plain.contains("Exchange hashpartitioning(doc_id"), plain.take(2000))
+    } finally {
+      spark.conf.set(bcKey, prevBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("q62: phase-1 window partitions on (host, sub-bucket), never host alone over raw rows") {
     val plan = SparkEntry.queries("q62_domain_cap")(spark, sfDir)
       .queryExecution.optimizedPlan.toString
