@@ -100,20 +100,31 @@ object Bench {
       repsHi :+= once(16)
       repsHi :+= once(16)
     }
-    // Adaptive 16-core resampling: the 16-core floor is the
-    // noise-fragile side of the ratio (~20 s reps vs ~60 s — a steal
-    // burst inflates it proportionally 3× more, and the min estimator
-    // needs more samples to converge on the quiet floor; observed quiet
-    // floors are 17–18 s but storm-period 6-sample runs min out at
-    // 19–21 s). When the ratio lands below 0.85 take up to 4 more
-    // 16-core samples; every rep is published in reps_4n so the
-    // estimate stays auditable. (Extra 4-core reps would only LOWER
-    // that min and the ratio — the asymmetry is inherent to min-floor
-    // estimation, not a thumb on the scale.)
-    var extra = 0
-    while (extra < 4 && (repsLo.min / repsHi.min) / 4.0 < 0.85) {
+    // Adaptive convergence resampling, SYMMETRIC and independent of the
+    // gate value: a min-floor estimate is credible once its two smallest
+    // samples agree (best two within tol), i.e. the floor was reached at
+    // least twice rather than by one lucky quiet rep. Each level that
+    // hasn't converged gets extra reps until it has (or its cap runs
+    // out). Both directions are sampled under the same rule — an extra
+    // 4-core rep can only LOWER the ratio, an extra 16-core rep can only
+    // RAISE it — so the protocol doesn't condition on which side of the
+    // gate the estimate sits. Every rep is published in reps_n/reps_4n.
+    // Caps: 4 extra 16-core reps (~20 s each, the steal-fragile level),
+    // 1 extra 4-core rep (~60 s); tolerance 5% hi / 8% lo (longer reps
+    // integrate over more steal windows, so their spread is wider).
+    def converged(xs: Vector[Double], tol: Double): Boolean = {
+      val s = xs.sorted
+      s(1) <= s(0) * (1.0 + tol)
+    }
+    var extraHi = 0
+    while (extraHi < 4 && !converged(repsHi, 0.05)) {
       repsHi :+= once(16)
-      extra += 1
+      extraHi += 1
+    }
+    var extraLo = 0
+    while (extraLo < 1 && !converged(repsLo, 0.08)) {
+      repsLo :+= once(4)
+      extraLo += 1
     }
     val secLo = repsLo.min
     val secHi = repsHi.min

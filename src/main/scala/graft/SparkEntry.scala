@@ -561,9 +561,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
     }),
 
-    // Cross-doc repeated spans: window-granularity exact-substring dedup
-    // (10-word windows, stride 5) — per doc, how many of its spans occur
-    // verbatim in another doc; spans shuffle as 60-bit hashes only
+    // Cross-doc repeated spans: content-anchored exact-substring dedup
+    // (10-word spans starting at words with hash%5==0, winnowing-style,
+    // so shared passages align regardless of doc offset) — per doc, how
+    // many of its spans occur verbatim in another doc; spans shuffle as
+    // 60-bit hashes only
     "q74_repeated_spans" -> ((s, dir) =>
       graft.operators.Dedup.repeatedSpans(Pipeline.webdoc(s, dir), 10, 5)))
 
@@ -1037,8 +1039,10 @@ object SparkEntry {
           |         ELSE url END AS url FROM webdoc)
           |, u AS (SELECT * FROM ub UNION ALL SELECT * FROM uv)
           |, nd AS (SELECT doc_id,
-          |    regexp_replace(regexp_replace(regexp_replace(url, '#.*', ''),
-          |      'utm_[a-zA-Z_]*=[^&]*&?', '', 'g'), '[?&]+$', '') AS n FROM u)
+          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+          |      '#.*', ''),
+          |      '([?&])utm_[a-zA-Z_]*=[^&]*', '\1', 'g'),
+          |      '([?&])&+', '\1', 'g'), '[?&]+$', '') AS n FROM u)
           |, c AS (SELECT doc_id,
           |    regexp_replace(
           |      lower(regexp_extract(n, '^(https?://[^/?]*)', 1)) ||
@@ -1131,8 +1135,10 @@ object SparkEntry {
            |    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS words
            |  FROM webdoc)
            |, sp AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 10
-           |    THEN list_transform(range(0, (len(words) - 10) // 5 + 1),
-           |         i -> array_to_string(words[(i*5+1):(i*5+10)], ' '))
+           |    THEN list_transform(
+           |         list_filter(range(0, len(words) - 10 + 1),
+           |           i -> ${h60("words[i+1]")} % 5 = 0),
+           |         i -> array_to_string(words[(i+1):(i+10)], ' '))
            |    ELSE []::VARCHAR[] END) AS span FROM ww)
            |, sh2 AS (SELECT doc_id, ${h60("span")} AS h FROM sp)
            |, dfs AS (SELECT h, count(DISTINCT doc_id) AS ddf FROM sh2 GROUP BY h)

@@ -134,7 +134,9 @@ object Dedup {
     // synthesis+shingle projection (measured 3 corpus passes at sf0.1
     // via ShingleExprs.evals; 1 with the cache). Same materialize-once
     // shape a 100 TB multi-stage dedup uses (a table write on a real
-    // cluster; memory-with-spill here).
+    // cluster; memory-with-spill here). Storage is bounded across
+    // re-invocations: CacheManager keys on the canonicalized plan, so
+    // every call registers the SAME entry, not a new one per call.
     val sh = withShingles(docs).select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -329,14 +331,24 @@ object Dedup {
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame =
     connectedComponents(minhashPairs(docs, threshold).select(col("doc_a"), col("doc_b")))
 
-  /** Cross-document repeated-span detection — the window-granularity form
-    * of exact-substring dedup (the "same 50-token passage appears in many
-    * documents" pathology suffix-array dedup targets; at 100 TB the exact
-    * suffix array is replaced by fixed windows: `width`-word spans every
-    * `stride` words, so a shared passage of ≥ width+stride−1 words is
-    * guaranteed to produce at least one exactly-aligned shared window).
-    * Emits, per document having any, the count of its spans that also
-    * occur VERBATIM in at least one other document.
+  /** Cross-document repeated-span detection — the content-defined-window
+    * form of exact-substring dedup (the "same 50-token passage appears in
+    * many documents" pathology suffix-array dedup targets). A `width`-word
+    * span starts at every ANCHOR word — a word whose hash ≡ 0 (mod
+    * `stride`) — the winnowing/MOSS trick: span starts are a function of
+    * the TEXT, not of document offsets, so two documents sharing a
+    * verbatim passage place their in-passage spans at identical passage
+    * offsets no matter where the passage sits in each document. A shared
+    * passage of L ≥ width words is detected iff an anchor falls in its
+    * first L−width+1 positions — deterministic given the text (both
+    * documents always agree), with miss probability (1−1/stride)^(L−width+1)
+    * under hash uniformity, i.e. vanishing for passages much longer than
+    * `width`. (Fixed doc-offset windows every `stride` words would be
+    * cheaper but silently miss any shared passage whose offsets differ
+    * mod stride between the two documents.) Expected span density is
+    * 1/stride per word, same as fixed-stride windows. Emits, per document
+    * having any, the count of its spans that also occur VERBATIM in at
+    * least one other document.
     *
     * Scale shape: spans leave the row as 60-bit hashes immediately, so
     * both shuffles (the span-df aggregation and the df probe join) carry
@@ -345,15 +357,19 @@ object Dedup {
     * its own projection and referenced 3× from the next one — Catalyst's
     * CollapseProject keeps multiply-referenced non-cheap aliases
     * un-inlined, so the tokenizer runs once per row (same discipline as
-    * the shingle family). */
+    * the shingle family). One persisted span table feeds the df leg and
+    * the probe leg; identical plans share a single cache entry. */
   def repeatedSpans(docs: DataFrame, width: Int, stride: Int): DataFrame = {
     require(stride > 0 && width >= stride, "need 0 < stride <= width")
     val spans = docs
       .select(col("doc_id"), graft.operators.Rules.wordsOf(col("text")).as("__w"))
       .select(col("doc_id"),
         when(size(col("__w")) >= width,
-          transform(sequence(lit(0), expr(s"(size(__w) - $width) div $stride").cast("int")),
-            i => concat_ws(" ", slice(col("__w"), i * stride + 1, lit(width)))))
+          transform(
+            filter(sequence(lit(0), expr(s"size(__w) - $width").cast("int")),
+              i => pmod(graft.functions.Hashing.md5Hash60(
+                element_at(col("__w"), i + 1)), lit(stride.toLong)) === 0),
+            i => concat_ws(" ", slice(col("__w"), i + 1, lit(width)))))
           .otherwise(array().cast("array<string>")).as("spans"))
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .select(col("doc_id"), graft.functions.Hashing.md5Hash60(col("span")).as("h"))

@@ -16,14 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Canonical form: strip fragment → strip utm_* tracking params →
-    * strip dangling '?'/'&' → lowercase scheme+host (path case is
-    * significant and preserved) → strip one trailing slash. Patterns are
-    * RE2-simple so the DuckDB oracle mirrors them verbatim. */
+  /** Canonical form: strip fragment → strip utm_* tracking params
+    * (anchored to a '?'/'&' separator, which is kept and then collapsed —
+    * an UNanchored 'utm_…' pattern would also eat the tail of longer
+    * parameter names like 'xutm_source=1' and merge distinct URLs) →
+    * collapse doubled separators → strip dangling '?'/'&' → lowercase
+    * scheme+host (path case is significant and preserved) → strip one
+    * trailing slash. Patterns are RE2-simple (no lookarounds) so the
+    * DuckDB oracle mirrors them verbatim. */
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    val noUtm = regexp_replace(noFrag, "utm_[a-zA-Z_]*=[^&]*&?", "")
-    val noDangle = regexp_replace(noUtm, "[?&]+$", "")
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[a-zA-Z_]*=[^&]*", "$1")
+    val collapsed = regexp_replace(noUtm, "([?&])&+", "$1")
+    val noDangle = regexp_replace(collapsed, "[?&]+$", "")
     val hostLower = concat(
       lower(regexp_extract(noDangle, "^(https?://[^/?]*)", 1)),
       regexp_extract(noDangle, "^https?://[^/?]*(.*)$", 1))

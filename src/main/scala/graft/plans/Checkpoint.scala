@@ -39,7 +39,7 @@ object Checkpoint {
     * spent, a run that ends with any shard still failing reports −1
     * itself — a one-shot orchestration keying on the exit code never
     * mistakes a permanent failure for success. */
-  case class RunResult(processed: Seq[Long], failedThisRun: Seq[Long], exhausted: Seq[Long]) {
+  case class RunResult(processed: Seq[Long], attemptFailures: Seq[Long], exhausted: Seq[Long]) {
     def exitCode: Int = if (exhausted.nonEmpty) -1 else 0
   }
 

@@ -31,12 +31,22 @@ class SideCache[K, V](build: SparkSession => Map[K, V], version: () => Long)
     * memoization observable (tests assert it stays flat across reuse). */
   def builds: Int = buildsCount
 
+  // @transient fields are null (not None) on a deserialized copy — a
+  // SideCache that round-tripped through a closure must behave as empty
+  // (rebuild on first get), not NPE inside a match
+  private def current: Option[(Long, Broadcast[Map[K, V]])] =
+    Option(cached).flatten
+
   def get(spark: SparkSession): Broadcast[Map[K, V]] = synchronized {
     val v = version()
-    cached match {
+    current match {
       case Some((cv, bc)) if cv == v => bc
       case stale =>
-        stale.foreach(_._2.destroy()) // executors drop the stale blocks
+        // unpersist (async), NOT destroy: in-flight jobs may still hold
+        // the stale broadcast — destroy would fail their tasks mid-run;
+        // unpersist drops executor blocks and lets stragglers refetch
+        // from the driver until their job ends
+        stale.foreach(_._2.unpersist(blocking = false))
         val bc = spark.sparkContext.broadcast(build(spark))
         buildsCount += 1
         cached = Some((v, bc))
@@ -44,10 +54,11 @@ class SideCache[K, V](build: SparkSession => Map[K, V], version: () => Long)
     }
   }
 
-  /** Explicit drop (the reference never clears during reset — callers use
-    * this only for shutdown or forced refresh). */
+  /** Explicit teardown — destroys the broadcast, so only safe once no job
+    * still references it (shutdown). For a forced refresh while jobs may
+    * be running, bump `version` instead and let `get` unpersist. */
   def invalidate(): Unit = synchronized {
-    cached.foreach(_._2.destroy())
+    current.foreach(_._2.destroy())
     cached = None
   }
 }

@@ -29,7 +29,17 @@ object Incremental {
 
   def readBookmark(stateDir: String, sourceId: String, default: Timestamp): Timestamp = {
     val p = bookmarkPath(stateDir, sourceId)
-    if (Files.exists(p)) Timestamp.valueOf(Files.readString(p)) else default
+    if (Files.exists(p)) Timestamp.valueOf(Files.readString(p))
+    else {
+      // pre-source-keyed state dirs stored one un-keyed "bookmark" file;
+      // honor it for the default source so an upgraded reader resumes
+      // where the old writer stopped instead of silently reprocessing
+      // (and re-appending) the whole history
+      val legacy = Paths.get(stateDir, "bookmark")
+      if (sourceId == DefaultSource && Files.exists(legacy))
+        Timestamp.valueOf(Files.readString(legacy))
+      else default
+    }
   }
 
   def readBookmark(stateDir: String, default: Timestamp): Timestamp =
@@ -52,9 +62,14 @@ object Incremental {
     * appending its output to `outDir`. The bookmark advances per box —
     * zero-record boxes advance it too (reference semantics).
     *
-    * Each box is evaluated ONCE: the record count rides the write as an
-    * `Observation` metric instead of a separate count() action (r2
-    * "What's wrong #4" — count-then-write recomputed `work(box)`). */
+    * Each box is evaluated ONCE and committed write-audit-publish style:
+    * the box writes to a staging dir with the record count riding along
+    * as an `Observation` metric (no separate count() action — r2 "What's
+    * wrong #4": count-then-write recomputed `work(box)`), then non-empty
+    * boxes publish by moving their part files into `outDir` (metadata
+    * ops) while empty boxes publish nothing — so `outDir` is created and
+    * populated only when data actually exists, and a reader never finds
+    * a files-less "committed" directory. */
   def runBoxes(src: DataFrame, work: DataFrame => DataFrame, outDir: String,
                stateDir: String, startTs: Timestamp, endTs: Timestamp,
                intervalSec: Long, sourceId: String = DefaultSource): Seq[BoxResult] = {
@@ -66,9 +81,20 @@ object Incremental {
         math.min(bookmark.getTime + intervalSec * 1000L, endTs.getTime))
       val box = src.filter(col("ts") > lit(bookmark) && col("ts") <= lit(boxEnd))
       val obs = Observation(s"box_${sourceId}_${boxEnd.getTime}_$boxIdx")
-      work(box).observe(obs, count(lit(1)).as("n"))
-        .write.mode(SaveMode.Append).parquet(outDir)
-      val n = obs.get("n").asInstanceOf[Long]
+      val staging = Paths.get(s"${outDir}_staging_${sourceId}_$boxIdx")
+      val n = try {
+        work(box).observe(obs, count(lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+        val c = obs.get("n").asInstanceOf[Long]
+        if (c > 0) {
+          Files.createDirectories(Paths.get(outDir))
+          val parts = Files.list(staging)
+          try parts.filter(p => p.getFileName.toString.startsWith("part-"))
+            .forEach(p => Files.move(p, Paths.get(outDir, p.getFileName.toString)))
+          finally parts.close()
+        }
+        c
+      } finally deleteRecursively(staging)
       writeBookmark(stateDir, sourceId, boxEnd) // advance even on zero records
       results :+= BoxResult(sourceId, bookmark, boxEnd, n)
       bookmark = boxEnd
@@ -76,6 +102,14 @@ object Incremental {
     }
     results
   }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
 
   /** Multi-source state run: each (sourceId, frame) advances its OWN
     * bookmark in the shared state dir — one source's progress (or

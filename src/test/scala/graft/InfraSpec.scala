@@ -71,7 +71,7 @@ class InfraSpec extends SparkSpec {
     // retry; 3 fails attempt 1 + retry → exhausted, and THIS run reports
     // the nonzero exit — no resume needed to surface a permanent failure
     val r1 = attempt()
-    assert(r1.failedThisRun.toSet == Set(3L, 5L))
+    assert(r1.attemptFailures.toSet == Set(3L, 5L))
     assert(r1.processed.size == 31 && r1.processed.contains(5L))
     assert(r1.exhausted == Seq(3L))
     assert(r1.exitCode == -1)
@@ -81,7 +81,7 @@ class InfraSpec extends SparkSpec {
 
     // run 2 (resume): nothing retryable remains; 3 still reported exhausted
     val r2 = attempt()
-    assert(r2.processed.isEmpty && r2.failedThisRun.isEmpty)
+    assert(r2.processed.isEmpty && r2.attemptFailures.isEmpty)
     assert(r2.exhausted == Seq(3L))
     assert(r2.exitCode == -1)
 

@@ -34,7 +34,9 @@ class OperatorSpec extends SparkSpec {
       "https://host-1.example.com/a/b/",
       "https://host-1.example.com/a/b",
       "https://host-1.example.com/a/b?id=7&utm_medium=m", // non-utm param kept
-      "https://host-1.example.com/A/B" // path case is significant
+      "https://host-1.example.com/A/B", // path case is significant
+      "https://host-1.example.com/a/b?xutm_source=1", // NOT a utm param: kept intact
+      "https://host-1.example.com/a/b?utm_a=1&utm_b=2&utm_c=3&id=9" // run of utm params
     ).toDF("url")
     val got = urls.select(graft.operators.UrlOps.canonicalize(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq
@@ -44,6 +46,10 @@ class OperatorSpec extends SparkSpec {
     assert(got(3) == "https://host-1.example.com/a/b")
     assert(got(4) == "https://host-1.example.com/a/b?id=7")
     assert(got(5) == "https://host-1.example.com/A/B")
+    // the unanchored-pattern bug would strip the 'utm_source=1' SUBSTRING
+    // of a longer param name and merge genuinely distinct URLs
+    assert(got(6) == "https://host-1.example.com/a/b?xutm_source=1")
+    assert(got(7) == "https://host-1.example.com/a/b?id=9")
   }
 
   test("quantizeInt8: codes in [0,255], max reconstruction error within half a step") {
@@ -263,20 +269,42 @@ class OperatorSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("repeatedSpans flags exactly the docs sharing an aligned verbatim window") {
+  test("repeatedSpans: stride=1 (every word an anchor) gives exact substring semantics") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"w$i").mkString(" ")
     val twenty = (1 to 20).map(i => s"y$i").mkString(" ")
     val docs = Seq(
-      (1L, shared + " aa bb cc dd"),             // 14 words -> 1 span (the shared one)
-      (2L, shared + " ee ff gg hh"),             // same first-10 window
-      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // unique words -> no cross-doc span
-      (4L, twenty),                              // 20 words -> (20-10)/5+1 = 3 spans
-      (5L, twenty)                               // verbatim copy: all 3 spans shared
+      (1L, shared + " aa bb cc dd"),   // 14 words -> 5 spans; only pos-0 is shared
+      (2L, shared + " ee ff gg hh"),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")), // unique words: no cross-doc span
+      (4L, twenty),                    // 20 words -> 11 spans
+      (5L, twenty),                    // verbatim copy: all 11 shared
+      // the MISALIGNED case: same 10-word passage at different offsets
+      (6L, shared + " qq rr"),
+      (7L, "mm nn oo " + shared)
     ).toDF("doc_id", "text")
-    val got = graft.operators.Dedup.repeatedSpans(docs, 10, 5)
+    val got = graft.operators.Dedup.repeatedSpans(docs, 10, 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (4L, 3L, 3L), (5L, 3L, 3L)))
+    assert(got == Seq((1L, 5L, 1L), (2L, 5L, 1L), (4L, 11L, 11L), (5L, 11L, 11L),
+      (6L, 3L, 1L), (7L, 4L, 1L)))
+  }
+
+  test("repeatedSpans: content anchors align shared passages across different doc offsets") {
+    import spark.implicits._
+    // a 30-word passage; with stride=5 an anchor lands in its first 21
+    // positions with prob 1-(0.8)^21 ~ 0.99 — deterministic for THESE
+    // words (the assertion below proves an anchor exists for them)
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage + " tail1 tail2"),                 // passage at offset 0
+      (2L, "head1 head2 head3 " + passage),           // same passage at offset 3
+      (3L, (1 to 32).map(i => s"u$i").mkString(" "))  // control: no shared text
+    ).toDF("doc_id", "text")
+    val flagged = graft.operators.Dedup.repeatedSpans(docs, 10, 5)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    // fixed doc-offset windows (stride 5) would MISS this pair: offsets
+    // 0 vs 3 differ mod 5 — content anchoring catches it
+    assert(flagged == Seq(1L, 2L))
   }
 
   test("streaming dedup: dropDuplicatesWithinWatermark removes cross-file replays") {
