@@ -240,6 +240,40 @@ class InfraSpec extends SparkSpec {
     assert(total == wantA + wantB)
   }
 
+  test("all-empty incremental run publishes nothing: outDir is never created") {
+    val out = tmpDir("inc3-out") + "/data" // does not exist yet
+    val state = tmpDir("inc3-state")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val t0 = events.agg(min("ts")).head().get(0) match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val end = new Timestamp(t0.getTime + 2 * 6L * 3600 * 1000)
+    val res = Incremental.runBoxes(events.filter(lit(false)), identity, out,
+      state, t0, end, 6L * 3600)
+    assert(res.size == 2 && res.forall(_.records == 0L))
+    assert(Incremental.readBookmark(state, t0) == end) // bookmarks still advance
+    // write-audit-publish: empty boxes stage + discard; no committed dir
+    // (and no files-less directory a schema-inferring reader would choke on)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+  }
+
+  test("legacy un-keyed bookmark is honored by the default source only") {
+    val state = tmpDir("inc4-state")
+    val legacy = Timestamp.valueOf("2024-02-01 00:00:00")
+    val dflt = Timestamp.valueOf("2024-01-01 00:00:00")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "bookmark"), legacy.toString)
+    // default source resumes from the pre-source-keyed bookmark...
+    assert(Incremental.readBookmark(state, dflt) == legacy)
+    // ...but a named source does NOT inherit it
+    assert(Incremental.readBookmark(state, "srcX", dflt) == dflt)
+    // and once the keyed bookmark exists it wins over the legacy file
+    val newer = Timestamp.valueOf("2024-03-01 00:00:00")
+    Incremental.writeBookmark(state, newer)
+    assert(Incremental.readBookmark(state, dflt) == newer)
+  }
+
   test("SideCache memoizes the side-table broadcast across jobs and rebuilds on staleness (S4 weblog cache)") {
     import spark.implicits._
     val dir = tmpDir("sidecache")
