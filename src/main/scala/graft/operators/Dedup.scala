@@ -360,7 +360,10 @@ object Dedup {
     * the shingle family). One persisted span table feeds the df leg and
     * the probe leg; identical plans share a single cache entry. */
   def repeatedSpans(docs: DataFrame, width: Int, stride: Int): DataFrame = {
-    require(stride > 0 && width >= stride, "need 0 < stride <= width")
+    // stride only sets anchor density (1/stride of words); unlike the
+    // fixed-offset windowing this scheme replaced, stride > width is a
+    // valid (sparser) configuration
+    require(stride > 0 && width > 0, "need stride > 0 and width > 0")
     val spans = docs
       .select(col("doc_id"), graft.operators.Rules.wordsOf(col("text")).as("__w"))
       .select(col("doc_id"),

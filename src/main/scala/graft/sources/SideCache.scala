@@ -16,8 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * side-table scan only when (a) nothing is cached yet — laziest possible
   * initialization, or (b) the `version` probe (e.g. a table snapshot id,
   * or the max file mtime of the backing directory) has moved — the
-  * staleness test. A rebuilt entry destroys the stale broadcast so
-  * executors drop the old blocks. Reuse is what matters at scale: a
+  * staleness test. A rebuild unpersists the stale broadcast (async, so
+  * in-flight jobs still holding it keep working) and executors drop its
+  * blocks lazily. Reuse is what matters at scale: a
   * 1000-executor job that re-broadcast a side table per stage would pay
   * the full fan-out each time; a memoized broadcast ships once.
   */

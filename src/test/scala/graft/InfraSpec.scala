@@ -258,6 +258,29 @@ class InfraSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
   }
 
+  test("box publish is idempotent: rerun after a lost bookmark replaces, never appends") {
+    val out = tmpDir("inc5-out") + "/data"
+    val state = tmpDir("inc5-state")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val t0 = events.agg(min("ts")).head().get(0) match {
+      case t: Timestamp => t
+      case l: java.time.LocalDateTime => Timestamp.valueOf(l)
+    }
+    val boxSec = 6L * 3600
+    val end = new Timestamp(t0.getTime + boxSec * 1000)
+    val r1 = Incremental.runBoxes(events, identity, out, state, t0, end, boxSec)
+    assert(r1.size == 1 && r1.head.records > 0)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == r1.head.records)
+    // simulate a crash AFTER publish but BEFORE the bookmark advanced:
+    // the rerun must repair (replace) the box's files, not append to them
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(state, "bookmark_default"))
+    val r2 = Incremental.runBoxes(events, identity, out, state, t0, end, boxSec)
+    assert(r2.size == 1 && r2.head.records == r1.head.records)
+    assert(spark.read.parquet(out).count() == n1) // no duplicates
+  }
+
   test("legacy un-keyed bookmark is honored by the default source only") {
     val state = tmpDir("inc4-state")
     val legacy = Timestamp.valueOf("2024-02-01 00:00:00")
