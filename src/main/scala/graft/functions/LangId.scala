@@ -143,7 +143,7 @@ object LangId extends Serializable {
     * nothing. */
   def apply(docs: DataFrame, onlyKept: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+    val bc = modelBroadcast(spark)
     val inSchema = docs.schema
     val textIdx = inSchema.fieldIndex("text")
     val keepIdx = if (onlyKept) inSchema.fieldIndex("keep") else -1
@@ -156,9 +156,29 @@ object LangId extends Serializable {
       val buf = new Array[Double](Dim) // reused across the partition
       val base = if (keepIdx >= 0) iter.filter(_.getBoolean(keepIdx)) else iter
       base.map { r =>
-        val (idx, score) = predictInto(r.getString(textIdx), profiles, buf)
+        // null-safe: every Catalyst stage upstream passes a NULL text
+        // through, so the only non-null-safe stage must not NPE the job
+        val text = r.getString(textIdx)
+        val (idx, score) = predictInto(if (text == null) "" else text, profiles, buf)
         Row.fromSeq(r.toSeq :+ Langs(idx) :+ score)
       }
     }(enc)
+  }
+
+  // one broadcast of the (immutable) model per SparkContext — repeated
+  // apply() calls (bench reps, per-query invocations) must not each ship
+  // a fresh broadcast and leak driver/executor blocks for the session
+  @volatile private var bcCache: (org.apache.spark.SparkContext,
+    org.apache.spark.broadcast.Broadcast[Map[String, Array[Double]]]) = null
+
+  private def modelBroadcast(spark: org.apache.spark.sql.SparkSession) = synchronized {
+    val sc = spark.sparkContext
+    val cur = bcCache
+    if (cur != null && (cur._1 eq sc) && !sc.isStopped) cur._2
+    else {
+      val bc = sc.broadcast(model)
+      bcCache = (sc, bc)
+      bc
+    }
   }
 }

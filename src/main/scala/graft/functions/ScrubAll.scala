@@ -14,9 +14,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * verdict's lexicon rlike); this costs 4 (counts ride along with the
   * replaces, and Verdict reads `scrub_lexicon > 0` instead of re-matching).
   * Same java.util.regex engine and patterns as regexp_replace, so the
-  * scrubbed bytes are identical; counts are measured on the progressively
-  * scrubbed string (≡ counts-on-original whenever patterns don't overlap,
-  * which the PII patterns don't — replacement tokens match nothing).
+  * scrubbed bytes are identical; counts are measured on the ORIGINAL
+  * text — exactly what the composable chain's regexp_count and the
+  * DuckDB oracle measure. That distinction matters because the patterns
+  * are NOT mutually exclusive: the email pattern subsumes phone-, IP-,
+  * and lexicon-shaped local parts ('frak@example.com'), so counting the
+  * progressively scrubbed string would under-count and flip the lexicon
+  * verdict on overlapping PII. The fusion win survives: while no prior
+  * pattern has matched (the overwhelming majority of documents) the
+  * original and current strings are the same object and one matcher pass
+  * does both count and replace; only documents that already had a
+  * replacement pay a second (count-only) pass per remaining pattern.
   *
   * Returns struct(scrubbed_text, scrub_email, scrub_phone, scrub_ip,
   * scrub_lexicon).
@@ -62,17 +70,36 @@ object ScrubAll {
     var i = 0
     while (i < compiled.length) {
       val (p, rep) = compiled(i)
-      val m = p.matcher(s)
-      if (m.find()) {
-        val sb = new java.lang.StringBuilder(s.length)
+      if (s eq input) {
+        // nothing replaced yet: one pass counts (on the original, which
+        // IS the current string) and replaces
+        val m = p.matcher(s)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          var n = 0L
+          do {
+            n += 1
+            m.appendReplacement(sb, rep)
+          } while (m.find())
+          m.appendTail(sb)
+          s = sb.toString
+          counts(i) = n
+        }
+      } else {
+        // a prior pattern replaced something: count on the ORIGINAL text
+        // (oracle semantics — a phone/IP/slur inside an already-scrubbed
+        // email must still count), replace on the current string
         var n = 0L
-        do {
-          n += 1
-          m.appendReplacement(sb, rep)
-        } while (m.find())
-        m.appendTail(sb)
-        s = sb.toString
+        val mc = p.matcher(input)
+        while (mc.find()) n += 1
         counts(i) = n
+        val m = p.matcher(s)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          do m.appendReplacement(sb, rep) while (m.find())
+          m.appendTail(sb)
+          s = sb.toString
+        }
       }
       i += 1
     }

@@ -73,7 +73,12 @@ object TextSignals {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** HALF_UP at 6 dp for non-negative values — same as Spark/DuckDB round. */
+  /** HALF_UP at 6 dp for non-negative values. Agrees with Spark round()
+    * (which rounds the shortest-decimal rendering via BigDecimal) except
+    * when x*1e6 sits within an ulp of an exact .5 tie — the fixture's
+    * integer-ratio signals never land there (pinned by the differential
+    * twin + oracle hashes); true ties would need a shared rational
+    * rounding path. */
   private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   def compute(s: String): InternalRow = {
@@ -89,7 +94,10 @@ object TextSignals {
       if (isWs(c)) {
         if (wStart >= 0) { words += s.substring(wStart, i); wStart = -1 }
       } else {
-        nonWs += 1
+        // count CODE POINTS like Spark length()/DuckDB length(): the low
+        // half of a proper surrogate pair is not a separate character
+        if (!(Character.isLowSurrogate(c) && i > 0 &&
+            Character.isHighSurrogate(s.charAt(i - 1)))) nonWs += 1
         if (c == '#' || c == '@' || c == '$' || c == '%' || c == '!') symbols += 1
         if (wStart < 0) wStart = i
       }
@@ -157,7 +165,7 @@ object TextSignals {
       }
 
     InternalRow(
-      n.toLong, nWords.toLong, nLines,
+      s.codePointCount(0, n).toLong, nWords.toLong, nLines,
       r6(nonWs.toDouble / nWords),
       r6(symbols.toDouble / nWords),
       r6(bullets.toDouble / nLines),

@@ -35,12 +35,13 @@ object Rules {
     * [[graft.functions.TextSignals]] expression (one struct eval per row;
     * the composable HOF form below is ~20 interpreted expression trees and
     * was the pipeline's allocation bottleneck). */
-  def apply(df: DataFrame): DataFrame = {
-    val staged = df.withColumn("sig", graft.functions.TextSignals(col("text")))
-    signalCols.foldLeft(staged) { (d, c) =>
-      d.withColumn(c, col("sig").getField(c))
-    }.drop("sig")
-  }
+  def apply(df: DataFrame): DataFrame =
+    // one withColumns call, not a per-column withColumn fold: each fold
+    // step re-analyzes the growing plan (O(n²) driver time)
+    df.withColumn("sig", graft.functions.TextSignals(col("text")))
+      .withColumns(scala.collection.immutable.ListMap( // keep canonical column order
+        signalCols.map(c => c -> col("sig").getField(c)): _*))
+      .drop("sig")
 
   /** Composable built-ins form of the signals — the differential-test twin
     * of TextSignals (and the shape the DuckDB oracle mirrors); expects a

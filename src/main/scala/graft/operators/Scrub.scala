@@ -31,17 +31,17 @@ object Scrub {
   /** Adds `scrub_<name>` count columns and `scrubbed_text` via the fused
     * native [[graft.functions.ScrubAll]] expression (4 regex scans per doc
     * instead of 9 — see its scaladoc; byte-identical scrubbed text). */
-  def apply(df: DataFrame): DataFrame = {
-    val staged = df.withColumn("__scrub", graft.functions.ScrubAll(col("text")))
-    val named = (countCols :+ "scrubbed_text").foldLeft(staged) { (d, c) =>
-      d.withColumn(c, col("__scrub").getField(c))
-    }
-    named.drop("__scrub")
-  }
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn("__scrub", graft.functions.ScrubAll(col("text")))
+      .withColumns(scala.collection.immutable.ListMap( // keep canonical column order
+        (countCols :+ "scrubbed_text").map(c => c -> col("__scrub").getField(c)): _*))
+      .drop("__scrub")
 
   /** Composable twin (differential-tested; the DuckDB oracle's shape).
-    * Counts are measured on the pre-scrub text — equivalent to the fused
-    * form because the patterns are mutually exclusive. */
+    * Counts are measured on the pre-scrub text — the fused kernel now
+    * counts on the original too (the patterns are NOT mutually exclusive:
+    * the email pattern subsumes phone/IP/lexicon-shaped local parts;
+    * differential-tested on exactly that overlap). */
   def applyComposable(df: DataFrame): DataFrame = {
     val withCounts = patterns.foldLeft(df) { case (d, (name, pat, _)) =>
       d.withColumn(s"scrub_$name", regexp_count(col("text"), lit(pat)).cast("long"))

@@ -27,7 +27,10 @@ object Verdict {
     "rep_5gram" -> (col("dup5_frac") > 0.6),
     "low_alpha" -> (col("alpha_ratio") < 0.5),
     "no_stopword" -> (col("stop_hits") < 1),
-    "non_english" -> (col("lang") =!= "en"),
+    // null-SAFE: a doc of unknown (NULL) language must be dropped as
+    // non-English, not silently kept because `NULL != 'en'` is NULL and
+    // when() skips it (oracle mirrors with IS DISTINCT FROM)
+    "non_english" -> !(col("lang") <=> "en"),
     // ≡ text rlike (?i)\b(frak|gorram|smeg|felgercarb)\b — derived from the
     // scrub stage's count so the lexicon regex scans each doc once, not twice
     // (Verdict therefore runs AFTER Scrub in Pipeline.score)

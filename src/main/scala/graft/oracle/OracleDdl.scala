@@ -91,7 +91,7 @@ object OracleDdl {
       |      CASE WHEN dup5_frac > 0.6 THEN 'rep_5gram' END,
       |      CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
       |      CASE WHEN stop_hits < 1 THEN 'no_stopword' END,
-      |      CASE WHEN lang <> 'en' THEN 'non_english' END,
+      |      CASE WHEN lang IS DISTINCT FROM 'en' THEN 'non_english' END,
       |      CASE WHEN regexp_matches(text, '(?i)\b(frak|gorram|smeg|felgercarb)\b') THEN 'lexicon' END
       |    ], r -> r IS NOT NULL), ','), '') AS drop_reasons
       |  FROM sig

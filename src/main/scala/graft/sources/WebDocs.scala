@@ -56,7 +56,14 @@ object WebDocs {
   }
 
   /** The full WebDoc table: base docs ∪ near-clones ∪ exact clones, with
-    * derived url/host/shard/warc_ts/html. Narrow plan — no shuffle. */
+    * derived url/host/shard/warc_ts/html. Narrow plan — no shuffle.
+    *
+    * Clone id offsets (+10M/+20M) assume base doc_id < 10,000,000 — true
+    * for every driver-generated sf (sf0.1 tops out at 4,999) and baked
+    * into the DuckDB oracle/golden files, so they must not be "fixed"
+    * independently; `buildReplicated` uses 100M strides for the same
+    * reason. A base corpus with larger ids would need both sides of the
+    * oracle pair regenerated together. */
   def build(spark: SparkSession, dir: String): DataFrame = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val base = d.select(col("doc_id"), col("text").as("text0"), col("lang"), col("source"))

@@ -59,4 +59,54 @@ class ScrubPropertySpec extends SparkSpec {
     val want = docs.select("text").collect().map(r => scrubLocal(r.getString(0)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("fused scrub counts equal composable counts on OVERLAPPING patterns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the email pattern subsumes phone/IP/slur-shaped local parts: counts
+    // must measure the ORIGINAL text (oracle semantics), not the
+    // progressively scrubbed string where the email already swallowed them
+    val docs = Seq(
+      "ping frak@example.com now",                    // slur inside an email
+      "call 415-555-1234@biz.example.org today",      // phone inside an email
+      "from 10.1.2.3@x.example.co with love",         // IP inside an email
+      "plain frak and plain bob@x.example.org",       // one of each, disjoint
+      "nothing to see").toDF("text")
+    val cols = Seq("scrub_email", "scrub_phone", "scrub_ip", "scrub_lexicon",
+      "scrubbed_text").map(col)
+    val fused = graft.operators.Scrub(docs).select(cols: _*)
+      .collect().map(_.toSeq).toSeq
+    val composable = graft.operators.Scrub.applyComposable(docs).select(cols: _*)
+      .collect().map(_.toSeq).toSeq
+    assert(fused == composable)
+    // and the slur-inside-email doc DOES count the slur (verdict gates on it)
+    assert(fused.head(3) == 1L)
+  }
+
+  test("verdict drops NULL-lang docs as non_english; langid survives NULL text") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = Pipeline.webdoc(spark, sfDir).limit(3)
+    val nullLang = base.withColumn("lang", lit(null).cast("string"))
+    val reasons = Pipeline.score(nullLang).select("drop_reasons")
+      .collect().map(_.getString(0))
+    assert(reasons.forall(_.contains("non_english")))
+    // NULL text must not NPE the (only non-Catalyst) langid stage
+    val nullText = base.withColumn("text", lit(null).cast("string"))
+    val out = graft.functions.LangId(nullText).select("lang_pred").collect()
+    assert(out.length == 3 && out.forall(_.getString(0) != null))
+  }
+
+  test("native TextSignals counts code points (not UTF-16 units) on non-BMP text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // grinning-face emoji = one code point, two UTF-16 units
+    val docs = Seq("hello 😀 world", "cjk ext 𪚥 here").toDF("text")
+    val native = graft.operators.Rules(docs)
+      .select("n_chars", "mean_word_len").collect().map(_.toSeq).toSeq
+    val sparkLen = docs.select(length(col("text")).cast("long")).collect().map(_.getLong(0))
+    assert(native.map(_.head) == sparkLen.toSeq) // n_chars == Spark length()
+    val composable = graft.operators.Rules.applyComposable(docs)
+      .select("n_chars", "mean_word_len").collect().map(_.toSeq).toSeq
+    assert(native == composable)
+  }
 }
