@@ -117,7 +117,7 @@ object LangId extends Serializable {
       if (s > bestScore) { bestScore = s; best = li }
       li += 1
     }
-    (best, math.floor(bestScore * 1e6 + 0.5) / 1e6)
+    (best, Round6.r6(bestScore))
   }
 
   /** Predict (language, cosine score) for one text. Deterministic:

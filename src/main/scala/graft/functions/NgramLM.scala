@@ -82,7 +82,7 @@ object NgramLM extends Serializable {
     var i = 1
     while (i < ws.length) { nll += -math.log(prob(m, ws(i - 1), ws(i))); i += 1 }
     // HALF_UP rounding for positives — matches SQL round() in both engines
-    math.floor(math.exp(nll / ws.length) * 1e6 + 0.5) / 1e6
+    Round6.r6(math.exp(nll / ws.length))
   }
 
   /** Adds `ppl` per doc via mapPartitions over the broadcast model. */

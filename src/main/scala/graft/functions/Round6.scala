@@ -1,0 +1,17 @@
+package graft.functions
+
+/** THE 6-decimal rounding convention — one definition for every kernel
+  * whose scores cross the DuckDB-oracle boundary (TextSignals signals,
+  * LangId cosine, NgramLM perplexity, Multimodal mean byte).
+  *
+  * HALF_UP for non-negative values via floor(x·1e6 + 0.5)/1e6. Agrees
+  * with Spark round() / DuckDB round() except when x·1e6 sits within an
+  * ulp of an exact .5 tie (Spark rounds the shortest-decimal rendering,
+  * this rounds the binary value); the fixtures' integer-ratio scores
+  * never land there — pinned by the differential twins and oracle
+  * hashes. Kept as a single definition precisely so that resolving the
+  * tie convention ever only happens in ONE place.
+  */
+object Round6 {
+  @inline def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+}

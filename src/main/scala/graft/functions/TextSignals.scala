@@ -73,13 +73,9 @@ object TextSignals {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** HALF_UP at 6 dp for non-negative values. Agrees with Spark round()
-    * (which rounds the shortest-decimal rendering via BigDecimal) except
-    * when x*1e6 sits within an ulp of an exact .5 tie — the fixture's
-    * integer-ratio signals never land there (pinned by the differential
-    * twin + oracle hashes); true ties would need a shared rational
-    * rounding path. */
-  private def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  /** The shared 6-dp rounding convention — see [[Round6]] for the
+    * tie-behavior caveat. */
+  private def r6(x: Double): Double = Round6.r6(x)
 
   def compute(s: String): InternalRow = {
     val n = s.length

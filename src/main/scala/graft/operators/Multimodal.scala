@@ -62,7 +62,7 @@ object Multimodal {
           }
           val mean =
             if (bytes.length == 0) 0.0
-            else math.floor(sum.toDouble / bytes.length * 1e6 + 0.5) / 1e6
+            else graft.functions.Round6.r6(sum.toDouble / bytes.length)
           Row(r.getLong(0), r.getString(1), bytes.length.toLong, hist.mkString(","), mean)
         }
       }(enc)
