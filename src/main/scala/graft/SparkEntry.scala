@@ -596,7 +596,7 @@ object SparkEntry {
         " SELECT reason, count(*) AS n FROM (SELECT unnest(string_split(drop_reasons, ',')) AS reason FROM verdict2) WHERE reason <> '' GROUP BY reason"),
     "q10_dedup_exact" ->
       (webdocCte +
-        s" SELECT ${h60("text")} AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies" +
+        " SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies" +
         " FROM webdoc GROUP BY 1"),
     "q11_jaccard" ->
       (webdocCte + shingleCte +

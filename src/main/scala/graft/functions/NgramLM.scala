@@ -37,7 +37,11 @@ object NgramLM extends Serializable {
     * binds, so the SQL oracle's uncapped model is identical.
     */
   def train(docs: DataFrame, maxVocab: Int = 1 << 22, maxBigrams: Int = 1 << 24): Model = {
+    // persisted: the unigram and bigram top-k collects are two separate
+    // jobs — without this each re-runs the full synthesis+tokenize pass
+    // (the same materialize-once discipline as the Dedup shingle tables)
     val words = docs.select(Rules.wordsOf(col("text")).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniDf = words.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val bigDf = words.select(explode(
@@ -65,6 +69,7 @@ object NgramLM extends Serializable {
       .collect().iterator
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
       .toMap
+    words.unpersist(blocking = false)
     Model(uni, big, uni.valuesIterator.sum)
   }
 
@@ -97,8 +102,12 @@ object NgramLM extends Serializable {
       .mapPartitions { iter =>
         val model = bc.value
         iter.map { r =>
-          val ws = r.getSeq[String](2)
-          Row(r.getLong(0), r.getString(1), ws.length.toLong, perplexity(model, ws))
+          // null-safe like LangId: a NULL text yields a null words array
+          // from wordsOf — score it as an empty doc, don't NPE the job
+          val ws0 = r.getSeq[String](2)
+          val ws = if (ws0 == null) Seq.empty[String] else ws0
+          Row(r.getLong(0), r.getString(1), ws.length.toLong,
+            if (ws.isEmpty) 0.0 else perplexity(model, ws))
         }
       }(enc)
   }

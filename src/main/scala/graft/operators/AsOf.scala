@@ -35,12 +35,20 @@ object AsOf {
     val tsType = events.schema("ts").dataType
     def withKeys(df: DataFrame) = df
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
-      .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      // FLOOR division, not `div` (truncation toward zero): a pre-epoch
+      // ts_us must land in its true (negative) bucket, or the bucket-start
+      // carry pseudo-row (ts_us = bucket·bucketUs) would sort AFTER real
+      // pre-epoch rows and they'd miss their carry-in
+      .withColumn("bucket", expr(s"(ts_us - pmod(ts_us, $bucketUs)) div $bucketUs"))
 
     val ev = withKeys(events.select(col("event_id"), col("event_type"), col("ts")))
       .withColumn("rate", lit(null).cast("double")).withColumn("tag", lit(1))
+    // null-rate rows are skippable by definition (the reference global
+    // window reads last(rate, ignoreNulls)); dropping them up front keeps
+    // max_by below from letting a trailing NULL mask a real rate
     val rt = withKeys(rates.select(col("event_id"), col("event_type"), col("ts"),
       col("rate").cast("double").as("rate")))
+      .filter(col("rate").isNotNull)
       .withColumn("tag", lit(0))
 
     // 1. latest rate per (type, bucket) — tiny

@@ -44,10 +44,16 @@ object Dedup {
       .withColumn("sh", shinglesOf(col("__w")))
       .drop("__w")
 
-  /** Exact dedup: group by md5-based content hash, keep the smallest doc_id
-    * (deterministic winner). One shuffle on the 60-bit hash. */
+  /** Exact dedup: group by the FULL 128-bit md5 (hex string, 32 bytes on
+    * the wire), keep the smallest doc_id (deterministic winner). One
+    * shuffle on the hash — never the text. 128 bits, not the 60-bit key
+    * the LSH internals use: at 10^9 documents a 60-bit key has ~40%
+    * birthday-collision probability (silently merging two DIFFERENT
+    * documents), while 128-bit is ~10^-21; the near-dup paths tolerate
+    * 60-bit keys because they verify candidates — exact dedup has no
+    * verify step, so the key itself must be collision-free. */
   def exact(docs: DataFrame): DataFrame =
-    docs.withColumn("content_hash", md5Hash60(col("text")))
+    docs.withColumn("content_hash", md5(col("text")))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 

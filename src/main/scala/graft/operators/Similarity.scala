@@ -102,11 +102,15 @@ object Similarity {
       .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
 
   /** 16 deterministic ±1 hyperplanes for sign-random-projection LSH
-    * (multiplicative-hash parity per (bit, component) — no RNG). */
+    * (multiplicative-hash parity per (bit, component) — no RNG). The
+    * (i, j) key packs the hyperplane index into the high 32 bits so keys
+    * never collide at any dim — an additive `i*64 + j` key would make
+    * hyperplane i+1 a 64-shifted copy of hyperplane i for dim > 64,
+    * correlating signature bits across LSH bands. */
   val SignBits = 16
   def signMatrix(dim: Int): Array[Array[Double]] =
     Array.tabulate(SignBits, dim) { (i, j) =>
-      val h = (i.toLong * 64 + j) * 2654435761L + 1013904223L
+      val h = ((i.toLong << 32) | j.toLong) * 2654435761L + 1013904223L
       if (((h >>> 16) & 1L) == 1L) 1.0 else -1.0
     }
 

@@ -119,11 +119,23 @@ object Checkpoint {
     * scored output + audit rows, committing the ledger per shard group.
     * `failAfterGroups`: test hook simulating a kill after N group commits.
     * Returns the shards processed in THIS invocation. */
+  /** Run `body` with dynamic partition overwrite, restoring the caller's
+    * setting after — a checkpointed run must not permanently flip the
+    * session's overwrite semantics for unrelated later writes. */
+  private def withDynamicOverwrite[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def run(docs: DataFrame, score: DataFrame => DataFrame, outDir: String,
           ledgerDir: String, runId: String, shardsPerCommit: Int = 8,
-          failAfterGroups: Int = Int.MaxValue): Seq[Long] = {
-    val spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          failAfterGroups: Int = Int.MaxValue): Seq[Long] = withDynamicOverwrite(docs.sparkSession) {
     val done = completedShards(ledgerDir)
     val allShards = docs.select(col("shard").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
@@ -155,14 +167,25 @@ object Checkpoint {
         sum(col("scrub_email")).as("n_email"), sum(col("scrub_phone")).as("n_phone"),
         sum(col("scrub_ip")).as("n_ip"), sum(col("scrub_lexicon")).as("n_lexicon"))
       .collect()
+    // audit rows land per-shard under dynamic partition overwrite, so a
+    // retried/resumed group REPLACES its own audit partitions — Append
+    // here would double-count drop reasons every time a group is
+    // reprocessed after a failure between this write and the ledger commit
     val hist = written
       .select(col("shard"), explode(split(col("drop_reasons"), ",")).as("reason"))
       .filter(col("reason") =!= "")
       .groupBy(col("shard"), col("reason")).agg(count(lit(1)).as("n"))
     hist.withColumn("run_id", lit(runId))
-      .write.mode(SaveMode.Append).parquet(s"$ledgerDir/audit")
-    stats.foreach { r =>
-      commitLedger(ledgerDir, ShardLedger(runId, r.getLong(0), r.getLong(1), r.getLong(2)))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard")
+      .parquet(s"$ledgerDir/audit")
+    // commit EVERY shard in the group — including shards whose score
+    // output has zero rows (absent from the read-back stats): without a
+    // ledger row they would be reprocessed on every resume, forever
+    val byShard = stats.map(r => r.getLong(0) -> r).toMap
+    group.foreach { s =>
+      val (in, out) = byShard.get(s)
+        .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+      commitLedger(ledgerDir, ShardLedger(runId, s, in, out))
     }
   }
 
@@ -185,9 +208,8 @@ object Checkpoint {
   def runWithRetry(docs: DataFrame, score: DataFrame => DataFrame, outDir: String,
                    ledgerDir: String, runId: String, shardsPerCommit: Int = 8,
                    retryCount: Int = 1,
-                   groupFault: Seq[Long] => Unit = _ => ()): RunResult = {
-    val spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                   groupFault: Seq[Long] => Unit = _ => ()): RunResult =
+      withDynamicOverwrite(docs.sparkSession) {
     val done = completedShards(ledgerDir)
     var attempts = failedAttempts(ledgerDir)
     val allShards = docs.select(col("shard").cast("long")).distinct()
