@@ -567,7 +567,32 @@ object SparkEntry {
     // many of its spans occur verbatim in another doc; spans shuffle as
     // 60-bit hashes only
     "q74_repeated_spans" -> ((s, dir) =>
-      graft.operators.Dedup.repeatedSpans(Pipeline.webdoc(s, dir), 10, 5)))
+      graft.operators.Dedup.repeatedSpans(Pipeline.webdoc(s, dir), 10, 5)),
+
+    // Model-driven quality classifier: the learned-model stage after the
+    // heuristic rules — weights live in a broadcast side TABLE (not code),
+    // dot product is decimal-exact so the score is order-independent and
+    // engine-identical (QualityModel scaladoc)
+    "q75_quality_logit" -> ((s, dir) =>
+      graft.operators.QualityModel.scoreLinear(Pipeline.scored(s, dir))),
+
+    // Near-dup cluster representative selection: clusters (q48 pipeline)
+    // + per-doc quality → keep the longest member per duplicate group
+    "q76_cluster_rep" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.operators.QualityModel.clusterRep(
+        graft.operators.Dedup.dupClusters(wd, 0.5),
+        wd.select(col("doc_id"),
+          graft.functions.TextSignals(col("text")).getField("n_words").as("n_words")))
+    }),
+
+    // Per-shard token-budget slice (epoch budgeting): salted-hash order,
+    // window cumsum, keep while the prefix fits — parallelism O(shards),
+    // only (doc_id, hash, tokens) triples shuffle
+    "q77_token_budget" -> ((s, dir) =>
+      graft.operators.TrainPrep.tokenBudget(Pipeline.webdoc(s, dir),
+        graft.functions.TextSignals(col("text")).getField("n_words"),
+        2000L, "tb1")))
 
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
@@ -1145,5 +1170,54 @@ object SparkEntry {
            |, ag AS (SELECT doc_id, count(*) AS n_spans,
            |    CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_spans
            |  FROM sh2 JOIN dfs USING (h) GROUP BY doc_id)
-           | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin))
+           | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin),
+    "q75_quality_logit" -> {
+      val feats = graft.operators.QualityModel.weights.map(_._1).map(f =>
+        s"SELECT doc_id, url, '$f' AS feature, CAST($f AS DECIMAL(18,6)) AS value FROM sig")
+        .mkString(" UNION ALL ")
+      val wvals = graft.operators.QualityModel.weights.map { case (f, w) =>
+        s"('$f', CAST('$w' AS DECIMAL(8,4)))"
+      }.mkString(", ")
+      val icept = s"CAST('${graft.operators.QualityModel.intercept}' AS DECIMAL(18,6))"
+      val thr = s"CAST('${graft.operators.QualityModel.threshold}' AS DECIMAL(8,4))"
+      (webdocCte + signalsCte +
+        s""", feats AS ($feats)
+           |, wts(feature, weight) AS (VALUES $wvals)
+           |, contrib AS (SELECT doc_id, url, value * weight AS c
+           |    FROM feats JOIN wts USING (feature))
+           | SELECT doc_id, url, CAST($icept + sum(c) AS DOUBLE) AS logit,
+           |   ($icept + sum(c)) >= $thr AS keep_ml
+           | FROM contrib GROUP BY doc_id, url""".stripMargin)
+    },
+    "q76_cluster_rep" ->
+      ("WITH RECURSIVE " +
+        (webdocCte + shingleCte + minhashCte + signalsCte).stripPrefix("WITH ") +
+        """, pairs AS MATERIALIZED (
+          |   SELECT doc_a, doc_b FROM (
+          |     SELECT doc_a, doc_b,
+          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          |   WHERE jaccard >= 0.5)
+          |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+          |, reach(id, r) AS (
+          |   SELECT DISTINCT src, src FROM sym
+          |   UNION
+          |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+          |, cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+          |, jq AS (SELECT cl.cluster_id, cl.doc_id, sig.n_words FROM cl JOIN sig USING (doc_id))
+          |, rk AS (SELECT cluster_id, doc_id, n_words,
+          |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY cluster_id) AS n_members FROM jq)
+          | SELECT cluster_id, doc_id AS rep_doc, CAST(n_members AS BIGINT) AS n_members,
+          |   n_words AS rep_words FROM rk WHERE rn = 1""".stripMargin),
+    "q77_token_budget" ->
+      (webdocCte + signalsCte +
+        s""", tb AS (SELECT shard, doc_id, n_words AS tok,
+           |    ${h60("doc_id || ':tb1'")} % 1000000007 AS rh FROM sig)
+           |, cum AS (SELECT shard, doc_id, tok,
+           |    sum(tok) OVER (PARTITION BY shard ORDER BY rh, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum FROM tb)
+           | SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+           |   round(max(cum) / 2000.0, 6) AS fill_frac
+           | FROM cum WHERE cum <= 2000 GROUP BY shard""".stripMargin))
 }

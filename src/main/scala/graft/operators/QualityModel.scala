@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-driven quality scoring — the learned-classifier stage real webtext
+  * pipelines run AFTER the heuristic rules (a linear model over the rule
+  * signals, à la the fastText/logistic quality classifiers of CCNet/phi):
+  * the model lives in a side table of (feature, weight) rows, NOT in the
+  * code, so retraining swaps the table without a redeploy. Reference
+  * analogue: the blueprint-driven value mapping of vlass2caom2's
+  * main_app.py:157-229 — behavior lives in data, the engine stays generic.
+  *
+  * Arithmetic is DECIMAL end to end: the dot product is a SUM over a
+  * feature join, and float addition is not associative — a double SUM
+  * would make the score depend on Spark's aggregation order (and diverge
+  * from any other engine). The signals are already exact 6-dp values
+  * (round(x, 6) upstream), so DECIMAL(18,6) × DECIMAL(8,4) contributions
+  * are exact and their sum is order-independent — bit-identical across
+  * partitionings, reruns, and engines.
+  *
+  * Scale shape: the weights table (|features| rows) broadcasts; the corpus
+  * unpivots to |features| narrow (doc_id, feature, value) rows inside one
+  * projection (no text columns survive), the probe is a BroadcastHashJoin,
+  * and the only shuffle carries (doc_id, url, contribution) triples for
+  * the per-doc sum. At 10^12 docs that is one narrow shuffle — the same
+  * cost class as any per-doc aggregation.
+  */
+object QualityModel {
+
+  /** Fixed demo model (feature → weight as a 4-dp decimal string; string
+    * literals so the decimal is constructed exactly, never through a
+    * double). */
+  val weights: Seq[(String, String)] = Seq(
+    "mean_word_len" -> "0.0800",
+    "symbol_ratio" -> "-1.2000",
+    "alpha_ratio" -> "1.5000",
+    "bullet_frac" -> "-0.9000",
+    "ellipsis_frac" -> "-0.9000",
+    "dup_line_frac" -> "-1.1000",
+    "dup5_frac" -> "-1.3000")
+
+  val intercept = "0.4"
+  val threshold = "2.0"
+
+  def weightTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    weights.toDF("feature", "w_str")
+      .select(col("feature"), col("w_str").cast("decimal(8,4)").as("weight"))
+  }
+
+  /** Linear score + keep decision over a signals frame (must carry doc_id,
+    * url and the weight features as columns). Emits
+    * (doc_id, url, logit DOUBLE, keep_ml BOOLEAN). */
+  def scoreLinear(signals: DataFrame): DataFrame = {
+    val spark = signals.sparkSession
+    val stackArgs = weights.map { case (f, _) =>
+      s"'$f', CAST($f AS DECIMAL(18,6))"
+    }.mkString(", ")
+    val long = signals.selectExpr("doc_id", "url",
+      s"stack(${weights.size}, $stackArgs) AS (feature, value)")
+    long.join(broadcast(weightTable(spark)), Seq("feature"))
+      .groupBy(col("doc_id"), col("url"))
+      .agg(sum(col("value") * col("weight")).as("dot"))
+      .select(col("doc_id"), col("url"),
+        (col("dot") + expr(s"CAST($intercept AS DECIMAL(18,6))")).as("logit_dec"))
+      .select(col("doc_id"), col("url"),
+        col("logit_dec").cast("double").as("logit"),
+        (col("logit_dec") >= expr(s"CAST($threshold AS DECIMAL(8,4))")).as("keep_ml"))
+  }
+
+  /** Near-dup cluster representative selection — after pair mining +
+    * connected components says WHICH docs form one duplicate group, this
+    * picks the doc to KEEP: the highest-quality member (most words, doc_id
+    * as the total tiebreaker), the "keep the longest version" rule of
+    * corpus dedup. Emits one row per cluster with the winner and the
+    * cluster census.
+    *
+    * Scale: clusters df is (doc_id, cluster_id) pairs — tiny next to the
+    * corpus; the quality join ships only (doc_id, n_words); the rank-1
+    * window partitions on cluster_id, whose groups are near-dup clusters
+    * (bounded — a mega-cluster means the threshold is wrong, and the CC
+    * step would have flagged its diameter first). */
+  def clusterRep(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("n_words").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc"),
+        col("n_members"), col("n_words").as("rep_words"))
+  }
+}

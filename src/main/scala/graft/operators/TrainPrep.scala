@@ -195,6 +195,37 @@ object TrainPrep {
         col("n_kept"))
   }
 
+  /** Per-shard token-budget slicing (epoch budgeting: "take the first N
+    * tokens of each shard, in a deterministic shuffle order" — how a
+    * training run carves a fixed-token epoch out of a larger corpus
+    * without a global sort). Docs are ordered inside their shard by a
+    * salted hash (so the slice is an unbiased sample, not corpus order,
+    * and reruns agree exactly), the running token total is a window
+    * cumsum, and docs whose PREFIX total fits the budget survive. Emits
+    * the per-shard audit (docs kept, tokens kept, fill fraction).
+    *
+    * Scale shape: the window partitions on `shard` — the corpus LAYOUT
+    * unit (a crawl shard, sized ~GB so there are 10^4-10^5 of them at
+    * 100 TB), so parallelism is O(shards) and each window task is one
+    * shard's (doc_id, hash, tokens) triples — the text column is pruned
+    * before the shuffle, so the exchange carries ~24 bytes/doc. A cumsum
+    * is inherently sequential per shard; sharding IS the parallelism. */
+  def tokenBudget(docs: DataFrame, tokens: Column, budget: Long,
+                  salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      .orderBy(col("__rh"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("shard"), col("doc_id"), tokens.cast("long").as("__tok"),
+        pmod(md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt))),
+          lit(1000000007L)).as("__rh"))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        round(max(col("__cum")) / lit(budget.toDouble), 6).as("fill_frac"))
+  }
+
   /** Deterministic output-shard assignment + balance audit (the S10 sink's
     * web-scale layout rule): every doc lands in `pmod(h60(url||salt), n)`
     * — a pure function of the url, so reruns, resumes, and late-arriving

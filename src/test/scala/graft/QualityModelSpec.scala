@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, QualityModel, TrainPrep}
+
+/** Model-driven quality scoring, cluster representative selection, and
+  * token-budget slicing. */
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreLinear is partition-order independent (decimal-exact sum)") {
+    val sig = Pipeline.scored(spark, sfDir)
+    val a = QualityModel.scoreLinear(sig.repartition(1))
+      .select("doc_id", "logit").as[(Long, Double)].collect().sorted.toSeq
+    val b = QualityModel.scoreLinear(sig.repartition(13))
+      .select("doc_id", "logit").as[(Long, Double)].collect().sorted.toSeq
+    assert(a == b) // float sums would differ here; decimal sums cannot
+    assert(a.nonEmpty)
+  }
+
+  test("scoreLinear matches a driver-side BigDecimal recomputation") {
+    val sig = Pipeline.scored(spark, sfDir)
+    val feats = QualityModel.weights.map(_._1)
+    val rows = sig.select(col("doc_id") +: feats.map(col): _*).collect()
+    val expected = rows.map { r =>
+      val dot = QualityModel.weights.zipWithIndex.map { case ((_, w), i) =>
+        // mirror the engine: double signal → 6-dp decimal (HALF_UP), exact multiply
+        new java.math.BigDecimal(r.getDouble(i + 1))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .multiply(new java.math.BigDecimal(w))
+      }.reduce(_.add(_)).add(new java.math.BigDecimal(QualityModel.intercept))
+      r.getLong(0) -> dot.doubleValue()
+    }.toMap
+    val got = QualityModel.scoreLinear(sig)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, l) => assert(l == expected(id), s"doc $id") }
+  }
+
+  test("scoreLinear keep_ml is exactly the threshold comparison and the model broadcasts") {
+    val out = QualityModel.scoreLinear(Pipeline.scored(spark, sfDir)).cache()
+    val thr = QualityModel.threshold.toDouble
+    // decimal compare happened pre-cast; double compare agrees because the
+    // decimal values are exactly representable at their printed precision
+    assert(out.filter(col("keep_ml") =!= (col("logit") >= thr)).count() == 0)
+    val kept = out.filter(col("keep_ml")).count()
+    assert(kept > 0 && kept < out.count()) // threshold actually splits
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "weights table must broadcast")
+    out.unpersist()
+  }
+
+  test("clusterRep keeps the longest member, doc_id tiebreak, correct census") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 50L), (2L, 80L), (3L, 80L), (10L, 5L), (11L, 5L))
+      .toDF("doc_id", "n_words")
+    val got = QualityModel.clusterRep(clusters, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // cluster 1: docs 2 and 3 tie at 80 words → doc 2 (smaller id) wins
+    assert(got == Seq((1L, 2L, 3L, 80L), (10L, 10L, 2L, 5L)))
+  }
+
+  test("clusterRep over the real near-dup graph: one rep per cluster, rep is a member with max words") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val clusters = Dedup.dupClusters(wd, 0.5).cache()
+    val quality = wd.select(col("doc_id"),
+      graft.functions.TextSignals(col("text")).getField("n_words").as("n_words"))
+    val reps = QualityModel.clusterRep(clusters, quality).cache()
+    assert(reps.count() == clusters.select("cluster_id").distinct().count())
+    val bad = reps.join(clusters, reps("rep_doc") === clusters("doc_id"), "left_anti")
+    assert(bad.count() == 0) // every rep is a member of some cluster
+    val maxW = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id").agg(max("n_words").as("mx"))
+    assert(reps.join(maxW, "cluster_id")
+      .filter(col("rep_words") =!= col("mx")).count() == 0)
+    clusters.unpersist(); reps.unpersist()
+  }
+
+  test("tokenBudget keeps exactly the hash-ordered prefix that fits, per shard") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val tok = graft.functions.TextSignals(col("text")).getField("n_words")
+    val budget = 600L
+    val got = TrainPrep.tokenBudget(wd, tok, budget, "tbt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute expected on the driver from the same deterministic ordering
+    val ordered = wd.select(col("shard"), col("doc_id"), tok.cast("long").as("t"),
+        pmod(graft.functions.Hashing.md5Hash60(
+          concat(col("doc_id").cast("string"), lit(":tbt"))), lit(1000000007L)).as("rh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = ordered.map { case (shard, docs) =>
+      var cum = 0L; var n = 0L; var toks = 0L
+      docs.sortBy(d => (d._4, d._2)).foreach { d =>
+        cum += d._3
+        if (cum <= budget) { n += 1; toks += d._3 }
+      }
+      shard -> (n, toks)
+    }.filter(_._2._1 > 0)
+    assert(got == expected)
+    got.values.foreach { case (_, t) => assert(t <= budget) }
+  }
+}
