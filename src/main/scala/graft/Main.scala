@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production entry point — the spark-submit analogue of the reference's
+  * `vlass_run`/`vlass_run_state` console scripts (vlass2caom2/setup.cfg:
+  * entry_points): one command that scores an input table end to end with
+  * checkpointed, resumable, retry-aware execution and an audit trail
+  * (BASELINE.json north_rule: "resumable from checkpoint with
+  * per-partition lineage + metrics, run via spark-submit").
+  *
+  *   spark-submit --class graft.Main <jar> <inputDir> <outDir> <ledgerDir> \
+  *       [runId] [retryCount]
+  *
+  * On a cluster, master/executors come from spark-submit; standalone it
+  * falls back to local[SPARK_GRAFT_CPUS]. Exit code is the reference's
+  * contract: 0 = every shard committed, −1 = some shard exhausted its
+  * retry budget (test_composable.py:364-390 semantics).
+  */
+object Main {
+
+  /** Testable core: returns the process exit code instead of calling
+    * sys.exit. */
+  def run(spark: SparkSession, inputDir: String, outDir: String,
+          ledgerDir: String, runId: String, retryCount: Int): Int = {
+    val docs = Pipeline.webdoc(spark, inputDir)
+    val result = plans.Checkpoint.runWithRetry(
+      docs, Pipeline.score, outDir, ledgerDir, runId, retryCount = retryCount)
+    // one machine-readable summary line (the reference logs a report
+    // block per run; metric rows themselves live in <ledgerDir>/audit)
+    println(s"""{"run_id":"$runId","committed":${result.processed.size},""" +
+      s""""attempt_failures":${result.attemptFailures.size},""" +
+      s""""exhausted":${result.exhausted.size},"exit":${result.exitCode}}""")
+    result.exitCode
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: graft.Main <inputDir> <outDir> <ledgerDir> [runId] [retryCount]")
+      sys.exit(2)
+    }
+    val runId = if (args.length > 3) args(3) else s"run_${System.currentTimeMillis()}"
+    val retryCount = if (args.length > 4) args(4).toInt else 1
+    val builder = SparkSession.builder()
+    // under spark-submit the master comes from the launcher; standalone
+    // (sbt runMain, bare java) falls back to local
+    val spark = Sessions.tune(
+      if (sys.props.contains("spark.master")) builder
+      else {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+        builder.master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+      })
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(spark, args(0), args(1), args(2), runId, retryCount)
+    finally spark.stop()
+    sys.exit(code)
+  }
+}

@@ -51,6 +51,20 @@ class InfraSpec extends SparkSpec {
     assert(audit.columns.toSet == Set("shard", "reason", "n", "run_id"))
   }
 
+  test("Main.run drives the whole pipeline: exit 0, output + ledger + audit, idempotent rerun") {
+    val out = tmpDir("main-out")
+    val ledger = tmpDir("main-ledger")
+    assert(Main.run(spark, sfDir, out, ledger, "mainrun", retryCount = 1) == 0)
+    assert(Checkpoint.completedShards(ledger).size == 32)
+    val written = spark.read.parquet(out)
+    assert(written.count() == Pipeline.webdoc(spark, sfDir).count())
+    assert(spark.read.parquet(s"$ledger/audit").count() > 0)
+    // rerun: everything already committed — nothing reprocessed, still 0
+    val before = Files.getLastModifiedTime(Paths.get(ledger, "shard_0.json"))
+    assert(Main.run(spark, sfDir, out, ledger, "mainrun2", retryCount = 1) == 0)
+    assert(Files.getLastModifiedTime(Paths.get(ledger, "shard_0.json")) == before)
+  }
+
   test("failed shards are retried up to retryCount, then reported exhausted") {
     val out = tmpDir("retry-out")
     val ledger = tmpDir("retry-ledger")

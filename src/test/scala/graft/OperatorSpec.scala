@@ -26,6 +26,25 @@ class OperatorSpec extends SparkSpec {
     assert(s.filter(length(col("chunk")) > 32).count() == 0)
   }
 
+  test("UrlOps.canonicalize is idempotent on the whole synthetic corpus + adversarial forms") {
+    import spark.implicits._
+    val c = graft.operators.UrlOps.canonicalize _
+    // corpus urls: canonicalize(canonicalize(u)) == canonicalize(u) — a
+    // second pass changing anything would mean exact URL dedup keyed on
+    // the canonical form is unstable across pipeline stages
+    val wd = Pipeline.webdoc(spark, sfDir).select(col("url"))
+    assert(wd.select(c(c(col("url"))).as("a"), c(col("url")).as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+    val tricky = Seq(
+      "https://h.example.com/p?utm_a=1&utm_b=2#f",
+      "https://H.example.com/p/?utm_source=x",
+      "https://h.example.com/p?utm_a=#f2",
+      "https://h.example.com/?utm_a=1",
+      "https://h.example.com/p?a=1&utm_b=2&c=3").toDF("url")
+    assert(tricky.select(c(c(col("url"))).as("a"), c(col("url")).as("b"))
+      .filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("UrlOps.canonicalize collapses tracking/fragment/host-case/slash variants") {
     import spark.implicits._
     val urls = Seq(
