@@ -592,7 +592,20 @@ object SparkEntry {
     "q77_token_budget" -> ((s, dir) =>
       graft.operators.TrainPrep.tokenBudget(Pipeline.webdoc(s, dir),
         graft.functions.TextSignals(col("text")).getField("n_words"),
-        2000L, "tb1")))
+        2000L, "tb1")),
+
+    // Cross-snapshot incremental dedup: new-batch docs (clone id space)
+    // not present in the historical snapshot (base id space) — bloom
+    // routes, exact verify; neither big side shuffles
+    "q78_incr_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.incrementalNew(
+        Pipeline.webdoc(s, dir), col("doc_id") < 10000000L, 100000L, 0.01)),
+
+    // Snapshot drift report (data validation between crawls): per-feature
+    // cohort means (decimal-exact) + exact medians, drift flag at 0.03
+    "q79_snapshot_drift" -> ((s, dir) =>
+      graft.operators.QualityModel.driftReport(
+        Pipeline.scored(s, dir), col("doc_id") < 10000000L, 0.03)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
@@ -1219,5 +1232,29 @@ object SparkEntry {
            |      ROWS UNBOUNDED PRECEDING) AS cum FROM tb)
            | SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
            |   round(max(cum) / 2000.0, 6) AS fill_frac
-           | FROM cum WHERE cum <= 2000 GROUP BY shard""".stripMargin))
+           | FROM cum WHERE cum <= 2000 GROUP BY shard""".stripMargin),
+    "q78_incr_dedup" ->
+      (webdocCte +
+        """ SELECT doc_id, url, md5(text) AS content_hash FROM webdoc
+          | WHERE doc_id >= 10000000 AND md5(text) NOT IN
+          |   (SELECT md5(text) FROM webdoc WHERE doc_id < 10000000)""".stripMargin),
+    "q79_snapshot_drift" -> {
+      val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
+        s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, CAST($f AS DECIMAL(18,6)) AS v FROM sig")
+        .mkString(" UNION ALL ")
+      (webdocCte + signalsCte +
+        s""", L AS ($un)
+           |, A AS (SELECT feature, hist, count(*) AS n,
+           |    CAST(sum(v) AS DOUBLE) / count(*) AS mean,
+           |    quantile_cont(CAST(v AS DOUBLE), 0.5) AS p50
+           |  FROM L GROUP BY feature, hist)
+           |, H AS (SELECT feature, n AS n_hist, mean AS mean_hist, p50 AS p50_hist FROM A WHERE hist)
+           |, N AS (SELECT feature, n AS n_new, mean AS mean_new, p50 AS p50_new FROM A WHERE NOT hist)
+           | SELECT feature, n_hist, n_new,
+           |   round(mean_hist, 6) AS mean_hist, round(mean_new, 6) AS mean_new,
+           |   round(abs(mean_new - mean_hist), 6) AS mean_delta,
+           |   round(p50_hist, 6) AS p50_hist, round(p50_new, 6) AS p50_new,
+           |   (round(abs(mean_new - mean_hist), 6) >= 0.03) AS drifted
+           | FROM H JOIN N USING (feature)""".stripMargin)
+    })
 }

@@ -394,4 +394,47 @@ object Dedup {
         sum((col("ddf") >= 2).cast("long")).as("n_rep_spans"))
       .filter(col("n_rep_spans") > 0)
   }
+
+  /** Cross-snapshot incremental dedup — the "dedup the new crawl against
+    * every previous crawl" step (each Common-Crawl snapshot is mostly
+    * refetches; processing only genuinely-new content is the single
+    * biggest cost saver in a recurring pipeline). `isHistorical` splits
+    * one corpus frame into the already-ingested snapshot and the new
+    * batch; emits the new-batch docs whose text does NOT appear in the
+    * historical snapshot — the rows worth processing. The answer is
+    * EXACT; the bloom sketch only routes.
+    *
+    * Scale shape — NEITHER big side ever shuffles:
+    *   1. historical content hashes aggregate distributedly into one
+    *      bloom sketch (O(hist · log 1/fpp) bits on the driver, at a real
+    *      deployment maintained incrementally as state, not rebuilt);
+    *   2. the batch probes the sketch IN ITS SCAN STAGE (codegen'd
+    *      might_contain — no join): `false` proves the doc is new, so
+    *      ~(1 − dup_rate − fpp) of the batch passes with zero further
+    *      work;
+    *   3. only sketch-positive candidates (true dups + fpp·batch — size
+    *      the fpp so this stays broadcastable) are verified: they
+    *      BROADCAST against the streaming historical scan, and the
+    *      confirmed-dup id set (small) broadcast-anti-joins the batch.
+    *
+    * Same single-lineage discipline as contaminatedSplit: both legs push
+    * the cheap doc-level predicate to the scan, so each row is
+    * synthesized in exactly one leg. */
+  def incrementalNew(docs: DataFrame, isHistorical: Column,
+                     expectedItems: Long, fpp: Double): DataFrame = {
+    val tagged = docs.withColumn("__hist", isHistorical)
+    val hist = tagged.filter(col("__hist")).select(md5(col("text")).as("h"))
+    val sketch = graft.functions.Bloom.serialize(
+      hist.stat.bloomFilter(xxhash64(col("h")), expectedItems, fpp))
+    val batch = tagged.filter(!col("__hist"))
+      .select(col("doc_id"), col("url"), md5(col("text")).as("h"))
+    val candidates = batch
+      .filter(graft.functions.Bloom.mightContain(sketch, xxhash64(col("h"))))
+    // candidates broadcast; the historical side STREAMS through the probe
+    // (a semi-join keyed the other way would shuffle the full snapshot)
+    val dupIds = hist.join(broadcast(candidates), Seq("h"))
+      .select(col("doc_id")).distinct()
+    batch.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("url"), col("h").as("content_hash"))
+  }
 }

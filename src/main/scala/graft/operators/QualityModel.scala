@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,6 +68,51 @@ object QualityModel {
       .select(col("doc_id"), col("url"),
         col("logit_dec").cast("double").as("logit"),
         (col("logit_dec") >= expr(s"CAST($threshold AS DECIMAL(8,4))")).as("keep_ml"))
+  }
+
+  /** Snapshot drift report — the data-validation stage of a recurring
+    * pipeline (Deequ/TFDV-style): compare each quality signal's
+    * distribution between the already-ingested snapshot and the new
+    * batch, and flag features whose mean moved past a threshold — the
+    * canary for a crawler change, an extraction regression, or genuine
+    * web drift, caught BEFORE the batch trains anything.
+    *
+    * Determinism: means are decimal-exact (6-dp signal × exact decimal
+    * SUM → one double division), so the drifted flag is engine- and
+    * partitioning-independent. Medians use the exact interpolated
+    * percentile; its aggregation state is bounded by the VALUE GRID, not
+    * the corpus — signals are 6-dp-quantized ratios, so a feature has at
+    * most ~10^6 distinct values no matter how many rows flow in (the same
+    * reason q54's per-language quantiles hold at scale).
+    *
+    * Scale shape: one narrow unpivot projection (|features| rows of
+    * (cohort, feature, value) per doc), one aggregation with
+    * 2·|features| groups, a |features|-row self-join. Nothing else
+    * shuffles. */
+  def driftReport(signals: DataFrame, isHistorical: Column,
+                  driftThreshold: Double): DataFrame = {
+    val stackArgs = weights.map { case (f, _) =>
+      s"'$f', CAST($f AS DECIMAL(18,6))"
+    }.mkString(", ")
+    val long = signals.withColumn("__hist", isHistorical)
+      .selectExpr("__hist", s"stack(${weights.size}, $stackArgs) AS (feature, value)")
+    val agg = long.groupBy(col("feature"), col("__hist"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value")).cast("double") / count(lit(1))).as("mean"),
+        percentile(col("value").cast("double"), lit(0.5)).as("p50"))
+    val h = agg.filter(col("__hist")).select(col("feature"),
+      col("n").as("n_hist"), col("mean").as("mean_hist"), col("p50").as("p50_hist"))
+    val nw = agg.filter(!col("__hist")).select(col("feature"),
+      col("n").as("n_new"), col("mean").as("mean_new"), col("p50").as("p50_new"))
+    h.join(nw, Seq("feature"))
+      .withColumn("mean_delta", round(abs(col("mean_new") - col("mean_hist")), 6))
+      .select(col("feature"), col("n_hist"), col("n_new"),
+        round(col("mean_hist"), 6).as("mean_hist"),
+        round(col("mean_new"), 6).as("mean_new"),
+        col("mean_delta"),
+        round(col("p50_hist"), 6).as("p50_hist"),
+        round(col("p50_new"), 6).as("p50_new"),
+        (col("mean_delta") >= driftThreshold).as("drifted"))
   }
 
   /** Near-dup cluster representative selection — after pair mining +

@@ -78,6 +78,44 @@ class QualityModelSpec extends SparkSpec {
     clusters.unpersist(); reps.unpersist()
   }
 
+  test("driftReport: one row per feature, correct censuses, drift flag is partition-order stable") {
+    val sig = Pipeline.scored(spark, sfDir)
+    val isHist = col("doc_id") < 10000000L
+    val rep = QualityModel.driftReport(sig, isHist, 0.03).cache()
+    assert(rep.count() == QualityModel.weights.size)
+    val total = sig.count()
+    // every feature row accounts for the whole corpus, split by cohort
+    assert(rep.filter(col("n_hist") + col("n_new") =!= total).count() == 0)
+    val drifted = rep.filter(col("drifted")).select("feature")
+      .as[String].collect().toSet
+    // the synthetic clone cohort visibly shifts these three signals
+    assert(drifted == Set("symbol_ratio", "mean_word_len", "dup5_frac"))
+    // decimal-exact means: the report is identical under repartitioning
+    val rep2 = QualityModel.driftReport(sig.repartition(17), isHist, 0.03)
+    assert(rep.collect().map(_.toString).sorted.toSeq ==
+      rep2.collect().map(_.toString).sorted.toSeq)
+    rep.unpersist()
+  }
+
+  test("incrementalNew equals the plain anti-join, finds real cross-snapshot dups, exact at any fpp") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val isHist = col("doc_id") < 10000000L
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().sorted.toSeq
+    // reference semantics: batch docs whose text has no historical twin
+    val hist = wd.filter(isHist).select(md5(col("text")).as("h")).distinct()
+    val want = ids(wd.filter(!isHist).select(col("doc_id"), md5(col("text")).as("h"))
+      .join(hist, Seq("h"), "left_anti"))
+    val got = ids(Dedup.incrementalNew(wd, isHist, 100000L, 0.01))
+    assert(got == want)
+    // the sketch must be routing-only: a 50% fpp floods the verify join
+    // with false candidates but cannot change the answer
+    assert(ids(Dedup.incrementalNew(wd, isHist, 100L, 0.5)) == want)
+    // and some batch docs ARE historical dups (the operator has positives)
+    val batchN = wd.filter(!isHist).count()
+    assert(got.size < batchN && got.nonEmpty)
+  }
+
   test("tokenBudget keeps exactly the hash-ordered prefix that fits, per shard") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val tok = graft.functions.TextSignals(col("text")).getField("n_words")
