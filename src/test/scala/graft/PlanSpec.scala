@@ -142,6 +142,29 @@ class PlanSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q78: neither corpus side shuffles — bloom in the batch scan, broadcast verify joins") {
+    val plan = staticPlan(SparkEntry.queries("q78_incr_dedup")(spark, sfDir)).toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    // candidates and dup-ids broadcast; the only legal Exchange is the
+    // single-partition one under the dup-id distinct — never a shuffle of
+    // a corpus leg on the content hash
+    assert(!plan.contains("Exchange hashpartitioning(h#") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q75: weights broadcast and only decimal contribution triples reach the exchange") {
+    val plan = staticPlan(SparkEntry.queries("q75_quality_logit")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // text/scrub columns must be pruned before the per-doc aggregation
+    // exchange: the shuffle carries (doc_id, url, contribution) only
+    val exIdx = plan.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exIdx >= 0, plan.take(3000))
+    assert(!plan.contains("scrubbed_text"), "scrub stage not pruned from q75")
+  }
+
   test("bucketed tables co-locate the join: zero exchanges between bucketed scans") {
     // the 100 TB co-location pattern: two fact tables bucketed on the
     // join key join WITHOUT shuffling either side — at scale this is the
