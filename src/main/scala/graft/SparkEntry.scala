@@ -1186,7 +1186,7 @@ object SparkEntry {
            | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin),
     "q75_quality_logit" -> {
       val feats = graft.operators.QualityModel.weights.map(_._1).map(f =>
-        s"SELECT doc_id, url, '$f' AS feature, CAST($f AS DECIMAL(18,6)) AS value FROM sig")
+        s"SELECT doc_id, url, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS value FROM sig")
         .mkString(" UNION ALL ")
       val wvals = graft.operators.QualityModel.weights.map { case (f, w) =>
         s"('$f', CAST('$w' AS DECIMAL(8,4)))"
@@ -1240,7 +1240,7 @@ object SparkEntry {
           |   (SELECT md5(text) FROM webdoc WHERE doc_id < 10000000)""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
-        s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, CAST($f AS DECIMAL(18,6)) AS v FROM sig")
+        s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")
         .mkString(" UNION ALL ")
       (webdocCte + signalsCte +
         s""", L AS ($un)

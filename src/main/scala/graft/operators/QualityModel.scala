@@ -53,13 +53,21 @@ object QualityModel {
   /** Linear score + keep decision over a signals frame (must carry doc_id,
     * url and the weight features as columns). Emits
     * (doc_id, url, logit DOUBLE, keep_ml BOOLEAN). */
+  /** Stack arguments shared by scoreLinear and driftReport. NULL signals
+    * (a null-text doc in production) coalesce to 0 — without it a null
+    * contribution silently drops out of the SUM and the score is computed
+    * over a PARTIAL feature set; with it, a fully-null row scores exactly
+    * the intercept (and the heuristic verdict drops such docs anyway). */
+  private def stackSql: String = {
+    val args = weights.map { case (f, _) =>
+      s"'$f', coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))"
+    }.mkString(", ")
+    s"stack(${weights.size}, $args) AS (feature, value)"
+  }
+
   def scoreLinear(signals: DataFrame): DataFrame = {
     val spark = signals.sparkSession
-    val stackArgs = weights.map { case (f, _) =>
-      s"'$f', CAST($f AS DECIMAL(18,6))"
-    }.mkString(", ")
-    val long = signals.selectExpr("doc_id", "url",
-      s"stack(${weights.size}, $stackArgs) AS (feature, value)")
+    val long = signals.selectExpr("doc_id", "url", stackSql)
     long.join(broadcast(weightTable(spark)), Seq("feature"))
       .groupBy(col("doc_id"), col("url"))
       .agg(sum(col("value") * col("weight")).as("dot"))
@@ -91,11 +99,8 @@ object QualityModel {
     * shuffles. */
   def driftReport(signals: DataFrame, isHistorical: Column,
                   driftThreshold: Double): DataFrame = {
-    val stackArgs = weights.map { case (f, _) =>
-      s"'$f', CAST($f AS DECIMAL(18,6))"
-    }.mkString(", ")
     val long = signals.withColumn("__hist", isHistorical)
-      .selectExpr("__hist", s"stack(${weights.size}, $stackArgs) AS (feature, value)")
+      .selectExpr("__hist", stackSql)
     val agg = long.groupBy(col("feature"), col("__hist"))
       .agg(count(lit(1)).as("n"),
         (sum(col("value")).cast("double") / count(lit(1))).as("mean"),

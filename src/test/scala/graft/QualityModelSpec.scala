@@ -50,6 +50,17 @@ class QualityModelSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("scoreLinear on a fully-null signal row yields exactly the intercept (dropped, not poisoned)") {
+    val row = Seq((1L, "https://x.example.com/1")).toDF("doc_id", "url")
+    val nulled = QualityModel.weights.map(_._1).foldLeft(row) { (d, f) =>
+      d.withColumn(f, lit(null).cast("double"))
+    }
+    val got = QualityModel.scoreLinear(nulled).collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(2) == QualityModel.intercept.toDouble)
+    assert(!got(0).getBoolean(3)) // intercept < threshold → dropped
+  }
+
   test("clusterRep keeps the longest member, doc_id tiebreak, correct census") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
       .toDF("doc_id", "cluster_id")
