@@ -34,10 +34,30 @@ object Main {
     result.exitCode
   }
 
+  /** State-mode twin (`vlass_run_state`): time-boxed incremental scoring
+    * from the persisted bookmark — each box of `warc_ts` scores and
+    * publishes independently, the bookmark advances per box (zero-record
+    * boxes too), and a rerun resumes from the high-watermark instead of
+    * reprocessing. Returns the per-box results. */
+  def runState(spark: SparkSession, inputDir: String, outDir: String,
+               stateDir: String, startTs: java.sql.Timestamp,
+               endTs: java.sql.Timestamp, intervalSec: Long): Seq[streaming.Incremental.BoxResult] = {
+    import org.apache.spark.sql.functions.col
+    val src = Pipeline.webdoc(spark, inputDir).withColumn("ts", col("warc_ts"))
+    val results = streaming.Incremental.runBoxes(
+      src, Pipeline.score, outDir, stateDir, startTs, endTs, intervalSec)
+    results.foreach { r =>
+      println(s"""{"source":"${r.sourceId}","box_start":"${r.boxStart}",""" +
+        s""""box_end":"${r.boxEnd}","records":${r.records}}""")
+    }
+    results
+  }
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
+    if (args.length < 3 || (args.headOption.contains("--state") && args.length < 7)) {
       System.err.println(
-        "usage: graft.Main <inputDir> <outDir> <ledgerDir> [runId] [retryCount]")
+        "usage: graft.Main <inputDir> <outDir> <ledgerDir> [runId] [retryCount]\n" +
+        "       graft.Main --state <inputDir> <outDir> <stateDir> <startTs> <endTs> <intervalSec>")
       sys.exit(2)
     }
     val runId = if (args.length > 3) args(3) else s"run_${System.currentTimeMillis()}"
@@ -55,8 +75,15 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code = try run(spark, args(0), args(1), args(2), runId, retryCount)
-    finally spark.stop()
+    val code =
+      try {
+        if (args(0) == "--state") {
+          runState(spark, args(1), args(2), args(3),
+            java.sql.Timestamp.valueOf(args(4)), java.sql.Timestamp.valueOf(args(5)),
+            args(6).toLong)
+          0
+        } else run(spark, args(0), args(1), args(2), runId, retryCount)
+      } finally spark.stop()
     sys.exit(code)
   }
 }

@@ -65,6 +65,23 @@ class InfraSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(Paths.get(ledger, "shard_0.json")) == before)
   }
 
+  test("Main.runState time-boxes the pipeline from the bookmark; rerun is a no-op") {
+    val out = tmpDir("mainstate-out") + "/data"
+    val state = tmpDir("mainstate-state")
+    // corpus warc_ts spans 2024-01-01 .. +30d; two 15-day boxes
+    val start = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+    val r1 = Main.runState(spark, sfDir, out, state, start, end, 15L * 86400)
+    assert(r1.size == 2)
+    val docs = Pipeline.webdoc(spark, sfDir)
+      .filter(col("warc_ts") > start && col("warc_ts") <= end).count()
+    assert(r1.map(_.records).sum == docs && docs > 0)
+    assert(spark.read.parquet(out).count() == docs)
+    // bookmark at end: a rerun over the same range processes zero boxes
+    val r2 = Main.runState(spark, sfDir, out, state, start, end, 15L * 86400)
+    assert(r2.isEmpty)
+  }
+
   test("failed shards are retried up to retryCount, then reported exhausted") {
     val out = tmpDir("retry-out")
     val ledger = tmpDir("retry-ledger")
