@@ -423,11 +423,20 @@ object Dedup {
   def incrementalNew(docs: DataFrame, isHistorical: Column,
                      expectedItems: Long, fpp: Double): DataFrame = {
     val tagged = docs.withColumn("__hist", isHistorical)
+    // Both hash projections persist (narrow: ≤ ~60 B/row, spillable) —
+    // the same materialize-once discipline as the shingle tables: hist
+    // feeds the sketch action AND the verify probe, batch feeds the
+    // candidate filter AND the final anti-join; without the persists each
+    // leg re-runs the synthesis+md5 projection per consumer (2× per
+    // side). A real deployment materializes these as hash TABLES next to
+    // each snapshot, so reruns don't even pay the first scan.
     val hist = tagged.filter(col("__hist")).select(md5(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sketch = graft.functions.Bloom.serialize(
       hist.stat.bloomFilter(xxhash64(col("h")), expectedItems, fpp))
     val batch = tagged.filter(!col("__hist"))
       .select(col("doc_id"), col("url"), md5(col("text")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = batch
       .filter(graft.functions.Bloom.mightContain(sketch, xxhash64(col("h"))))
     // candidates broadcast; the historical side STREAMS through the probe

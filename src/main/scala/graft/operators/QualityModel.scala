@@ -94,22 +94,29 @@ object QualityModel {
     * reason q54's per-language quantiles hold at scale).
     *
     * Scale shape: one narrow unpivot projection (|features| rows of
-    * (cohort, feature, value) per doc), one aggregation with
-    * 2·|features| groups, a |features|-row self-join. Nothing else
-    * shuffles. */
+    * (cohort, feature, value) per doc), then ONE aggregation pass with
+    * |features| groups and per-cohort conditional aggregates. Nothing
+    * else shuffles; the corpus is read exactly once. */
   def driftReport(signals: DataFrame, isHistorical: Column,
                   driftThreshold: Double): DataFrame = {
     val long = signals.withColumn("__hist", isHistorical)
       .selectExpr("__hist", stackSql)
-    val agg = long.groupBy(col("feature"), col("__hist"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("value")).cast("double") / count(lit(1))).as("mean"),
-        percentile(col("value").cast("double"), lit(0.5)).as("p50"))
-    val h = agg.filter(col("__hist")).select(col("feature"),
-      col("n").as("n_hist"), col("mean").as("mean_hist"), col("p50").as("p50_hist"))
-    val nw = agg.filter(!col("__hist")).select(col("feature"),
-      col("n").as("n_new"), col("mean").as("mean_new"), col("p50").as("p50_new"))
-    h.join(nw, Seq("feature"))
+    // ONE aggregation pass with per-cohort conditional aggregates — a
+    // per-cohort groupBy + self-join would re-run the whole corpus
+    // aggregation once per branch (each filter re-derives the agg
+    // subtree), doubling the dominant cost at scale. `when` without
+    // `otherwise` yields NULL, and count/sum/percentile all skip NULLs,
+    // so each aggregate sees exactly its cohort.
+    def cohort(hist: Boolean) = {
+      val v = if (hist) when(col("__hist"), col("value"))
+              else when(!col("__hist"), col("value"))
+      val tag = if (hist) "hist" else "new"
+      Seq(count(v).as(s"n_$tag"),
+        (sum(v).cast("double") / count(v)).as(s"mean_$tag"),
+        percentile(v.cast("double"), lit(0.5)).as(s"p50_$tag"))
+    }
+    val aggs = cohort(hist = true) ++ cohort(hist = false)
+    long.groupBy(col("feature")).agg(aggs.head, aggs.tail: _*)
       .withColumn("mean_delta", round(abs(col("mean_new") - col("mean_hist")), 6))
       .select(col("feature"), col("n_hist"), col("n_new"),
         round(col("mean_hist"), 6).as("mean_hist"),
