@@ -653,17 +653,27 @@ object SparkEntry {
           |   FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           | WHERE jaccard >= 0.5""".stripMargin),
     "q41_jaccard_capped" ->
+      // mirrors the hashed-stream form exactly: the shingle stream carries
+      // h60(shingle), df/candidates/intersections all run on the hash, and
+      // the denominator is na + nb − inter with n_sh counted on the
+      // STRING-distinct array (pre-hash) — identical in both engines
       (webdocCte + shingleCte +
-        """, ex AS (SELECT doc_id, unnest(sh) AS s FROM wsh)
-          |, rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= 10)
-          |, exr AS (SELECT doc_id, s FROM ex JOIN rare USING (s))
-          |, cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-          |             FROM exr x JOIN exr y ON x.s = y.s AND x.doc_id < y.doc_id)
-          | SELECT doc_a, doc_b, jaccard FROM (
-          |   SELECT doc_a, doc_b,
-          |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-          |   FROM cpairs JOIN wsh sa ON cpairs.doc_a = sa.doc_id JOIN wsh sb ON cpairs.doc_b = sb.doc_id)
-          | WHERE jaccard >= 0.5""".stripMargin),
+        s""", ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s0 FROM wsh)
+           |, ex AS (SELECT doc_id, n_sh, ${h60("s0")} AS s FROM ex0)
+           |, rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= 10)
+           |, exr AS (SELECT doc_id, s FROM ex JOIN rare USING (s))
+           |, cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |             FROM exr x JOIN exr y ON x.s = y.s AND x.doc_id < y.doc_id)
+           |, ver AS (SELECT doc_a, doc_b, count(*) AS inter,
+           |            min(a.n_sh) AS na, min(b.n_sh) AS nb
+           |          FROM cpairs
+           |          JOIN ex a ON cpairs.doc_a = a.doc_id
+           |          JOIN ex b ON cpairs.doc_b = b.doc_id AND a.s = b.s
+           |          GROUP BY doc_a, doc_b)
+           | SELECT doc_a, doc_b, jaccard FROM (
+           |   SELECT doc_a, doc_b,
+           |     round(inter * 1.0 / (na + nb - inter), 6) AS jaccard FROM ver)
+           | WHERE jaccard >= 0.5""".stripMargin),
     "q13_simhash" ->
       (webdocCte + shingleCte + simhashCte +
         """ SELECT doc_a, doc_b, hamming FROM (

@@ -178,8 +178,17 @@ object Dedup {
     // cluster) instead of re-deriving it per stage. Callers that keep the
     // session long-lived can unpersist via the returned plan's lineage or
     // let LRU eviction reclaim it.
+    // The stream carries the 60-bit shingle HASH, not the string: every
+    // leg below shuffles/joins on this key, and 8-byte longs beat ~25-byte
+    // strings by ~35% end-to-end (measured interleaved-warm at sf0.1:
+    // 4.2-4.8 s vs 6.5-7.4 s, identical output). Same discipline as
+    // repeatedSpans; the oracle applies the identical h60, so the compare
+    // stays bit-exact. n_sh counts the STRING-distinct shingles (from the
+    // array, pre-hash); a 60-bit in-doc collision (~10^-18/doc) would
+    // undercount inter by 1 in both engines identically.
     val ex = withShingles(docs)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))

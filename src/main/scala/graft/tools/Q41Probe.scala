@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: q41 exploded-stream verify vs array-intersect verify. */
+object Q41Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val docs = graft.Pipeline.webdoc(spark, dir)
+
+    def timed(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $label ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n%d")
+    }
+
+
+    // variant: same candidate mining, array-intersect verify
+    def arrayVerify(): Long = {
+      val sh = graft.operators.Dedup.withShingles(docs).select(col("doc_id"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select(col("s"))
+      val exr = ex.join(rare, "s")
+      val cand = exr.as("x").join(exr.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val n = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+        .filter(col("jaccard") >= 0.5)
+        .count()
+      sh.unpersist()
+      n
+    }
+    timed("array_cold") { arrayVerify() }
+    timed("array_warm") { arrayVerify() }
+
+    // variant: identical pipeline shape, shingle stream hashed to 60-bit
+    // longs (8-byte shuffle keys instead of ~25-byte strings)
+    def hashedStream(): Long = {
+      val ex = graft.operators.Dedup.withShingles(docs)
+        .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+        .select(col("doc_id"), col("n_sh"),
+          graft.functions.Hashing.md5Hash60(col("s0")).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 10).select(col("s"))
+      val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
+      val cand = exr.as("x").join(exr.as("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val n = cand
+        .join(ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
+        .join(ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
+          Seq("doc_b", "s"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+        .withColumn("jaccard", round(
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .count()
+      ex.unpersist()
+      n
+    }
+    timed("hashed_cold") { hashedStream() }
+    timed("hashed_warm") { hashedStream() }
+    timed("stream_late1") { graft.operators.Dedup.jaccardPairsCapped(docs, 0.5, 10).count() }
+    timed("stream_late2") { graft.operators.Dedup.jaccardPairsCapped(docs, 0.5, 10).count() }
+    timed("hashed_late") { hashedStream() }
+    spark.stop()
+  }
+}
