@@ -605,7 +605,52 @@ object SparkEntry {
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
       graft.operators.QualityModel.driftReport(
-        Pipeline.scored(s, dir), col("doc_id") < 10000000L, 0.03)))
+        Pipeline.scored(s, dir), col("doc_id") < 10000000L, 0.03)),
+
+    // The COMPLETE composite filter, oracle-gated end to end (north_star:
+    // heuristics + fastText-style langid + KenLM-style perplexity +
+    // learned classifier in one keep decision). LangId appends in-stream
+    // (mapPartitions, no join); the perplexity and classifier legs are
+    // per-doc aggregations, so they join back on doc_id — narrow shuffles
+    // of (doc_id, double/bool) pairs. The fused no-join production path
+    // is the Bench flagship; this query is its correctness gate.
+    "q80_full_filter" -> ((s, dir) => {
+      val sc = Pipeline.scored(s, dir)
+      val wd = Pipeline.webdoc(s, dir)
+      val withLang = graft.functions.LangId(sc)
+      val ppl = graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
+        .select(col("doc_id"), col("ppl"))
+      val ml = graft.operators.QualityModel.scoreLinear(sc)
+        .select(col("doc_id"), col("keep_ml"))
+      val pplOk = coalesce(col("ppl") <= 32.0, lit(false))
+      withLang.select(col("doc_id"), col("url"), col("keep"), col("lang_pred"))
+        .join(ppl, Seq("doc_id"), "left")
+        .join(ml, Seq("doc_id"))
+        .select(col("doc_id"), col("url"), col("keep"),
+          (col("lang_pred") === "en").as("lang_ok"),
+          pplOk.as("ppl_ok"),
+          col("keep_ml"),
+          (col("keep") && (col("lang_pred") === "en") && pplOk &&
+            col("keep_ml")).as("keep_full"))
+    }))
+
+  /** Shared logit chain for q75/q80 (reads `sig`): feats → wts → contrib.
+    * Built from QualityModel.weights so the oracle cannot drift from the
+    * Scala model. */
+  private def logitCtes: String = {
+    val feats = graft.operators.QualityModel.weights.map(_._1).map(f =>
+      s"SELECT doc_id, url, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS value FROM sig")
+      .mkString(" UNION ALL ")
+    val wvals = graft.operators.QualityModel.weights.map { case (f, w) =>
+      s"('$f', CAST('$w' AS DECIMAL(8,4)))"
+    }.mkString(", ")
+    s""", feats AS ($feats)
+       |, wts(feature, weight) AS (VALUES $wvals)
+       |, contrib AS (SELECT doc_id, url, value * weight AS c
+       |    FROM feats JOIN wts USING (feature))""".stripMargin
+  }
+  private def mlIcept = s"CAST('${graft.operators.QualityModel.intercept}' AS DECIMAL(18,6))"
+  private def mlThr = s"CAST('${graft.operators.QualityModel.threshold}' AS DECIMAL(8,4))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
@@ -1118,24 +1163,8 @@ object SparkEntry {
           |   coalesce(string_agg(reason || ':' || CAST(n AS VARCHAR), ',' ORDER BY reason), '') AS hist
           | FROM allsh a LEFT JOIN cnt c ON a.shard = c.shard GROUP BY a.shard""".stripMargin),
     "q31_perplexity" ->
-      (webdocCte + shingleCte +
-        """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
-          |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
-          |, tot AS (SELECT sum(cnt) AS total FROM uni)
-          |, pairs AS MATERIALIZED (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
-          |, big AS (SELECT w1, w2, count(*) AS bcnt FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2)
-          |, terms AS (
-          |   SELECT p.doc_id, p.url,
-          |     CASE WHEN p.w1 IS NULL THEN u2.cnt * 1.0 / total + 1e-12
-          |          WHEN b.bcnt IS NOT NULL THEN b.bcnt * 1.0 / u1.cnt
-          |          ELSE 0.4 * (u2.cnt * 1.0 / total + 1e-12) END AS pr
-          |   FROM pairs p
-          |   JOIN uni u2 ON p.w2 = u2.w
-          |   LEFT JOIN uni u1 ON p.w1 = u1.w
-          |   LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2, tot)
-          | SELECT doc_id, url, count(*) AS n_words,
-          |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
-          | FROM terms GROUP BY doc_id, url""".stripMargin),
+      (webdocCte + shingleCte + perplexityCtes +
+        " SELECT doc_id, url, n_words, ppl FROM pplt"),
     "q69_lang_rebalance" ->
       (webdocCte +
         s""", lc AS (SELECT lang, count(*) AS n_docs FROM webdoc GROUP BY lang)
@@ -1194,24 +1223,28 @@ object SparkEntry {
            |    CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_spans
            |  FROM sh2 JOIN dfs USING (h) GROUP BY doc_id)
            | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin),
-    "q75_quality_logit" -> {
-      val feats = graft.operators.QualityModel.weights.map(_._1).map(f =>
-        s"SELECT doc_id, url, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS value FROM sig")
-        .mkString(" UNION ALL ")
-      val wvals = graft.operators.QualityModel.weights.map { case (f, w) =>
-        s"('$f', CAST('$w' AS DECIMAL(8,4)))"
-      }.mkString(", ")
-      val icept = s"CAST('${graft.operators.QualityModel.intercept}' AS DECIMAL(18,6))"
-      val thr = s"CAST('${graft.operators.QualityModel.threshold}' AS DECIMAL(8,4))"
-      (webdocCte + signalsCte +
-        s""", feats AS ($feats)
-           |, wts(feature, weight) AS (VALUES $wvals)
-           |, contrib AS (SELECT doc_id, url, value * weight AS c
-           |    FROM feats JOIN wts USING (feature))
-           | SELECT doc_id, url, CAST($icept + sum(c) AS DOUBLE) AS logit,
-           |   ($icept + sum(c)) >= $thr AS keep_ml
-           | FROM contrib GROUP BY doc_id, url""".stripMargin)
-    },
+    "q75_quality_logit" ->
+      (webdocCte + signalsCte + logitCtes +
+        s""" SELECT doc_id, url, CAST($mlIcept + sum(c) AS DOUBLE) AS logit,
+           |   ($mlIcept + sum(c)) >= $mlThr AS keep_ml
+           | FROM contrib GROUP BY doc_id, url""".stripMargin),
+    "q80_full_filter" ->
+      (webdocCte + signalsCte + verdictCte + shingleCte + perplexityCtes +
+        langidCtes + logitCtes +
+        s""", mlk AS (SELECT doc_id, ($mlIcept + sum(c)) >= $mlThr AS keep_ml
+           |    FROM contrib GROUP BY doc_id, url)
+           |, langpick AS (SELECT w.doc_id, coalesce(r.lang, 'de') AS lang_pred
+           |    FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1)
+           | SELECT v.doc_id, v.url, v.keep,
+           |   (lp.lang_pred = 'en') AS lang_ok,
+           |   coalesce(p.ppl <= 32.0, false) AS ppl_ok,
+           |   m.keep_ml,
+           |   (v.keep AND lp.lang_pred = 'en' AND coalesce(p.ppl <= 32.0, false)
+           |     AND m.keep_ml) AS keep_full
+           | FROM verdict2 v
+           | JOIN langpick lp ON v.doc_id = lp.doc_id
+           | LEFT JOIN pplt p ON v.doc_id = p.doc_id
+           | JOIN mlk m ON v.doc_id = m.doc_id""".stripMargin),
     "q76_cluster_rep" ->
       ("WITH RECURSIVE " +
         (webdocCte + shingleCte + minhashCte + signalsCte).stripPrefix("WITH ") +

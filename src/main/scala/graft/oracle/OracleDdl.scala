@@ -234,9 +234,9 @@ object OracleDdl {
     * — the same IEEE order as the Java loop, whose zero terms are exact
     * no-ops — so scores are bit-identical, not just close. Ties break to
     * the alphabetically-first language in both engines. */
-  def langidOracle: String =
-    webdocCte +
-      s""", lt AS (SELECT doc_id, url, ' ' || lower(text) || ' ' AS t FROM webdoc)
+  /** langid chain CTEs (compose after webdocCte): lt → … → ranked. */
+  val langidCtes: String =
+    s""", lt AS (SELECT doc_id, url, ' ' || lower(text) || ' ' AS t FROM webdoc)
          |, grams AS (
          |  SELECT doc_id, url,
          |    ((7*31 + ascii(substr(g, 1, 1)))*31 + ascii(substr(g, 2, 1)))*31 + ascii(substr(g, 3, 1)) AS h
@@ -259,8 +259,32 @@ object OracleDdl {
          |  FROM (SELECT n.doc_id, n.url, l.lang,
          |          CASE WHEN n.nrm = 0 THEN 0.0 ELSE coalesce(d.dot, 0.0) / n.nrm END AS s
          |        FROM nrms n CROSS JOIN langs l
-         |        LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.lang = l.lang))
-         | SELECT w.doc_id, w.url, coalesce(r.lang, 'de') AS lang_pred,
-         |   coalesce(floor(r.s * 1e6 + 0.5) / 1e6, 0.0) AS lang_score
-         | FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+         |        LEFT JOIN dots d ON d.doc_id = n.doc_id AND d.lang = l.lang))""".stripMargin
+
+  def langidOracle: String =
+    webdocCte + langidCtes +
+      """ SELECT w.doc_id, w.url, coalesce(r.lang, 'de') AS lang_pred,
+        |   coalesce(floor(r.s * 1e6 + 0.5) / 1e6, 0.0) AS lang_score
+        | FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1""".stripMargin
+
+  /** Bigram-LM perplexity chain (compose after webdocCte + shingleCte):
+    * wpos → … → pplt(doc_id, url, n_words, ppl). */
+  val perplexityCtes: String =
+    """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
+      |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
+      |, tot AS (SELECT sum(cnt) AS total FROM uni)
+      |, pairs AS MATERIALIZED (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
+      |, big AS (SELECT w1, w2, count(*) AS bcnt FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2)
+      |, terms AS (
+      |   SELECT p.doc_id, p.url,
+      |     CASE WHEN p.w1 IS NULL THEN u2.cnt * 1.0 / total + 1e-12
+      |          WHEN b.bcnt IS NOT NULL THEN b.bcnt * 1.0 / u1.cnt
+      |          ELSE 0.4 * (u2.cnt * 1.0 / total + 1e-12) END AS pr
+      |   FROM pairs p
+      |   JOIN uni u2 ON p.w2 = u2.w
+      |   LEFT JOIN uni u1 ON p.w1 = u1.w
+      |   LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2, tot)
+      |, pplt AS (SELECT doc_id, url, count(*) AS n_words,
+      |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
+      | FROM terms GROUP BY doc_id, url)""".stripMargin
 }

@@ -127,6 +127,19 @@ class QualityModelSpec extends SparkSpec {
     assert(got.size < batchN && got.nonEmpty)
   }
 
+  test("q80 composite filter: keep_full is the conjunction and every gate is discriminative") {
+    val out = SparkEntry.queries("q80_full_filter")(spark, sfDir).cache()
+    assert(out.filter(col("keep_full") =!=
+      (col("keep") && col("lang_ok") && col("ppl_ok") && col("keep_ml"))).count() == 0)
+    // each gate must reject someone the others don't — otherwise it's dead
+    Seq("keep", "lang_ok", "ppl_ok", "keep_ml").foreach { g =>
+      assert(out.filter(!col(g)).count() > 0, s"gate $g rejects nothing")
+    }
+    val kept = out.filter(col("keep_full")).count()
+    assert(kept > 0 && kept < out.count())
+    out.unpersist()
+  }
+
   test("tokenBudget keeps exactly the hash-ordered prefix that fits, per shard") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val tok = graft.functions.TextSignals(col("text")).getField("n_words")
