@@ -632,7 +632,14 @@ object SparkEntry {
           col("keep_ml"),
           (col("keep") && (col("lang_pred") === "en") && pplOk &&
             col("keep_ml")).as("keep_full"))
-    }))
+    }),
+
+    // Leakage-safe train/eval split: near-dup clusters move as one unit
+    // across the split (per-doc hash splits leak eval near-dups into
+    // training); split key = cluster id, singletons use their own id
+    "q81_leak_safe_split" -> ((s, dir) =>
+      graft.operators.TrainPrep.leakSafeSplit(
+        Pipeline.webdoc(s, dir), 0.5, "ls1", 0.8)))
 
   /** Shared logit chain for q75/q80 (reads `sig`): feats → wts → contrib.
     * Built from QualityModel.weights so the oracle cannot drift from the
@@ -1299,5 +1306,25 @@ object SparkEntry {
            |   round(p50_hist, 6) AS p50_hist, round(p50_new, 6) AS p50_new,
            |   (round(abs(mean_new - mean_hist), 6) >= 0.03) AS drifted
            | FROM H JOIN N USING (feature)""".stripMargin)
-    })
+    },
+    "q81_leak_safe_split" ->
+      ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
+        s""", pairs AS MATERIALIZED (
+           |   SELECT doc_a, doc_b FROM (
+           |     SELECT doc_a, doc_b,
+           |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+           |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+           |   WHERE jaccard >= 0.5)
+           |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+           |, reach(id, r) AS (
+           |   SELECT DISTINCT src, src FROM sym
+           |   UNION
+           |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+           |, cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+           |, keyed AS (SELECT w.doc_id, coalesce(cl.cluster_id, w.doc_id) AS split_key
+           |    FROM webdoc w LEFT JOIN cl ON w.doc_id = cl.doc_id)
+           | SELECT doc_id, split_key,
+           |   (${h60("split_key || ':ls1'")} % 1000000
+           |     < CAST(0.8 * 1000000.0 AS BIGINT)) AS is_train
+           | FROM keyed""".stripMargin))
 }

@@ -226,6 +226,29 @@ object TrainPrep {
         round(max(col("__cum")) / lit(budget.toDouble), 6).as("fill_frac"))
   }
 
+  /** Leakage-safe train/eval split: the per-doc hash split (`hashSample`)
+    * can put two NEAR-DUPLICATES on opposite sides — the eval copy then
+    * "contaminates" training by proxy, the classic silent leak. Here the
+    * split key is the near-dup CLUSTER id (doc_id for singletons), so a
+    * duplicate group moves as one unit: either all train or all eval, by
+    * the same deterministic hash gate. Emits (doc_id, split_key,
+    * is_train).
+    *
+    * Scale: rides the q48 cluster pipeline (banded LSH + connected
+    * components); the cluster join ships (doc_id, cluster_id) pairs only
+    * and the gate itself is shuffle-free. */
+  def leakSafeSplit(docs: DataFrame, threshold: Double, salt: String,
+                    trainRate: Double): DataFrame = {
+    val clusters = Dedup.dupClusters(docs, threshold)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("is_train",
+        pmod(md5Hash60(concat(col("split_key").cast("string"), lit(":" + salt))),
+          lit(1000000L)) < lit(trainRate * 1000000.0).cast("long"))
+      .select(col("doc_id"), col("split_key"), col("is_train"))
+  }
+
   /** Deterministic output-shard assignment + balance audit (the S10 sink's
     * web-scale layout rule): every doc lands in `pmod(h60(url||salt), n)`
     * — a pure function of the url, so reruns, resumes, and late-arriving

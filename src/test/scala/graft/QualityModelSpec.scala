@@ -127,6 +127,31 @@ class QualityModelSpec extends SparkSpec {
     assert(got.size < batchN && got.nonEmpty)
   }
 
+  test("leakSafeSplit: no near-dup cluster straddles the split; covers every doc; rate sane") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val split = TrainPrep.leakSafeSplit(wd, 0.5, "ls1", 0.8).cache()
+    assert(split.count() == wd.count()) // total function of the corpus
+    // the defining property: each split_key (cluster) is entirely one side
+    assert(split.groupBy("split_key")
+      .agg(countDistinct(col("is_train")).as("sides"))
+      .filter(col("sides") > 1).count() == 0)
+    // clusters exist with >1 member, so the property is non-vacuous
+    assert(split.groupBy("split_key").count().filter(col("count") > 1).count() > 0)
+    val frac = split.filter(col("is_train")).count().toDouble / split.count()
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+    // per-doc hash split DOES leak on this corpus (the motivation):
+    // some cluster has members landing on both sides under a doc-id gate
+    val perDoc = TrainPrep.hashSample(wd, col("doc_id"), "ls1", lit(0.8))
+      .select(col("doc_id")).withColumn("t", lit(true))
+    val leaky = split.select("doc_id", "split_key")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("is_train_doc", coalesce(col("t"), lit(false)))
+      .groupBy("split_key").agg(countDistinct(col("is_train_doc")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(leaky > 0, "per-doc split should straddle at least one cluster here")
+    split.unpersist()
+  }
+
   test("q80 composite filter: keep_full is the conjunction and every gate is discriminative") {
     val out = SparkEntry.queries("q80_full_filter")(spark, sfDir).cache()
     assert(out.filter(col("keep_full") =!=
