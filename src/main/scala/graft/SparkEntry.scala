@@ -639,7 +639,19 @@ object SparkEntry {
     // training); split key = cluster id, singletons use their own id
     "q81_leak_safe_split" -> ((s, dir) =>
       graft.operators.TrainPrep.leakSafeSplit(
-        Pipeline.webdoc(s, dir), 0.5, "ls1", 0.8)))
+        Pipeline.webdoc(s, dir), 0.5, "ls1", 0.8)),
+
+    // Rule-ablation report (threshold tuning): per drop reason, total
+    // hits vs docs ONLY that rule rejects — n_unique is what you'd
+    // regain by deleting the rule, the number q07's histogram can't give
+    "q82_rule_ablation" -> ((s, dir) =>
+      Pipeline.scored(s, dir)
+        .select(explode(split(col("drop_reasons"), ",")).as("reason"),
+          col("drop_reasons"))
+        .filter(col("reason") =!= "")
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum((col("drop_reasons") === col("reason")).cast("long")).as("n_unique"))))
 
   /** Shared logit chain for q75/q80 (reads `sig`): feats → wts → contrib.
     * Built from QualityModel.weights so the oracle cannot drift from the
@@ -1326,5 +1338,12 @@ object SparkEntry {
            | SELECT doc_id, split_key,
            |   (${h60("split_key || ':ls1'")} % 1000000
            |     < CAST(0.8 * 1000000.0 AS BIGINT)) AS is_train
-           | FROM keyed""".stripMargin))
+           | FROM keyed""".stripMargin),
+    "q82_rule_ablation" ->
+      (webdocCte + signalsCte + verdictCte +
+        """ SELECT reason, count(*) AS n_hits,
+          |   CAST(sum(CASE WHEN drop_reasons = reason THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+          | FROM (SELECT unnest(string_split(drop_reasons, ',')) AS reason, drop_reasons
+          |       FROM verdict2)
+          | WHERE reason <> '' GROUP BY reason""".stripMargin))
 }

@@ -165,6 +165,19 @@ class QualityModelSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q82 rule ablation: n_unique <= n_hits, and unique counts match a driver recount") {
+    val out = SparkEntry.queries("q82_rule_ablation")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (r, (hits, uniq)) => assert(uniq <= hits, r) }
+    val reasons = Pipeline.scored(spark, sfDir)
+      .select("drop_reasons").as[String].collect()
+    out.foreach { case (r, (hits, uniq)) =>
+      assert(hits == reasons.count(_.split(",").contains(r)), s"hits $r")
+      assert(uniq == reasons.count(_ == r), s"unique $r")
+    }
+  }
+
   test("tokenBudget keeps exactly the hash-ordered prefix that fits, per shard") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val tok = graft.functions.TextSignals(col("text")).getField("n_words")
