@@ -101,7 +101,15 @@ object Bench {
     // min takes the fastest — and a true regression still shows in the
     // run-only number).
     val sfName = Paths.get(sfDir).getFileName.toString
-    val histPath = Paths.get("BENCH", "rep_history.jsonl")
+    // anchor the history in the repo's BENCH/ dir even if the launcher's
+    // cwd differs (a cwd-relative miss would silently fall back to
+    // run-only floors)
+    val histPath = {
+      val rel = Paths.get("BENCH", "rep_history.jsonl")
+      val repo = Paths.get("/root/repo/BENCH")
+      if (Files.exists(rel.getParent) || !Files.exists(repo)) rel
+      else repo.resolve("rep_history.jsonl")
+    }
     def recordRep(level: Int, sec: Double): Unit = {
       Files.createDirectories(histPath.getParent)
       val line = f"""{"ts":${System.currentTimeMillis()}%d,"cores":$level%d,"mult":$mult%d,"sf":"$sfName%s","sec":$sec%.3f}""" + "\n"
