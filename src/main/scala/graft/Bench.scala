@@ -168,13 +168,20 @@ object Bench {
       val s = xs.sorted
       s(1) <= s(0) * (1.0 + tol)
     }
+    // Caps are (approximately) equal WALL-CLOCK budgets, not equal counts
+    // — 4 × ~20 s hi reps ≈ 80 s vs 2 × ~65 s lo reps ≈ 130 s. A count-
+    // symmetric 4-vs-1 cap was directionally biased (review finding):
+    // every extra hi rep can only RAISE the published efficiency, every
+    // extra lo rep can only LOWER it, so the eff-lowering direction now
+    // holds the LARGER time budget — conservative, and the pooled floors
+    // above dominate the estimate anyway.
     var extraHi = 0
     while (extraHi < 4 && !converged(repsHi, 0.05)) {
       repsHi :+= once(16)
       extraHi += 1
     }
     var extraLo = 0
-    while (extraLo < 1 && !converged(repsLo, 0.08)) {
+    while (extraLo < 2 && !converged(repsLo, 0.08)) {
       repsLo :+= once(4)
       extraLo += 1
     }

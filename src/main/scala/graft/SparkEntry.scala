@@ -964,7 +964,7 @@ object SparkEntry {
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc
            | WHERE ${h60("doc_id || ':salt1'")} % 1000000
-           |   < CAST(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END * 1000000.0 AS BIGINT)""".stripMargin),
+           |   < CAST(floor(CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END * 1000000.0) AS BIGINT)""".stripMargin),
     "q50_chunks" ->
       (webdocCte +
         """, ch AS (SELECT doc_id, text,
@@ -1157,8 +1157,10 @@ object SparkEntry {
           |      '([?&])&+', '\1', 'g'), '[?&]+$', '') AS n FROM u)
           |, c AS (SELECT doc_id,
           |    regexp_replace(
-          |      lower(regexp_extract(n, '^(https?://[^/?]*)', 1)) ||
-          |        regexp_extract(n, '^https?://[^/?]*(.*)$', 1), '/$', '') AS canonical_url
+          |      CASE WHEN regexp_matches(n, '(?i)^https?://')
+          |           THEN lower(regexp_extract(n, '(?i)^(https?://[^/?]*)', 1)) ||
+          |                regexp_extract(n, '(?i)^https?://[^/?]*(.*)$', 1)
+          |           ELSE n END, '/$', '') AS canonical_url
           |  FROM nd)
           | SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS n_variants
           | FROM c GROUP BY canonical_url""".stripMargin),
@@ -1296,10 +1298,14 @@ object SparkEntry {
            |   round(max(cum) / 2000.0, 6) AS fill_frac
            | FROM cum WHERE cum <= 2000 GROUP BY shard""".stripMargin),
     "q78_incr_dedup" ->
+      // NOT EXISTS, not NOT IN: with any NULL-text historical doc NOT IN
+      // goes three-valued and returns zero rows, while Spark's anti-join
+      // (null keys never match → kept) emits the batch normally
       (webdocCte +
-        """ SELECT doc_id, url, md5(text) AS content_hash FROM webdoc
-          | WHERE doc_id >= 10000000 AND md5(text) NOT IN
-          |   (SELECT md5(text) FROM webdoc WHERE doc_id < 10000000)""".stripMargin),
+        """ SELECT b.doc_id, b.url, md5(b.text) AS content_hash FROM webdoc b
+          | WHERE b.doc_id >= 10000000 AND NOT EXISTS
+          |   (SELECT 1 FROM webdoc h
+          |    WHERE h.doc_id < 10000000 AND md5(h.text) = md5(b.text))""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")
@@ -1337,7 +1343,7 @@ object SparkEntry {
            |    FROM webdoc w LEFT JOIN cl ON w.doc_id = cl.doc_id)
            | SELECT doc_id, split_key,
            |   (${h60("split_key || ':ls1'")} % 1000000
-           |     < CAST(0.8 * 1000000.0 AS BIGINT)) AS is_train
+           |     < CAST(floor(0.8 * 1000000.0) AS BIGINT)) AS is_train
            | FROM keyed""".stripMargin),
     "q82_rule_ablation" ->
       (webdocCte + signalsCte + verdictCte +

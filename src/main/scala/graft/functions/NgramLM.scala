@@ -101,13 +101,18 @@ object NgramLM extends Serializable {
     docs.select(col("doc_id"), col("url"), Rules.wordsOf(col("text")).as("ws"))
       .mapPartitions { iter =>
         val model = bc.value
-        iter.map { r =>
-          // null-safe like LangId: a NULL text yields a null words array
-          // from wordsOf — score it as an empty doc, don't NPE the job
+        // null-safe like LangId (a NULL text yields a null words array),
+        // and zero-word docs emit NO row — not ppl = 0.0, which would be
+        // the best possible score and sail through any `ppl <= T` gate
+        // (review finding): the SQL-oracle twin has no term rows for such
+        // docs either, and a composite filter's LEFT JOIN + coalesce(...,
+        // false) then correctly REJECTS them on both engines.
+        iter.flatMap { r =>
           val ws0 = r.getSeq[String](2)
           val ws = if (ws0 == null) Seq.empty[String] else ws0
-          Row(r.getLong(0), r.getString(1), ws.length.toLong,
-            if (ws.isEmpty) 0.0 else perplexity(model, ws))
+          if (ws.isEmpty) None
+          else Some(Row(r.getLong(0), r.getString(1), ws.length.toLong,
+            perplexity(model, ws)))
         }
       }(enc)
   }

@@ -29,10 +29,18 @@ object UrlOps {
     val noUtm = regexp_replace(noFrag, "([?&])utm_[a-zA-Z_]*=[^&]*", "$1")
     val collapsed = regexp_replace(noUtm, "([?&])&+", "$1")
     val noDangle = regexp_replace(collapsed, "[?&]+$", "")
+    // scheme matching is case-INSENSITIVE (RFC 3986) and guarded: a URL
+    // with any other scheme (ftp:, relative, garbage) passes through the
+    // generic cleanups but keeps its own identity — an unguarded extract
+    // returned "" on no match, collapsing every non-http(s) URL into ONE
+    // canonical key and dedup then discarded all but one of those
+    // unrelated documents (review finding)
     val hostLower = concat(
-      lower(regexp_extract(noDangle, "^(https?://[^/?]*)", 1)),
-      regexp_extract(noDangle, "^https?://[^/?]*(.*)$", 1))
-    regexp_replace(hostLower, "/$", "")
+      lower(regexp_extract(noDangle, "(?i)^(https?://[^/?]*)", 1)),
+      regexp_extract(noDangle, "(?i)^https?://[^/?]*(.*)$", 1))
+    val normalized = when(noDangle.rlike("(?i)^https?://"), hostLower)
+      .otherwise(noDangle)
+    regexp_replace(normalized, "/$", "")
   }
 
   /** Collapse rows sharing a canonical URL: keep the smallest doc_id

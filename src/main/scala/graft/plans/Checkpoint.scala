@@ -219,9 +219,16 @@ object Checkpoint {
     var processed = Vector.empty[Long]
     var everFailed = Set.empty[Long]
     var pending = todo
+    var firstPass = true
     while (pending.nonEmpty) {
       var failedPass = Vector.empty[Long]
-      pending.grouped(shardsPerCommit).foreach { group =>
+      // retry passes process failed shards ONE AT A TIME: a group retried
+      // as the same group lets one poison shard burn the retry budget of
+      // every healthy shard committed alongside it (review finding) —
+      // isolation means member-specific failures cost only their own
+      // shard, and the healthy neighbors commit on the first retry
+      val groupSize = if (firstPass) shardsPerCommit else 1
+      pending.grouped(groupSize).foreach { group =>
         try {
           groupFault(group)
           processGroup(docs, score, outDir, ledgerDir, runId, group)
@@ -242,6 +249,7 @@ object Checkpoint {
       // in-run retry: re-attempt whatever still has budget; terminate when
       // every still-failed shard has spent its attempts
       pending = failedPass.filter(s => attempts.getOrElse(s, 0) <= retryCount)
+      firstPass = false
     }
     val exhausted = priorExhausted ++
       everFailed.toSeq.sorted.filter(s => attempts.getOrElse(s, 0) > retryCount)

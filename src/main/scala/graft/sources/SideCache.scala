@@ -75,7 +75,11 @@ object SideCache {
 
   /** Staleness probe for file-backed side tables: the max mtime under a
     * directory (an Iceberg/Delta snapshot id plays this role on a real
-    * table format). */
+    * table format). CAVEAT: mtime granularity (1 s on many filesystems)
+    * means an overwrite landing within the same granule as the previous
+    * version is invisible to this probe — it is a dev/test convenience;
+    * production side tables should supply a monotonic snapshot/version id
+    * as `version` instead. */
   def dirVersion(dir: String): () => Long = () => {
     val d = Paths.get(dir)
     if (!Files.exists(d)) -1L

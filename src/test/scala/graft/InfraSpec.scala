@@ -126,6 +126,25 @@ class InfraSpec extends SparkSpec {
     assert(written.filter(col("shard") === 3).count() == 0)
   }
 
+  test("a poison shard is retried in isolation — healthy groupmates commit, only it exhausts") {
+    val out = tmpDir("iso-out")
+    val ledger = tmpDir("iso-ledger")
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val fault: Seq[Long] => Unit = { g =>
+      if (g.contains(3L)) throw new RuntimeException("poison shard 3")
+    }
+    // first pass processes groups of 8: [0..7] fails as a group (all 8
+    // charged one attempt); the retry pass is PER-SHARD, so the 7 healthy
+    // members commit on their isolated retry and only shard 3 exhausts
+    val r = Checkpoint.runWithRetry(docs, Pipeline.score, out, ledger, "r",
+      shardsPerCommit = 8, retryCount = 1, groupFault = fault)
+    assert(r.exhausted == Seq(3L))
+    assert(r.processed.toSet == (0L to 31L).toSet - 3L)
+    assert(r.exitCode == -1)
+    assert(Checkpoint.completedShards(ledger).size == 31)
+    assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 2))
+  }
+
   test("lifecycle: todo-file drives a checkpointed run, then validate reconciles clean") {
     // SURVEY §3's three entry points composed: todo-run (§3.2) scoped by a
     // WorkList file, checkpointed processing, then validation (§3.3) via

@@ -65,6 +65,15 @@ class OperatorSpec extends SparkSpec {
     assert(got(3) == "https://host-1.example.com/a/b")
     assert(got(4) == "https://host-1.example.com/a/b?id=7")
     assert(got(5) == "https://host-1.example.com/A/B")
+    // scheme is case-insensitive (RFC 3986); non-http(s) URLs keep their
+    // identity instead of all collapsing to "" (review finding)
+    val schemes = Seq("HTTP://Host-1.Example.com/a/b", "ftp://files.example.com/a",
+      "relative/path/x").toDF("url")
+      .select(graft.operators.UrlOps.canonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(schemes(0) == "http://host-1.example.com/a/b")
+    assert(schemes(1) == "ftp://files.example.com/a")
+    assert(schemes(2) == "relative/path/x")
     // the unanchored-pattern bug would strip the 'utm_source=1' SUBSTRING
     // of a longer param name and merge genuinely distinct URLs
     assert(got(6) == "https://host-1.example.com/a/b?xutm_source=1")
