@@ -53,20 +53,23 @@ object Main {
     results
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Testable main body: returns the exit code instead of exiting. If a
+    * SparkSession already exists (a test suite's shared session),
+    * getOrCreate reuses it and this method leaves it RUNNING — stopping a
+    * borrowed session would break every later test in the JVM. */
+  def mainImpl(args: Array[String]): Int = {
     if (args.length < 3 || (args.headOption.contains("--state") && args.length < 7)) {
       System.err.println(
         "usage: graft.Main <inputDir> <outDir> <ledgerDir> [runId] [retryCount]\n" +
         "       graft.Main --state <inputDir> <outDir> <stateDir> <startTs> <endTs> <intervalSec>")
-      sys.exit(2)
+      return 2
     }
-    val runId = if (args.length > 3) args(3) else s"run_${System.currentTimeMillis()}"
-    val retryCount = if (args.length > 4) args(4).toInt else 1
+    val preExisting = SparkSession.getDefaultSession.isDefined
     val builder = SparkSession.builder()
     // under spark-submit the master comes from the launcher; standalone
     // (sbt runMain, bare java) falls back to local
     val spark = Sessions.tune(
-      if (sys.props.contains("spark.master")) builder
+      if (preExisting || sys.props.contains("spark.master")) builder
       else {
         val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
         builder.master(s"local[$cpus]")
@@ -75,15 +78,22 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code =
-      try {
-        if (args(0) == "--state") {
-          runState(spark, args(1), args(2), args(3),
-            java.sql.Timestamp.valueOf(args(4)), java.sql.Timestamp.valueOf(args(5)),
-            args(6).toLong)
-          0
-        } else run(spark, args(0), args(1), args(2), runId, retryCount)
-      } finally spark.stop()
-    sys.exit(code)
+    try {
+      if (args(0) == "--state") {
+        runState(spark, args(1), args(2), args(3),
+          java.sql.Timestamp.valueOf(args(4)), java.sql.Timestamp.valueOf(args(5)),
+          args(6).toLong)
+        0
+      } else {
+        // runId/retryCount are positional ONLY in default mode — parsing
+        // them before the branch crashed every --state run, whose args(4)
+        // is a timestamp, with NumberFormatException (ADVICE r3, high)
+        val runId = if (args.length > 3) args(3) else s"run_${System.currentTimeMillis()}"
+        val retryCount = if (args.length > 4) args(4).toInt else 1
+        run(spark, args(0), args(1), args(2), runId, retryCount)
+      }
+    } finally if (!preExisting) spark.stop()
   }
+
+  def main(args: Array[String]): Unit = sys.exit(mainImpl(args))
 }

@@ -82,6 +82,27 @@ class InfraSpec extends SparkSpec {
     assert(r2.isEmpty)
   }
 
+  test("Main.mainImpl parses --state argv (timestamp in position 4) without crashing") {
+    // ADVICE r3 (high): retryCount was parsed from args(4) BEFORE the mode
+    // branch, so every real `--state` CLI invocation died on
+    // NumberFormatException("2024-01-01 00:00:00"). Exercise the actual
+    // argv path, not runState directly.
+    val out = tmpDir("mainargv-out") + "/data"
+    val state = tmpDir("mainargv-state")
+    val code = Main.mainImpl(Array("--state", sfDir, out, state,
+      "2024-01-01 00:00:00", "2024-01-31 00:00:00", (15L * 86400).toString))
+    assert(code == 0)
+    // the boxes really ran: bookmark advanced to end, data landed
+    val end = Timestamp.valueOf("2024-01-31 00:00:00")
+    assert(Incremental.readBookmark(state,
+      Timestamp.valueOf("2024-01-01 00:00:00")) == end)
+    assert(spark.read.parquet(out).count() > 0)
+    // bad argv still reports usage instead of throwing
+    assert(Main.mainImpl(Array("--state", sfDir, out)) == 2)
+    // the shared test session survived (mainImpl must not stop it)
+    assert(!spark.sparkContext.isStopped)
+  }
+
   test("failed shards are retried up to retryCount, then reported exhausted") {
     val out = tmpDir("retry-out")
     val ledger = tmpDir("retry-ledger")

@@ -145,11 +145,12 @@ class PlanSpec extends SparkSpec {
   test("q78: neither corpus side shuffles — bloom in the batch scan, broadcast verify joins") {
     val plan = staticPlan(SparkEntry.queries("q78_incr_dedup")(spark, sfDir)).toString
     assert(plan.contains("might_contain"), plan.take(2000))
-    // candidates and dup-ids broadcast; the only legal Exchange is the
-    // single-partition one under the dup-id distinct — never a shuffle of
-    // a corpus leg on the content hash
-    assert(!plan.contains("Exchange hashpartitioning(h#") ||
-      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // candidate keys and confirmed-dup keys broadcast; NO h-keyed shuffle
+    // anywhere in the plan (the semi-join output feeds the anti-join
+    // un-deduplicated, so not even a distinct shuffles on h). Asserted
+    // INDEPENDENTLY of the broadcast-join check — the r3 form OR'd them
+    // into a tautology (ADVICE r3)
+    assert(!plan.contains("Exchange hashpartitioning(h#"), plan.take(3000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
