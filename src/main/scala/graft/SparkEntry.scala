@@ -569,6 +569,13 @@ object SparkEntry {
     "q74_repeated_spans" -> ((s, dir) =>
       graft.operators.Dedup.repeatedSpans(Pipeline.webdoc(s, dir), 10, 5)),
 
+    // Span REMOVAL (the output side of exact-substring dedup): every doc
+    // re-emitted with the words under any cross-doc repeated span excised
+    // — deterministic byte-exact reassembly, subsequence + idempotence
+    // property-tested in OperatorSpec
+    "q83_excise_spans" -> ((s, dir) =>
+      graft.operators.Dedup.excisedSpans(Pipeline.webdoc(s, dir), 10, 5)),
+
     // Model-driven quality classifier: the learned-model stage after the
     // heuristic rules — weights live in a broadcast side TABLE (not code),
     // dot product is decimal-exact so the score is order-independent and
@@ -1244,6 +1251,33 @@ object SparkEntry {
            |    CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_spans
            |  FROM sh2 JOIN dfs USING (h) GROUP BY doc_id)
            | SELECT doc_id, n_spans, n_rep_spans FROM ag WHERE n_rep_spans > 0""".stripMargin),
+    "q83_excise_spans" ->
+      // same span mining as q74 (anchored 10-word spans, h60 stream), then
+      // the covered word-index set is built relationally (rep starts ×
+      // range(width)) and words rebuild by original position — mirrors the
+      // Spark HOF excision exactly, including zero-word docs ('' text)
+      (webdocCte + shingleCte +
+        s""", sp AS (SELECT doc_id, unnest(CASE WHEN len(words) >= 10
+           |    THEN list_transform(
+           |         list_filter(range(0, len(words) - 10 + 1),
+           |           i -> ${h60("words[i+1]")} % 5 = 0),
+           |         i -> struct_pack(pos := i, span := array_to_string(words[(i+1):(i+10)], ' ')))
+           |    ELSE []::STRUCT(pos BIGINT, span VARCHAR)[] END) AS s FROM wsw)
+           |, sh2 AS (SELECT doc_id, s.pos AS pos, ${h60("s.span")} AS h FROM sp)
+           |, dfs AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ddf FROM sh2 GROUP BY h) WHERE ddf >= 2)
+           |, rep AS (SELECT DISTINCT s2.doc_id, s2.pos FROM sh2 s2 JOIN dfs USING (h))
+           |, cov AS (SELECT DISTINCT doc_id, pos + k AS j FROM rep, range(0, 10) t(k))
+           |, wx AS (SELECT doc_id, unnest(words) AS w,
+           |    generate_subscripts(words, 1) - 1 AS j FROM wsw)
+           |, keptw AS (SELECT wx.doc_id, wx.w, wx.j FROM wx WHERE NOT EXISTS
+           |    (SELECT 1 FROM cov WHERE cov.doc_id = wx.doc_id AND cov.j = wx.j))
+           |, ct AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text
+           |         FROM keptw GROUP BY doc_id)
+           |, nr AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+           | SELECT s.doc_id, s.url, CAST(len(s.words) AS INT) AS n_words,
+           |   CAST(coalesce(nr.n_removed, 0) AS INT) AS n_removed,
+           |   coalesce(ct.clean_text, '') AS clean_text
+           | FROM wsw s LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
     "q75_quality_logit" ->
       (webdocCte + signalsCte + logitCtes +
         s""" SELECT doc_id, url, CAST($mlIcept + sum(c) AS DOUBLE) AS logit,

@@ -335,6 +335,78 @@ class OperatorSpec extends SparkSpec {
     assert(flagged == Seq(1L, 2L))
   }
 
+  test("excisedSpans: output words are a subsequence of the input; flagged docs match repeatedSpans") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val out = graft.operators.Dedup.excisedSpans(wd, 10, 5)
+      .select("doc_id", "n_words", "n_removed", "clean_text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    val orig = wd.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet) // every doc re-emitted, none invented
+    def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+      var i = 0
+      sup.foreach { w => if (i < sub.length && sub(i) == w) i += 1 }
+      i == sub.length
+    }
+    out.foreach { case (id, (nWords, nRemoved, clean)) =>
+      val ow = orig(id).split("\\s+").filter(_.nonEmpty).toSeq
+      val cw = clean.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nWords == ow.length && cw.length == nWords - nRemoved, s"doc $id")
+      assert(isSubseq(cw, ow), s"doc $id: cleaned words not a subsequence")
+    }
+    // docs that lost words = exactly the docs repeatedSpans flags
+    val flagged = graft.operators.Dedup.repeatedSpans(wd, 10, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._2 > 0).keySet == flagged)
+    assert(flagged.nonEmpty) // the clone rows guarantee real repeats
+  }
+
+  test("excisedSpans: removes the shared passage and is idempotent on the cleaned fixture") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val twenty = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, "u1", shared + " aa bb cc dd"),
+      (2L, "u2", shared + " ee ff gg hh"),
+      (3L, "u3", (1 to 12).map(i => s"z$i").mkString(" ")),
+      (4L, "u4", twenty), (5L, "u5", twenty),
+      (6L, "u6", "mm nn oo " + shared)
+    ).toDF("doc_id", "url", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.excisedSpans(d, 10, 1)
+    val r1 = run(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getString(4))).toMap
+    // the shared 10-word passage is gone from every doc containing it;
+    // untouched docs come back byte-identical (modulo the word join)
+    assert(r1(1L) == (10, "aa bb cc dd") && r1(2L) == (10, "ee ff gg hh"))
+    assert(r1(6L) == (10, "mm nn oo"))
+    assert(r1(3L) == (0, (1 to 12).map(i => s"z$i").mkString(" ")))
+    assert(r1(4L) == (20, "") && r1(5L) == (20, "")) // verbatim copies fully excised
+    // idempotence: a second pass over the cleaned corpus removes nothing
+    val again = docs.select(col("doc_id"), col("url"))
+      .join(run(docs).select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+    val r2 = run(again).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getString(4))).toMap
+    assert(r2.values.forall(_._1 == 0))
+    assert(r2.view.mapValues(_._2).toMap == r1.view.mapValues(_._2).toMap)
+  }
+
+  test("dedup cache lifecycle: releaseAll leaves zero residual persisted entries") {
+    import graft.plans.TrackedCache
+    TrackedCache.releaseAll()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val wd = Pipeline.webdoc(spark, sfDir)
+    graft.operators.Dedup.minhashPairs(wd, 0.5).count()
+    graft.operators.Dedup.jaccardPairsCapped(wd, 0.5, 10).count()
+    graft.operators.Dedup.repeatedSpans(wd, 10, 5).count()
+    assert(TrackedCache.size >= 3) // each operator registered its table
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > baseline.size)
+    TrackedCache.releaseAll(blocking = true)
+    assert(TrackedCache.size == 0)
+    // nothing beyond what existed before remains persisted
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(baseline))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes cross-file replays") {
     val src = tmpDir("stream-dedup")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
