@@ -807,9 +807,11 @@ object SparkEntry {
           | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
           | sgn AS (SELECT * FROM $signValues t(bit, s)),
           | bits AS (SELECT n.vec_id, sgn.bit FROM n, sgn WHERE ${dotSql("n.v", "sgn.s")} > 0),
-          | sig AS (SELECT n.vec_id, CAST(coalesce(sum(1::BIGINT << bit), 0) AS BIGINT) AS sig
-          |         FROM n LEFT JOIN bits ON n.vec_id = bits.vec_id GROUP BY n.vec_id),
-          | bands AS (SELECT vec_id, j AS band_id, (sig >> (8*j)) & 255 AS chunk FROM sig, range(0, 2) t(j)),
+          | bands AS (SELECT n.vec_id, j AS band_id,
+          |     CAST(coalesce(sum(CASE WHEN b.bit >= 16*j AND b.bit < 16*(j+1)
+          |       THEN 1::BIGINT << (b.bit - 16*j) END), 0) AS BIGINT) AS chunk
+          |   FROM n LEFT JOIN bits b ON n.vec_id = b.vec_id, range(0, 4) t(j)
+          |   GROUP BY n.vec_id, j),
           | cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
           |          FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id < b.vec_id)
           | SELECT vec_a, vec_b, cos FROM (

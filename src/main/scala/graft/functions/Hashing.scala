@@ -22,6 +22,25 @@ object Hashing {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of md5Hash60 (bit-identical on any UTF-8 string) — for
+    * driver/executor Scala code that must key by the same cross-engine
+    * hash the Column form produces (e.g. the NgramLM broadcast model). */
+  def md5Hash60Jvm(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = first 7 bytes + the high nibble of byte 8
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (bytes(i) & 0xffL); i += 1 }
+    (h << 4) | ((bytes(7) & 0xf0L) >> 4)
+  }
+
   /** MinHash permutation coefficients (k = 16), fixed constants shared with
     * the oracle SQL verbatim. h_i(x) = (a_i * (x mod P) + b_i) mod P. */
   val minhashA: Seq[Long] = Seq(7, 13, 31, 43, 59, 61, 73, 97, 101, 131, 151, 181, 211, 241, 271, 307)

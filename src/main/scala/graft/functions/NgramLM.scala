@@ -25,8 +25,50 @@ object NgramLM extends Serializable {
 
   val Alpha = 0.4
 
-  case class Model(uni: Map[String, Long], big: Map[(String, String), Long], total: Long)
+  /** Bigram counts are keyed by ONE packed 60-bit hash per bigram
+    * (md5Hash60 of "w1 w2" — words are whitespace-split so the space
+    * separator is unambiguous) and stored as two parallel UNBOXED sorted
+    * arrays (16 B/entry flat + binary-search lookup), not as a
+    * (String, String)-keyed map: at the 16M-bigram cap the tuple map is
+    * multi-GB of JVM object overhead on every executor, this is 256 MB
+    * (VERDICT r3 #4; size ratio pinned in ModelSpec). The DuckDB oracle
+    * joins scoring bigrams through the identical h60, so a 60-bit
+    * collision (two bigrams sharing a key sum their counts — p ≈ 10^-4
+    * across the whole table even at the cap) replicates bit-identically
+    * in both engines. Unigrams stay string-keyed: prob() needs exact
+    * w1/w2 membership and the vocab is 4× smaller. */
+  final class BigramTable(val keys: Array[Long], val cnts: Array[Long])
+    extends Serializable {
+    require(keys.length == cnts.length)
+    def get(k: Long): Long = {
+      val i = java.util.Arrays.binarySearch(keys, k)
+      if (i >= 0) cnts(i) else 0L
+    }
+    def size: Int = keys.length
+    def nonEmpty: Boolean = keys.length > 0
+    override def equals(o: Any): Boolean = o match {
+      case t: BigramTable => keys.sameElements(t.keys) && cnts.sameElements(t.cnts)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Arrays.hashCode(keys) * 31 + java.util.Arrays.hashCode(cnts)
+  }
+
+  object BigramTable {
+    /** Build from (key → summed count), sorted ascending by key. */
+    def apply(m: collection.Map[Long, Long]): BigramTable = {
+      val ks = m.keys.toArray.sorted
+      new BigramTable(ks, ks.map(m))
+    }
+  }
+
+  case class Model(uni: Map[String, Long], big: BigramTable, total: Long)
     extends Serializable
+
+  /** The bigram key: h60("w1 w2"), mirrored in SQL as
+    * h60(w1 || ' ' || w2). */
+  def bigramKey(w1: String, w2: String): Long =
+    Hashing.md5Hash60Jvm(w1 + " " + w2)
 
   /** Train unigram+bigram counts over the `text` column of docs.
     *
@@ -65,18 +107,28 @@ object NgramLM extends Serializable {
       .join(vocabDf.select(col("w").as("w1")), Seq("w1"), "left_semi")
       .join(vocabDf.select(col("w").as("w2")), Seq("w2"), "left_semi")
       .select(col("w1"), col("w2"), col("cnt"))
-    val big = bigInVocab.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
-      .collect().iterator
-      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-      .toMap
+    // strings survive only through the deterministic cap ordering; the
+    // broadcast map is keyed by the packed hash, summing counts on (rare)
+    // collisions — the same merge the oracle's GROUP BY h60 performs
+    val big = scala.collection.mutable.HashMap.empty[Long, Long]
+    bigInVocab.orderBy(col("cnt").desc, col("w1"), col("w2")).limit(maxBigrams)
+      .collect().foreach { r =>
+        val k = bigramKey(r.getString(0), r.getString(1))
+        big.update(k, big.getOrElse(k, 0L) + r.getLong(2))
+      }
     words.unpersist(blocking = false)
-    Model(uni, big, uni.valuesIterator.sum)
+    Model(uni, BigramTable(big), uni.valuesIterator.sum)
   }
 
-  /** Per-token probability with stupid backoff. */
+  /** Per-token probability with stupid backoff. The bigram path requires
+    * w1 ∈ vocab (always true for genuinely-stored bigrams — they were
+    * vocab-filtered before the cap — but a hash COLLISION can make b > 0
+    * for an out-of-vocab w1; backoff then, exactly as the oracle's
+    * `u1.cnt IS NOT NULL` guard does). */
   def prob(m: Model, w1: String, w2: String): Double = {
-    val b = m.big.getOrElse((w1, w2), 0L)
-    if (b > 0L) b.toDouble / m.uni(w1)
+    val b = m.big.get(bigramKey(w1, w2))
+    val u1 = if (b > 0L) m.uni.get(w1) else None
+    if (b > 0L && u1.isDefined) b.toDouble / u1.get
     else Alpha * (m.uni.getOrElse(w2, 0L).toDouble / m.total + 1e-12)
   }
 

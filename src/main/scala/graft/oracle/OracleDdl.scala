@@ -268,23 +268,33 @@ object OracleDdl {
         | FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1""".stripMargin
 
   /** Bigram-LM perplexity chain (compose after webdocCte + shingleCte):
-    * wpos → … → pplt(doc_id, url, n_words, ppl). */
+    * wpos → … → pplt(doc_id, url, n_words, ppl). Bigram counts group by
+    * the packed h60("w1 w2") — the identical key the Scala model
+    * broadcasts — so the (rare) 60-bit collision that sums two bigrams'
+    * counts replicates bit-identically; the `u1.cnt IS NOT NULL` guard
+    * mirrors prob()'s vocab check under collision. */
   val perplexityCtes: String =
-    """, wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
-      |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
-      |, tot AS (SELECT sum(cnt) AS total FROM uni)
-      |, pairs AS MATERIALIZED (SELECT doc_id, url, pos, w AS w2, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1 FROM wpos)
-      |, big AS (SELECT w1, w2, count(*) AS bcnt FROM pairs WHERE w1 IS NOT NULL GROUP BY w1, w2)
-      |, terms AS (
-      |   SELECT p.doc_id, p.url,
-      |     CASE WHEN p.w1 IS NULL THEN u2.cnt * 1.0 / total + 1e-12
-      |          WHEN b.bcnt IS NOT NULL THEN b.bcnt * 1.0 / u1.cnt
-      |          ELSE 0.4 * (u2.cnt * 1.0 / total + 1e-12) END AS pr
-      |   FROM pairs p
-      |   JOIN uni u2 ON p.w2 = u2.w
-      |   LEFT JOIN uni u1 ON p.w1 = u1.w
-      |   LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2, tot)
-      |, pplt AS (SELECT doc_id, url, count(*) AS n_words,
-      |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
-      | FROM terms GROUP BY doc_id, url)""".stripMargin
+    s""", wpos AS (SELECT doc_id, url, unnest(words) AS w, generate_subscripts(words, 1) AS pos FROM wsw)
+       |, uni AS (SELECT w, count(*) AS cnt FROM wpos GROUP BY w)
+       |, tot AS (SELECT sum(cnt) AS total FROM uni)
+       |, pairs AS MATERIALIZED (SELECT doc_id, url, pos, w AS w2,
+       |     lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+       |     CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+       |          THEN ${h60("lag(w) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' || w")}
+       |     END AS bh
+       |   FROM wpos)
+       |, big AS (SELECT bh, count(*) AS bcnt
+       |          FROM pairs WHERE w1 IS NOT NULL GROUP BY bh)
+       |, terms AS (
+       |   SELECT p.doc_id, p.url,
+       |     CASE WHEN p.w1 IS NULL THEN u2.cnt * 1.0 / total + 1e-12
+       |          WHEN b.bcnt IS NOT NULL AND u1.cnt IS NOT NULL THEN b.bcnt * 1.0 / u1.cnt
+       |          ELSE 0.4 * (u2.cnt * 1.0 / total + 1e-12) END AS pr
+       |   FROM pairs p
+       |   JOIN uni u2 ON p.w2 = u2.w
+       |   LEFT JOIN uni u1 ON p.w1 = u1.w
+       |   LEFT JOIN big b ON p.bh = b.bh, tot)
+       |, pplt AS (SELECT doc_id, url, count(*) AS n_words,
+       |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
+       | FROM terms GROUP BY doc_id, url)""".stripMargin
 }

@@ -60,6 +60,37 @@ class ModelSpec extends SparkSpec {
     assert(m2.uni == m.uni && m2.big == m.big && m2.total == m.total)
   }
 
+  test("md5Hash60Jvm is bit-identical to the md5Hash60 Column expression") {
+    import spark.implicits._
+    val samples = Seq("", "a", "the quick", "w1 w2", "über-déjà", "多语言文本",
+      "word word word", "x" * 500) ++ (1 to 50).map(i => s"tok$i nxt${i * 7}")
+    val viaSpark = samples.toDF("s")
+      .select(col("s"), graft.functions.Hashing.md5Hash60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(graft.functions.Hashing.md5Hash60Jvm(s) == viaSpark(s), s"mismatch on '$s'")
+    }
+  }
+
+  test("hashed bigram keys shrink the broadcast model several-fold vs tuple keys") {
+    // VERDICT r3 #4: at the 16M-bigram cap a (String,String)-keyed map is
+    // multi-GB of JVM object weight. Same synthetic count table, both
+    // representations, measured with Spark's own SizeEstimator.
+    val pairs = (1 to 200000).map(i => (s"word$i", s"token${i * 7 % 99991}", i.toLong))
+    val hashed = graft.functions.NgramLM.BigramTable(
+      pairs.map { case (a, b, c) => graft.functions.NgramLM.bigramKey(a, b) -> c }.toMap)
+    val tuple: Map[(String, String), Long] = pairs.map { case (a, b, c) => (a, b) -> c }.toMap
+    val sh = org.apache.spark.util.SizeEstimator.estimate(hashed)
+    val st = org.apache.spark.util.SizeEstimator.estimate(tuple)
+    info(f"hashed=$sh%d bytes, tuple=$st%d bytes, ratio=${st.toDouble / sh}%.1f")
+    assert(sh * 10 <= st, s"hashed table ($sh B) not ~10x smaller than tuple map ($st B)")
+    // lookups agree with the source counts
+    pairs.take(100).foreach { case (a, b, c) =>
+      assert(hashed.get(graft.functions.NgramLM.bigramKey(a, b)) == c)
+    }
+    assert(hashed.get(graft.functions.NgramLM.bigramKey("absent", "pair")) == 0L)
+  }
+
   test("minhash jaccard estimates track exact jaccard on clone pairs") {
     val wd = Pipeline.webdoc(spark, sfDir)
     val pairs = graft.operators.Dedup.minhashPairs(wd, 0.5).collect()
