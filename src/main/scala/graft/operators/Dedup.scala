@@ -496,8 +496,12 @@ object Dedup {
     // shuffle/broadcast bytes); hex re-appears only in the output.
     val hist = graft.plans.TrackedCache.persist(
       tagged.filter(col("__hist")).select(unhex(md5(col("text"))).as("h")))
+    // zero historical rows (first-snapshot bootstrap via the ledger form):
+    // stat.bloomFilter returns a null buffer on an empty frame — use an
+    // explicit all-zero sketch instead, so every batch doc routes as new
     val sketch = graft.functions.Bloom.serialize(
-      hist.stat.bloomFilter(xxhash64(col("h")), expectedItems, fpp))
+      if (hist.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      else hist.stat.bloomFilter(xxhash64(col("h")), expectedItems, fpp))
     val batch = graft.plans.TrackedCache.persist(tagged.filter(!col("__hist"))
       .select(col("doc_id"), col("url"), unhex(md5(col("text"))).as("h")))
     // Only the candidate HASH KEYS broadcast — 16 B/row, not the full
@@ -518,5 +522,29 @@ object Dedup {
     val dupKeys = hist.join(broadcast(candKeys), Seq("h"), "left_semi")
     batch.join(broadcast(dupKeys), Seq("h"), "left_anti")
       .select(col("doc_id"), col("url"), lower(hex(col("h"))).as("content_hash"))
+  }
+
+  /** Ledger-driven form of incrementalNew (VERDICT r3 #8): the
+    * historical/batch split comes from the checkpoint ledger's committed
+    * snapshot tokens (Checkpoint.committedSnapshots) instead of a caller
+    * predicate — `snapshotCol` rows whose snapshot id is committed are
+    * historical, everything else is the new batch. This reproduces the
+    * Iceberg workflow (historical = data reachable from committed
+    * snapshot ids; swap file tokens for the table's snapshot metadata on
+    * a real deployment) and makes the diff CRASH-SAFE: a run killed
+    * before `Checkpoint.commitSnapshot(ledgerDir, id)` re-derives the
+    * identical batch on resume, because "historical" only grows at commit
+    * time. Typical loop per arriving snapshot S:
+    *   1. novel = incrementalNewFromLedger(docs, col("snap"), ledger, …)
+    *   2. process/publish novel (idempotent writes)
+    *   3. Checkpoint.commitSnapshot(ledger, S)  // S now historical */
+  def incrementalNewFromLedger(docs: DataFrame, snapshotCol: Column,
+                               ledgerDir: String, expectedItems: Long,
+                               fpp: Double): DataFrame = {
+    val committed = graft.plans.Checkpoint.committedSnapshots(ledgerDir)
+    val isHist =
+      if (committed.isEmpty) lit(false) // first snapshot: everything is new
+      else snapshotCol.isin(committed.toSeq: _*)
+    incrementalNew(docs, isHist, expectedItems, fpp)
   }
 }

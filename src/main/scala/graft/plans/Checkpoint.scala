@@ -189,6 +189,52 @@ object Checkpoint {
     }
   }
 
+  // ── Snapshot commit tokens (Iceberg-shaped) ─────────────────────────
+  // A snapshot id is committed AFTER its data fully landed — the same
+  // atomic temp+rename discipline as the shard ledger. Incremental
+  // operators (Dedup.incrementalNewFromLedger) read the committed set to
+  // decide what counts as "historical", so the historical/batch split is
+  // driven by durable commit state instead of a caller predicate
+  // (VERDICT r3 #8). On a real deployment these tokens are Iceberg
+  // snapshot ids read from the table's metadata (snapshot-id swap-in per
+  // SURVEY §7.4 risk 2 — no Iceberg jars in this sandbox); the file
+  // tokens reproduce the property that matters: a snapshot becomes
+  // historical exactly when its commit is durable, so a run killed
+  // before commitSnapshot() re-processes the SAME batch on resume.
+
+  private def snapPath(ledgerDir: String, id: String) =
+    Paths.get(ledgerDir, s"snap_$id.json")
+
+  /** Snapshot ids whose ingest committed (durable, crash-safe). */
+  def committedSnapshots(ledgerDir: String): Set[String] = {
+    val d = Paths.get(ledgerDir)
+    if (!Files.exists(d)) Set.empty
+    else {
+      val stream = Files.list(d) // closed below
+      try {
+        val it = stream.iterator()
+        var out = Set.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("snap_") && f.endsWith(".json"))
+            out += f.stripPrefix("snap_").stripSuffix(".json")
+        }
+        out
+      } finally stream.close()
+    }
+  }
+
+  /** Atomically record `snapshotId` as committed (idempotent). */
+  def commitSnapshot(ledgerDir: String, snapshotId: String): Unit = {
+    require(snapshotId.matches("[A-Za-z0-9._-]+"), s"unsafe snapshot id: $snapshotId")
+    Files.createDirectories(Paths.get(ledgerDir))
+    val tmp = Paths.get(ledgerDir, s".snap_$snapshotId.tmp")
+    Files.writeString(tmp,
+      s"""{"snapshot_id":"$snapshotId","committed_at":${System.currentTimeMillis()}}""")
+    Files.move(tmp, snapPath(ledgerDir, snapshotId),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Retry-aware run (the reference's retry_failures/retry_count contract,
     * config/config.yml:24-29; test_composable.py:364-390 retries WITHIN
     * one run and exits −1 when failures remain): a shard group that
@@ -203,11 +249,19 @@ object Checkpoint {
     * run continues the same budget); completed shards are never
     * reprocessed, exactly as in `run`.
     *
+    * `retryDecaySec` is the reference's retry_decay knob
+    * (config/config.yml:24-29, with 0 as its tested default,
+    * test_composable.py:366): retry pass k waits retryDecaySec × k
+    * before re-attempting — linearly widening back-off so a transient
+    * fault (an overloaded source, a flapping store) gets breathing room
+    * instead of the budget burning in milliseconds. The reference's unit
+    * is minutes; here seconds, since shard jobs are seconds-scale.
+    *
     * `groupFault` is a test hook invoked before each group (may throw to
     * simulate a processing failure). */
   def runWithRetry(docs: DataFrame, score: DataFrame => DataFrame, outDir: String,
                    ledgerDir: String, runId: String, shardsPerCommit: Int = 8,
-                   retryCount: Int = 1,
+                   retryCount: Int = 1, retryDecaySec: Double = 0.0,
                    groupFault: Seq[Long] => Unit = _ => ()): RunResult =
       withDynamicOverwrite(docs.sparkSession) {
     val done = completedShards(ledgerDir)
@@ -220,7 +274,12 @@ object Checkpoint {
     var everFailed = Set.empty[Long]
     var pending = todo
     var firstPass = true
+    var retryPass = 0
     while (pending.nonEmpty) {
+      if (!firstPass && retryDecaySec > 0) {
+        retryPass += 1
+        Thread.sleep((retryDecaySec * retryPass * 1000).toLong)
+      }
       var failedPass = Vector.empty[Long]
       // retry passes process failed shards ONE AT A TIME: a group retried
       // as the same group lets one poison shard burn the retry budget of

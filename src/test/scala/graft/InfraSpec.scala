@@ -166,6 +166,65 @@ class InfraSpec extends SparkSpec {
     assert(Checkpoint.failedAttempts(ledger) == Map(3L -> 2))
   }
 
+  test("retry decay: pass k waits decay*k before re-attempting; accounting unchanged") {
+    val out = tmpDir("decay-out")
+    val ledger = tmpDir("decay-ledger")
+    val docs = Pipeline.webdoc(spark, sfDir).filter(col("shard") < 4)
+    // shard 2 fails twice (first pass + retry pass 1), lands on retry pass 2
+    var fails = 0
+    val fault: Seq[Long] => Unit = { g =>
+      if (g.contains(2L) && fails < 2) { fails += 1; throw new RuntimeException("flaky") }
+    }
+    val t0 = System.nanoTime()
+    val r = Checkpoint.runWithRetry(docs, Pipeline.score, out, ledger, "d",
+      shardsPerCommit = 1, retryCount = 2, retryDecaySec = 0.4, groupFault = fault)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // reference accounting (1 success per healthy shard, 1 failure + retries
+    // for the flaky one, exit 0 once it lands)
+    assert(r.exitCode == 0)
+    assert(r.processed.toSet == Set(0L, 1L, 2L, 3L))
+    assert(r.attemptFailures == Seq(2L))
+    // two retry passes ran → decay waits 0.4*1 + 0.4*2 = 1.2 s minimum
+    assert(elapsed >= 1.2, f"run returned in $elapsed%.2f s — decay not applied")
+    assert(Checkpoint.failedAttempts(ledger).isEmpty) // cleared on success
+  }
+
+  test("snapshot ledger drives incremental dedup; kill-before-commit resumes identically") {
+    import graft.operators.Dedup
+    val ledger = tmpDir("snap-ledger")
+    val wd = Pipeline.webdoc(spark, sfDir)
+    // two "snapshots" over the same corpus: s1 = base ids, s2 = the clone
+    // id spaces (mostly refetches of s1's text + some genuinely new docs)
+    val docs = wd.withColumn("snap",
+      when(col("doc_id") < 10000000L, "s1").otherwise("s2"))
+    def diff() = Dedup.incrementalNewFromLedger(
+      docs, col("snap"), ledger, 100000L, 0.01)
+
+    // nothing committed yet: snapshot 1 itself is the batch — all of the
+    // corpus (both id spaces) comes back as new
+    assert(Checkpoint.committedSnapshots(ledger).isEmpty)
+    assert(diff().count() == wd.count())
+
+    // commit s1 → the diff for s2 is exactly the reference answer (q78's
+    // predicate form, which PlanSpec pins and the DuckDB oracle gates)
+    Checkpoint.commitSnapshot(ledger, "s1")
+    val want = Dedup.incrementalNew(docs, col("doc_id") < 10000000L, 100000L, 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got1 = diff().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got1 == want && want.nonEmpty)
+
+    // crash BEFORE commitSnapshot("s2"): rerun re-derives the identical
+    // batch (historical only grows at commit time)
+    val got2 = diff().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == got1)
+
+    // after s2 commits, a rerun treats EVERYTHING as historical: no batch
+    Checkpoint.commitSnapshot(ledger, "s2")
+    assert(Checkpoint.committedSnapshots(ledger) == Set("s1", "s2"))
+    assert(diff().count() == 0)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("lifecycle: todo-file drives a checkpointed run, then validate reconciles clean") {
     // SURVEY §3's three entry points composed: todo-run (§3.2) scoped by a
     // WorkList file, checkpointed processing, then validation (§3.3) via
