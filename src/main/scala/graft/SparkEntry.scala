@@ -576,6 +576,14 @@ object SparkEntry {
     "q83_excise_spans" -> ((s, dir) =>
       graft.operators.Dedup.excisedSpans(Pipeline.webdoc(s, dir), 10, 5)),
 
+    // Corpus-wide first-occurrence line dedup: a repeated line keeps ONE
+    // copy (smallest doc_id, pos) anywhere in the corpus; every other
+    // occurrence — cross-doc or within-doc — is removed. The "keep the
+    // canonical copy, strip the echoes" pass q58 (per-doc) and q59
+    // (df-thresholded, removes ALL copies) don't express
+    "q84_first_lines" -> ((s, dir) =>
+      graft.operators.Dedup.firstOccurrenceLines(Pipeline.webdoc(s, dir))),
+
     // Model-driven quality classifier: the learned-model stage after the
     // heuristic rules — weights live in a broadcast side TABLE (not code),
     // dot product is decimal-exact so the score is order-independent and
@@ -1280,6 +1288,26 @@ object SparkEntry {
            |   CAST(coalesce(nr.n_removed, 0) AS INT) AS n_removed,
            |   coalesce(ct.clean_text, '') AS clean_text
            | FROM wsw s LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
+    "q84_first_lines" ->
+      // winner per line hash = first (doc_id, pos); all later occurrences
+      // (cross-doc and within-doc) are removed, text rebuilt by position
+      (webdocCte +
+        s""", lns AS (SELECT doc_id, url, unnest(string_split(text, chr(10))) AS line,
+           |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos FROM webdoc)
+           |, occ AS (SELECT doc_id, pos, ${h60("line")} AS h FROM lns)
+           |, rk AS (SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM occ)
+           |, rem AS (SELECT doc_id, pos FROM rk WHERE rn > 1)
+           |, keptw AS (SELECT l.doc_id, l.line, l.pos FROM lns l WHERE NOT EXISTS
+           |    (SELECT 1 FROM rem r WHERE r.doc_id = l.doc_id AND r.pos = l.pos))
+           |, ct AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+           |         FROM keptw GROUP BY doc_id)
+           |, nr AS (SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id)
+           |, nl AS (SELECT doc_id, url, count(*) AS n_lines FROM lns GROUP BY doc_id, url)
+           | SELECT nl.doc_id, nl.url, CAST(nl.n_lines AS INT) AS n_lines,
+           |   CAST(coalesce(nr.n_removed, 0) AS INT) AS n_removed,
+           |   coalesce(ct.clean_text, '') AS clean_text
+           | FROM nl LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
     "q75_quality_logit" ->
       (webdocCte + signalsCte + logitCtes +
         s""" SELECT doc_id, url, CAST($mlIcept + sum(c) AS DOUBLE) AS logit,

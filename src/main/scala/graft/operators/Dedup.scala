@@ -442,9 +442,14 @@ object Dedup {
     val repStarts = spans.join(dfs.filter(col("ddf") >= 2).select(col("h")), "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("rep_starts"))
+    // the removal lists are explicitly broadcast: each row is (doc_id,
+    // small int array) and only docs containing a cross-doc-repeated span
+    // appear, so the build side stays orders of magnitude under the
+    // corpus; the alternative — shuffling the corpus's word arrays on
+    // doc_id — moves the text itself (PlanSpec pins that never happens)
     docs.select(col("doc_id"), col("url"),
         graft.operators.Rules.wordsOf(col("text")).as("__w"))
-      .join(repStarts, Seq("doc_id"), "left")
+      .join(broadcast(repStarts), Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"),
         size(col("__w")).as("n_words"),
         when(col("rep_starts").isNull, lit(0))
@@ -454,6 +459,49 @@ object Dedup {
         when(col("rep_starts").isNull, concat_ws(" ", col("__w")))
           .otherwise(concat_ws(" ", filter(col("__w"), (_, j) =>
             !exists(col("rep_starts"), s => j >= s && j < s + width))))
+          .as("clean_text"))
+  }
+
+  /** Corpus-wide FIRST-OCCURRENCE line dedup (C4-style global span
+    * dedup at line granularity): every line that occurs anywhere else in
+    * the corpus keeps exactly ONE copy — the occurrence with the smallest
+    * (doc_id, pos) — and every other occurrence (cross-doc AND within-doc
+    * repeats) is removed from its document. Distinct from q58 (first
+    * occurrence WITHIN each doc; cross-doc copies all survive) and q59
+    * (only lines above a df threshold are removed, from EVERY doc
+    * including the first): this is the "the web quotes itself" pass that
+    * keeps the canonical copy and strips the echoes.
+    *
+    * Scale shape (same discipline as excisedSpans): occurrences leave the
+    * row as (h60, doc_id, pos) longs — the winner-per-hash aggregation
+    * and the winner probe shuffle no line text; each doc's REMOVED
+    * position list (usually short) aggregates narrowly and joins back to
+    * the corpus, where one indexed higher-order filter rebuilds the text.
+    * Compare q58/q59, which reassemble via collect_list of (pos, line)
+    * structs — this never shuffles a line string at all. */
+  def firstOccurrenceLines(docs: DataFrame): DataFrame = {
+    val occ = graft.plans.TrackedCache.persist(docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.Hashing.md5Hash60(col("line")).as("h")))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("occs"))
+    val removed = occ.join(winners.filter(col("occs") >= 2), "h")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("rm"))
+    // same broadcast discipline as excisedSpans: the (doc_id, positions)
+    // removal list is narrow and minority-membership, the corpus's line
+    // arrays must never shuffle (PlanSpec pin)
+    docs.select(col("doc_id"), col("url"), split(col("text"), "\n").as("__l"))
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+        size(col("__l")).as("n_lines"),
+        when(col("rm").isNull, lit(0)).otherwise(size(col("rm"))).as("n_removed"),
+        when(col("rm").isNull, concat_ws("\n", col("__l")))
+          .otherwise(concat_ws("\n", filter(col("__l"), (_, j) =>
+            !array_contains(col("rm"), j))))
           .as("clean_text"))
   }
 
@@ -483,7 +531,8 @@ object Dedup {
     * the cheap doc-level predicate to the scan, so each row is
     * synthesized in exactly one leg. */
   def incrementalNew(docs: DataFrame, isHistorical: Column,
-                     expectedItems: Long, fpp: Double): DataFrame = {
+                     expectedItems: Long, fpp: Double,
+                     broadcastVerify: Boolean = true): DataFrame = {
     val tagged = docs.withColumn("__hist", isHistorical)
     // Both hash projections persist (narrow: ≤ ~40 B/row, spillable) —
     // the same materialize-once discipline as the shingle tables: hist
@@ -513,15 +562,24 @@ object Dedup {
     // anti-join UN-deduplicated: LeftAnti is an existence probe, so
     // duplicate build keys are harmless and a distinct() here would be
     // the plan's only h-keyed Exchange. When even the key set outgrows
-    // the broadcast budget (refetch-heavy snapshots), flip the joins to
-    // shuffle form: batch/hist are already narrow (id, url, 16-B h)
-    // triples, so the h-keyed shuffle moves hashes, never the corpus.
-    val candKeys = batch
+    // the broadcast budget (refetch-heavy snapshots), pass
+    // broadcastVerify = false: the joins flip to shuffle form — batch and
+    // hist are already narrow (id, url, 16-B h) projections, so the
+    // h-keyed shuffle moves hashes, never the corpus text. The caller
+    // picks by expected dup rate (broadcast for incremental crawls of
+    // mostly-new content, shuffle for refetch-heavy snapshots);
+    // differential-tested equal in OperatorSpec.
+    val candidates = batch
       .filter(graft.functions.Bloom.mightContain(sketch, xxhash64(col("h"))))
-      .select(col("h"))
-    val dupKeys = hist.join(broadcast(candKeys), Seq("h"), "left_semi")
-    batch.join(broadcast(dupKeys), Seq("h"), "left_anti")
-      .select(col("doc_id"), col("url"), lower(hex(col("h"))).as("content_hash"))
+    if (broadcastVerify) {
+      val dupKeys = hist.join(broadcast(candidates.select(col("h"))), Seq("h"), "left_semi")
+      batch.join(broadcast(dupKeys), Seq("h"), "left_anti")
+        .select(col("doc_id"), col("url"), lower(hex(col("h"))).as("content_hash"))
+    } else {
+      val dupIds = candidates.join(hist, Seq("h"), "left_semi").select(col("doc_id"))
+      batch.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("url"), lower(hex(col("h"))).as("content_hash"))
+    }
   }
 
   /** Ledger-driven form of incrementalNew (VERDICT r3 #8): the

@@ -391,6 +391,67 @@ class OperatorSpec extends SparkSpec {
     assert(r2.view.mapValues(_._2).toMap == r1.view.mapValues(_._2).toMap)
   }
 
+  test("firstOccurrenceLines: one global copy survives, within-doc echoes removed too") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1", "alpha\nshared line\nbeta"),          // first occurrence of 'shared line'
+      (2L, "u2", "gamma\nshared line\ndelta"),          // cross-doc echo -> removed
+      (3L, "u3", "only here\nonly here\nunique tail"),  // within-doc echo -> 2nd removed
+      (4L, "u4", "totally unique")
+    ).toDF("doc_id", "url", "text")
+    val got = graft.operators.Dedup.firstOccurrenceLines(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == (3, 0, "alpha\nshared line\nbeta"))   // canonical copy intact
+    assert(got(2L) == (3, 1, "gamma\ndelta"))
+    assert(got(3L) == (3, 1, "only here\nunique tail"))
+    assert(got(4L) == (1, 0, "totally unique"))
+    // contrast with q58's PER-DOC dedup: there doc 2 would keep its copy
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("firstOccurrenceLines on the corpus: kept lines are a subsequence; exactly one copy per duplicated line") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val out = graft.operators.Dedup.firstOccurrenceLines(wd)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    val orig = wd.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+      var i = 0
+      sup.foreach { w => if (i < sub.length && sub(i) == w) i += 1 }
+      i == sub.length
+    }
+    out.foreach { case (id, (nLines, nRemoved, clean)) =>
+      val ol = orig(id).split("\n", -1).toSeq
+      val cl = if (clean.isEmpty && nLines == nRemoved) Seq.empty
+               else clean.split("\n", -1).toSeq
+      assert(ol.length == nLines && cl.length == nLines - nRemoved, s"doc $id")
+      assert(isSubseq(cl, ol), s"doc $id: kept lines not a subsequence")
+    }
+    // global invariant: every line value survives exactly once if it was
+    // duplicated, and singleton lines are untouched
+    val keptCounts = out.values.filter(v => !(v._3.isEmpty && v._1 == v._2))
+      .flatMap(_._3.split("\n", -1)).groupBy(identity).view.mapValues(_.size)
+    val origCounts = orig.values.flatMap(_.split("\n", -1)).groupBy(identity).view.mapValues(_.size)
+    origCounts.foreach { case (line, n) =>
+      assert(keptCounts.getOrElse(line, 0) == 1, s"'${line.take(40)}' occurs $n times, kept ${keptCounts.getOrElse(line, 0)}")
+    }
+    assert(out.values.exists(_._2 > 0)) // the clone rows guarantee real removals
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("incrementalNew: shuffle-verify fallback equals the broadcast-verify path") {
+    import graft.operators.Dedup
+    val wd = Pipeline.webdoc(spark, sfDir)
+    def run(bc: Boolean) = Dedup.incrementalNew(
+        wd, col("doc_id") < 10000000L, 100000L, 0.01, broadcastVerify = bc)
+      .collect().map(_.toString).sorted.toSeq
+    val a = run(true)
+    val b = run(false)
+    assert(a == b && a.nonEmpty)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("dedup cache lifecycle: releaseAll leaves zero residual persisted entries") {
     import graft.plans.TrackedCache
     TrackedCache.releaseAll()

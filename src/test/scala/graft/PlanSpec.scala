@@ -155,6 +155,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("q83/q84: span-removal shuffles carry hashed positions — never words, spans or lines") {
+    // the record-mutating dedup family's 100 TB contract: occurrences
+    // leave the row as (h60, doc_id, pos) longs; the only strings/arrays
+    // in any exchange would mean the corpus text itself is shuffling
+    Seq("q83_excise_spans", "q84_first_lines").foreach { q =>
+      val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
+      val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+      assert(shuffleCols.nonEmpty, s"$q: expected at least one exchange")
+      shuffleCols.foreach { cols =>
+        assert(!cols.exists(c =>
+            c == "text" || c == "span" || c == "line" || c == "__w" || c == "__l"),
+          s"$q shuffles corpus text: " + cols.mkString(","))
+      }
+      graft.plans.TrackedCache.releaseAll()
+    }
+  }
+
   test("q75: weights broadcast and only decimal contribution triples reach the exchange") {
     val plan = staticPlan(SparkEntry.queries("q75_quality_logit")(spark, sfDir)).toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
