@@ -79,6 +79,12 @@ object SparkEntry {
       graft.operators.Similarity.cosineDupPairs(
         graft.operators.Similarity.withCloneVariants(
           s.read.parquet(s"$dir/embeddings.parquet")), 0.95, 64)),
+    // SemDeDup: cluster-confined semantic dedup — the record-level
+    // keep/drop over embedding space (lowest id per semantic group wins)
+    "q85_semdedup" -> ((s, dir) =>
+      graft.operators.Similarity.semDedup(
+        graft.operators.Similarity.withCloneVariants(
+          s.read.parquet(s"$dir/embeddings.parquet")), 251, 0.95)),
 
     // ── Text analysis ──
     "q16_tokens" -> ((s, dir) =>
@@ -591,6 +597,12 @@ object SparkEntry {
     "q75_quality_logit" -> ((s, dir) =>
       graft.operators.QualityModel.scoreLinear(Pipeline.scored(s, dir))),
 
+    // Quality-weighted soft sampling: survival probability linear in the
+    // quality logit (clamped [0.05, 0.95]) — the DCLM-style alternative
+    // to a hard classifier threshold; decimal-exact, RNG-free
+    "q86_soft_sample" -> ((s, dir) =>
+      graft.operators.TrainPrep.softSample(Pipeline.scored(s, dir), "soft1")),
+
     // Near-dup cluster representative selection: clusters (q48 pipeline)
     // + per-doc quality → keep the longest member per duplicate group
     "q76_cluster_rep" -> ((s, dir) => {
@@ -826,6 +838,27 @@ object SparkEntry {
           |   SELECT vec_a, vec_b, round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
           |   FROM cand JOIN n x ON cand.vec_a = x.vec_id JOIN n y ON cand.vec_b = y.vec_id)
           | WHERE cos >= 0.95""".stripMargin),
+    "q85_semdedup" ->
+      // same clone union as q52, then q15's IVF assignment; removed ⇔ a
+      // lower-id cluster-mate reaches the cosine threshold
+      (s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | e AS (SELECT vec_id, v FROM e0
+          |       UNION ALL
+          |       SELECT vec_id + 100000, list_transform(range(1, 65), i -> v[i] * (1 + (((i-1) % 7) - 3) * 0.003))
+          |       FROM e0 WHERE vec_id % 31 = 0),
+          | n AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+          | cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 251 = 0),
+          | ranked AS (
+          |   SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+          |     row_number() OVER (PARTITION BY n.vec_id
+          |       ORDER BY round(${dotSql("n.v", "c.cv")} / (n.nrm * c.cn), 6) DESC, c.centroid_id) AS rn
+          |   FROM n, cents c),
+          | assigned AS (SELECT vec_id, v, nrm, centroid_id FROM ranked WHERE rn = 1),
+          | rm AS (SELECT DISTINCT y.vec_id FROM assigned x JOIN assigned y
+          |        ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+          |        WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.95)
+          | SELECT a.vec_id, a.centroid_id, (r.vec_id IS NOT NULL) AS removed
+          | FROM assigned a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin),
     "q16_tokens" ->
       (webdocCte +
         """ SELECT doc_id, url,
@@ -1308,6 +1341,20 @@ object SparkEntry {
            |   CAST(coalesce(nr.n_removed, 0) AS INT) AS n_removed,
            |   coalesce(ct.clean_text, '') AS clean_text
            | FROM nl LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
+    "q86_soft_sample" ->
+      // decimal-exact end-to-end: logit → clamped linear rate → hash gate
+      // (logit narrowed to DECIMAL(18,10) before the product on BOTH
+      // engines so no precision-38 overflow rounds the scale away)
+      (webdocCte + signalsCte + logitCtes +
+        s""", sc AS (SELECT doc_id, url, $mlIcept + sum(c) AS logit_dec
+           |         FROM contrib GROUP BY doc_id, url)
+           |, rt AS (SELECT doc_id, url,
+           |    CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4))
+           |        + CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)),
+           |      CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14)) AS rate
+           |    FROM sc)
+           | SELECT doc_id, url, round(CAST(rate AS DOUBLE), 6) AS keep_rate FROM rt
+           | WHERE ${h60("doc_id || ':soft1'")} % 1000000 < rate * 1000000""".stripMargin),
     "q75_quality_logit" ->
       (webdocCte + signalsCte + logitCtes +
         s""" SELECT doc_id, url, CAST($mlIcept + sum(c) AS DOUBLE) AS logit,

@@ -65,7 +65,10 @@ object QualityModel {
     s"stack(${weights.size}, $args) AS (feature, value)"
   }
 
-  def scoreLinear(signals: DataFrame): DataFrame = {
+  /** Decimal-exact linear score: (doc_id, url, logit_dec DECIMAL). Kept
+    * exact (no double cast) so downstream arithmetic — the soft-sample
+    * rate, the keep threshold — stays engine- and order-identical. */
+  def scoreDecimal(signals: DataFrame): DataFrame = {
     val spark = signals.sparkSession
     val long = signals.selectExpr("doc_id", "url", stackSql)
     long.join(broadcast(weightTable(spark)), Seq("feature"))
@@ -73,10 +76,13 @@ object QualityModel {
       .agg(sum(col("value") * col("weight")).as("dot"))
       .select(col("doc_id"), col("url"),
         (col("dot") + expr(s"CAST($intercept AS DECIMAL(18,6))")).as("logit_dec"))
+  }
+
+  def scoreLinear(signals: DataFrame): DataFrame =
+    scoreDecimal(signals)
       .select(col("doc_id"), col("url"),
         col("logit_dec").cast("double").as("logit"),
         (col("logit_dec") >= expr(s"CAST($threshold AS DECIMAL(8,4))")).as("keep_ml"))
-  }
 
   /** Snapshot drift report — the data-validation stage of a recurring
     * pipeline (Deequ/TFDV-style): compare each quality signal's

@@ -53,8 +53,12 @@ object Similarity {
   /** Centroid ranking per vector: (vector, centroid) cosines with a
     * per-vector rank (1 = nearest cell). Centroids = vec_id % centroidMod
     * == 0, broadcast; deterministic tie-break on centroid id. */
-  private def centroidRanks(embeddings: DataFrame, centroidMod: Int): DataFrame = {
-    val all = prepared(embeddings)
+  private def centroidRanks(embeddings: DataFrame, centroidMod: Int): DataFrame =
+    centroidRanksOf(prepared(embeddings), centroidMod)
+
+  /** Same, over an already-prepared (vec_id, v, nrm) frame (lets callers
+    * inject clone variants or any other synthetic rows first). */
+  private def centroidRanksOf(all: DataFrame, centroidMod: Int): DataFrame = {
     val cents = all.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"), col("nrm").as("cn"))
     val scored = all.join(broadcast(cents))
@@ -192,6 +196,70 @@ object Similarity {
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space (IVF assignment — each vector's nearest
+    * of the deterministic centroid set), then WITHIN each cluster mark a
+    * vector removed iff some lower-vec_id cluster-mate's cosine reaches
+    * the threshold — the lowest id of every semantic group survives.
+    * Distinct from cosineDupPairs (a global near-dup PAIR listing): this
+    * is the record-level keep/drop decision a pruning pipeline consumes,
+    * and confining comparisons to cells is exactly what makes the
+    * quadratic verify tractable — Σ|cell|² work instead of n², with no
+    * LSH recall gap inside a cell.
+    *
+    * Scale shape: centroids broadcast (one pass, no shuffle, same as
+    * ivfAssign); the within-cell self-join is the plan's one vector
+    * exchange — both sides hash-partition on centroid_id, so each vector
+    * moves once and pairs never leave their cell. The removed-id set
+    * (minority of the corpus) re-joins as a broadcast. Known hazard at
+    * web scale is the paper's own: giant cells make |cell|² spike —
+    * size centroidMod so cells stay ~10³-10⁴ and let AQE's skew split
+    * handle stragglers; re-splitting oversized cells recursively is the
+    * documented extension, not needed at these SFs. */
+  def semDedup(vecs: DataFrame, centroidMod: Int, threshold: Double): DataFrame = {
+    val prep = vecs.withColumn("nrm", norm(col("v")))
+    // Centroid model: collected once and shipped as a literal — bounded
+    // state (a real IVF's k is a fixed training parameter; here k =
+    // |corpus|/centroidMod at test SFs), the same justified-collect
+    // discipline as the LangId/quality-weight models. Assignment is then
+    // a pure per-row fold over the literal — NO exchange, unlike the
+    // window-ranked centroidRanks path (whose vec_id window shuffle is
+    // fine for top-k queries but pure waste for a corpus-wide pass).
+    val cents: Array[(Long, Seq[Double], Double)] = prep
+      .filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"semDedup: no centroids (vec_id % $centroidMod == 0)")
+    val centArr = typedlit(cents.toSeq)
+    // argmax by (rounded cosine DESC, centroid_id ASC) — array_max over
+    // (ccos, -cid) structs: lexicographic, larger -cid ⇒ smaller cid wins
+    // ties; identical ordering to the q15 oracle's row_number ranking
+    val best = array_max(transform(centArr, c => struct(
+      round(dot(col("v"), c.getField("_2")) / (col("nrm") * c.getField("_3")), 6)
+        .as("ccos"),
+      (-c.getField("_1")).as("ncid"))))
+    // materialize-once: assigned feeds three consumers (both self-join
+    // sides + the output projection) — one scoring pass, not three; the
+    // cache barrier also keeps the clone-variant Union's constraints out
+    // of the self-join (Catalyst's Union constraint rewrite trips on the
+    // aliased re-use otherwise). Caller releases via TrackedCache.
+    val assigned = graft.plans.TrackedCache.persist(
+      prep.withColumn("centroid_id", -best.getField("ncid"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("centroid_id")))
+    val lo = assigned.select(col("centroid_id"), col("vec_id").as("lo_id"),
+      col("v").as("lo_v"), col("nrm").as("lo_n"))
+    val removed = assigned.join(lo, Seq("centroid_id"))
+      .filter(col("lo_id") < col("vec_id") &&
+        round(dot(col("v"), col("lo_v")) / (col("nrm") * col("lo_n")), 6) >= threshold)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(broadcast(removed.withColumn("__rm", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("__rm"), lit(false)).as("removed"))
   }
 
   /** IVF top-k: queries probe their `nprobe` nearest cells (data vectors

@@ -21,6 +21,32 @@ object TrainPrep {
       pmod(md5Hash60(concat(key.cast("string"), lit(":" + salt))), lit(1000000L))
         < (rate * 1000000.0).cast("long"))
 
+  /** Quality-weighted ("soft") sampling — the DCLM-style alternative to a
+    * hard classifier threshold: each doc survives with probability LINEAR
+    * in its quality logit, clamped to [0.05, 0.95] (rate = 0.5 +
+    * 0.25·logit), so borderline docs are downsampled rather than
+    * guillotined and no single threshold decides the corpus. The gate is
+    * the same deterministic h60 hash as hashSample, and score → rate →
+    * gate comparison stays in DECIMAL end-to-end (logit_dec is narrowed
+    * to DECIMAL(18,10) first so every product stays under precision 38 —
+    * Spark would otherwise silently round the scale away), so the keep
+    * set is exact across engines and reruns: no RNG, no IEEE boundary
+    * flips. Scale shape: scoreDecimal's one narrow (doc_id, url,
+    * contribution) aggregation; the gate itself is a pure filter. */
+  def softSample(signals: DataFrame, salt: String): DataFrame = {
+    val rate = expr(
+      "CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4)) + " +
+        "CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)), " +
+        "CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14))")
+    QualityModel.scoreDecimal(signals)
+      .withColumn("__rate", rate)
+      .filter(pmod(md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt))),
+          lit(1000000L)).cast("decimal(20,0)")
+        < col("__rate") * lit(1000000))
+      .select(col("doc_id"), col("url"),
+        round(col("__rate").cast("double"), 6).as("keep_rate"))
+  }
+
   /** Fixed-width character chunking with overlap: windows of `window`
     * chars every `stride` chars (stride < window ⇒ overlap), covering the
     * whole text. Emits (doc_id, chunk_idx, chunk, chunk_len). One narrow

@@ -440,6 +440,86 @@ class OperatorSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("semDedup: lowest id per semantic group survives, cluster-confined") {
+    import spark.implicits._
+    // centroidMod=3 -> centroids {0, 3}; cells: 0 -> {0,1,2,5}, 3 -> {3,4}
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),    // centroid A, lowest of its group -> kept
+      (1L, Seq(0.99, 0.01, 0.0, 0.0)),  // ~A, higher id -> removed
+      (2L, Seq(0.98, 0.02, 0.0, 0.0)),  // ~A, higher id -> removed
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),    // centroid B -> kept
+      (4L, Seq(0.01, 0.99, 0.0, 0.0)),  // ~B -> removed
+      (5L, Seq(0.0, 0.0, 1.0, 0.0))     // orthogonal: tie -> cell A, no near mate -> kept
+    ).toDF("vec_id", "v")
+    val got = graft.operators.Similarity.semDedup(vecs, 3, 0.95).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == Map(
+      0L -> (0L, false), 1L -> (0L, true), 2L -> (0L, true),
+      3L -> (3L, false), 4L -> (3L, true), 5L -> (0L, false)))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("semDedup on the corpus: exact match vs a plain-Scala golden replication") {
+    val vecs = graft.operators.Similarity.withCloneVariants(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    val got = graft.operators.Similarity.semDedup(vecs, 251, 0.95).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // golden: same doubles (collected post-clone), ascending-index dot
+    // fold, HALF_UP 6-dp rounding, (ccos DESC, cid ASC) assignment,
+    // removed <=> a lower-id same-cell mate reaches the threshold
+    val all = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nrm = all.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vmap = all.toMap
+    val cents = all.filter(_._1 % 251 == 0)
+    val cell = all.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) =>
+        (r6(dot(v, cv) / (nrm(id) * nrm(cid))), cid)
+      }.maxBy { case (c, cid) => (c, -cid) }._2
+    }.toMap
+    val byCell = all.map(_._1).groupBy(cell)
+    val expect = all.map { case (id, v) =>
+      val rm = byCell(cell(id)).exists(o => o < id &&
+        r6(dot(v, vmap(o)) / (nrm(id) * nrm(o))) >= 0.95)
+      id -> (cell(id), rm)
+    }.toMap
+    assert(got == expect)
+    val clones = all.map(_._1).filter(_ >= 100000L)
+    assert(clones.nonEmpty && clones.forall(c => got(c)._2),
+      "every near-dup clone must be removed")
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("softSample: clamped linear-in-logit rates, deterministic, strict subset") {
+    val sig = Pipeline.scored(spark, sfDir)
+    val out = graft.operators.TrainPrep.softSample(sig, "soft1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val logits = graft.operators.QualityModel.scoreLinear(sig).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty && out.size < logits.size,
+      s"soft sample must drop some docs (kept ${out.size}/${logits.size})")
+    out.foreach { case (id, rate) =>
+      assert(rate >= 0.05 && rate <= 0.95, s"doc $id rate $rate out of clamp")
+      val expect = math.max(0.05, math.min(0.95, 0.5 + 0.25 * logits(id)))
+      assert(math.abs(rate - expect) < 1e-6, s"doc $id rate $rate != $expect")
+    }
+    // the linear interior must be exercised (not everything clamped)
+    assert(out.values.exists(r => r > 0.05 && r < 0.95))
+    val again = graft.operators.TrainPrep.softSample(sig, "soft1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out)
+    // a different salt keeps a different subset at the same rates
+    val other = graft.operators.TrainPrep.softSample(sig, "soft2").collect()
+      .map(_.getLong(0)).toSet
+    assert(other != out.keySet)
+  }
+
   test("incrementalNew: shuffle-verify fallback equals the broadcast-verify path") {
     import graft.operators.Dedup
     val wd = Pipeline.webdoc(spark, sfDir)

@@ -172,6 +172,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q85: centroid assignment is shuffle-free — vectors only move cell-ward") {
+    // SemDeDup's scale contract: the centroid model is a literal (no
+    // window/groupBy for assignment), so the ONLY exchanges that carry a
+    // vector column are the within-cell self-join's, partitioned on
+    // centroid_id; the removed-id probe is a broadcast join
+    val plan = staticPlan(SparkEntry.queries("q85_semdedup")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec =>
+      (s.outputPartitioning.toString, s.output.map(_.name)) }
+    // at test SF the cached cell table broadcasts, so there may be NO
+    // vector exchange at all; if one exists it must be cell-ward — and
+    // in particular the window-assignment shape (vec_id-partitioned
+    // exchange carrying v) must never reappear
+    val vecShuffles = shuffles.filter(_._2.contains("v"))
+    vecShuffles.foreach { case (p, cols) =>
+      assert(p.contains("centroid_id") && !p.contains("vec_id"),
+        s"vector exchange not partitioned on centroid_id: $p / ${cols.mkString(",")}") }
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("q75: weights broadcast and only decimal contribution triples reach the exchange") {
     val plan = staticPlan(SparkEntry.queries("q75_quality_logit")(spark, sfDir)).toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
