@@ -603,6 +603,11 @@ object SparkEntry {
     "q86_soft_sample" -> ((s, dir) =>
       graft.operators.TrainPrep.softSample(Pipeline.scored(s, dir), "soft1")),
 
+    // CCNet-style per-language perplexity terciles: head/middle/tail —
+    // the head is the canonical high-quality slice, cutoffs the artifact
+    "q87_ppl_buckets" -> ((s, dir) =>
+      graft.operators.TrainPrep.pplBuckets(Pipeline.webdoc(s, dir))),
+
     // Near-dup cluster representative selection: clusters (q48 pipeline)
     // + per-doc quality → keep the longest member per duplicate group
     "q76_cluster_rep" -> ((s, dir) => {
@@ -1236,6 +1241,18 @@ object SparkEntry {
     "q31_perplexity" ->
       (webdocCte + shingleCte + perplexityCtes +
         " SELECT doc_id, url, n_words, ppl FROM pplt"),
+    "q87_ppl_buckets" ->
+      // per-language tercile cutoffs over the SAME pplt scores; bucket
+      // labels are comparison-only, so interpolation ULPs can't flip them
+      (webdocCte + shingleCte + perplexityCtes +
+        """, pb AS (SELECT p.doc_id, p.url, w.lang, p.ppl
+          |         FROM pplt p JOIN webdoc w USING (doc_id))
+          |, cuts AS (SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+          |           quantile_cont(ppl, 2.0/3) AS t2 FROM pb GROUP BY lang)
+          | SELECT pb.doc_id, pb.url, pb.lang, pb.ppl,
+          |   CASE WHEN pb.ppl <= c.t1 THEN 'head'
+          |        WHEN pb.ppl <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+          | FROM pb JOIN cuts c USING (lang)""".stripMargin),
     "q69_lang_rebalance" ->
       (webdocCte +
         s""", lc AS (SELECT lang, count(*) AS n_docs FROM webdoc GROUP BY lang)

@@ -143,14 +143,23 @@ object NgramLM extends Serializable {
   }
 
   /** Adds `ppl` per doc via mapPartitions over the broadcast model. */
-  def score(docs: DataFrame, m: Model): DataFrame = {
+  def score(docs: DataFrame, m: Model): DataFrame = scoreWith(docs, m, Nil)
+
+  /** score with passthrough STRING columns (e.g. lang) carried into the
+    * output between url and n_words — grouping keys survive the scorer,
+    * so downstream per-language policies (ppl terciles) don't pay a
+    * corpus-wide re-join just to recover them. */
+  def scoreWith(docs: DataFrame, m: Model, carry: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(m)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("url", StringType),
-      StructField("n_words", LongType), StructField("ppl", DoubleType)))
+    val schema = StructType(
+      Seq(StructField("doc_id", LongType), StructField("url", StringType)) ++
+        carry.map(StructField(_, StringType)) ++
+        Seq(StructField("n_words", LongType), StructField("ppl", DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    docs.select(col("doc_id"), col("url"), Rules.wordsOf(col("text")).as("ws"))
+    val nCarry = carry.length
+    docs.select(Seq(col("doc_id"), col("url")) ++ carry.map(col) :+
+        Rules.wordsOf(col("text")).as("ws"): _*)
       .mapPartitions { iter =>
         val model = bc.value
         // null-safe like LangId (a NULL text yields a null words array),
@@ -160,11 +169,13 @@ object NgramLM extends Serializable {
         // docs either, and a composite filter's LEFT JOIN + coalesce(...,
         // false) then correctly REJECTS them on both engines.
         iter.flatMap { r =>
-          val ws0 = r.getSeq[String](2)
+          val ws0 = r.getSeq[String](2 + nCarry)
           val ws = if (ws0 == null) Seq.empty[String] else ws0
           if (ws.isEmpty) None
-          else Some(Row(r.getLong(0), r.getString(1), ws.length.toLong,
-            perplexity(model, ws)))
+          else Some(Row.fromSeq(
+            Seq[Any](r.getLong(0), r.getString(1)) ++
+              (0 until nCarry).map(i => r.getString(2 + i)) ++
+              Seq[Any](ws.length.toLong, perplexity(model, ws))))
         }
       }(enc)
   }

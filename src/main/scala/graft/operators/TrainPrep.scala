@@ -47,6 +47,35 @@ object TrainPrep {
         round(col("__rate").cast("double"), 6).as("keep_rate"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+    * split the corpus into head/middle/tail TERCILES by LM perplexity —
+    * the head (lowest-ppl third) is the canonical high-quality training
+    * slice, and the cutoffs are the pipeline's tunable artifact. Cutoffs
+    * are exact interpolated percentiles whose aggregation state is
+    * bounded by the 6-dp ppl VALUE GRID (ppl is HALF_UP-rounded in the
+    * scorer), not the corpus — the same boundedness argument as the q54
+    * quantiles. Scale shape: ONE scorer pass (lang carried through the
+    * mapPartitions schema, so no corpus re-join; the scored table
+    * persists once for its two consumers), a narrow (lang, ppl)
+    * aggregation, and the tiny (lang, t1, t2) table broadcasts back.
+    * Bucket labels are engine-exact: at an exact-index percentile both
+    * engines return the element itself, and a fractionally-interpolated
+    * cutoff can only equal a data value when the bracketing values are
+    * equal — in which case both engines return exactly that value. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import graft.functions.NgramLM
+    val scored = graft.plans.TrackedCache.persist(
+      NgramLM.scoreWith(docs, NgramLM.train(docs), Seq("lang")))
+    val cuts = scored.groupBy(col("lang")).agg(
+      percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
+      percentile(col("ppl"), lit(2.0 / 3)).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("url"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("t1"), lit("head"))
+          .when(col("ppl") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Fixed-width character chunking with overlap: windows of `window`
     * chars every `stride` chars (stride < window ⇒ overlap), covering the
     * whole text. Emits (doc_id, chunk_idx, chunk, chunk_len). One narrow

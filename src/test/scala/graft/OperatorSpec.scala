@@ -520,6 +520,32 @@ class OperatorSpec extends SparkSpec {
     assert(other != out.keySet)
   }
 
+  test("pplBuckets: per-language terciles — labels match a plain-Scala percentile replication") {
+    val out = graft.operators.TrainPrep.pplBuckets(Pipeline.webdoc(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3), r.getString(4)))
+    def cut(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+    }
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val t1 = cut(sorted, 1.0 / 3); val t2 = cut(sorted, 2.0 / 3)
+      rows.foreach { case (id, _, ppl, b) =>
+        val expect = if (ppl <= t1) "head" else if (ppl <= t2) "middle" else "tail"
+        assert(b == expect, s"doc $id lang $lang ppl $ppl: $b != $expect")
+      }
+      // bucket ordering: every head ppl <= every middle ppl <= every tail
+      val byB = rows.groupBy(_._4)
+      for (Seq(a, c) <- Seq(Seq("head", "middle"), Seq("middle", "tail"))
+           if byB.contains(a) && byB.contains(c))
+        assert(byB(a).map(_._3).max <= byB(c).map(_._3).min, s"$lang: $a/$c overlap")
+    }
+    assert(out.map(_._4).distinct.sorted.toSeq == Seq("head", "middle", "tail"))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("incrementalNew: shuffle-verify fallback equals the broadcast-verify path") {
     import graft.operators.Dedup
     val wd = Pipeline.webdoc(spark, sfDir)
