@@ -172,6 +172,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q87: tercile cutoffs shuffle only (lang, ppl); the corpus side joins broadcast") {
+    // the 100 TB contract: ONE LM-scorer pass (lang rides the scorer's
+    // mapPartitions schema, so there is no corpus re-join to recover
+    // it), the ONLY exchange is the narrow cutoff aggregation — (lang,
+    // ppl) pairs, no url/text — and the (lang, t1, t2) table comes back
+    // as a broadcast, so the corpus never repartitions on lang
+    val plan = staticPlan(SparkEntry.queries("q87_ppl_buckets")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec =>
+      (s.outputPartitioning.toString, s.output.map(_.name)) }
+    assert(shuffles.length == 1, s"expected exactly the cutoff exchange: $shuffles")
+    assert(shuffles.head._1.contains("lang"), shuffles.head.toString)
+    assert(!shuffles.head._2.exists(c => c == "url" || c == "text"),
+      s"cutoff exchange must carry only narrow agg state: ${shuffles.head}")
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("q85: centroid assignment is shuffle-free — vectors only move cell-ward") {
     // SemDeDup's scale contract: the centroid model is a literal (no
     // window/groupBy for assignment), so the ONLY exchanges that carry a
