@@ -27,6 +27,13 @@ object SparkEntry {
     "q03_signals" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select((Seq("doc_id", "url") ++ graft.operators.Rules.signalCols).map(col): _*)),
+    // Gopher top-n-gram repetition: fraction of chars in the most common
+    // {2,3,4}-gram — per-row native expression, shuffle-free, scan-bound
+    "q88_top_ngram" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        graft.functions.TopNgrams(col("text")).as("tg"))
+        .select(col("doc_id"), col("url"), col("tg.top2_frac"),
+          col("tg.top3_frac"), col("tg.top4_frac"))),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -714,6 +721,23 @@ object SparkEntry {
       (webdocCte + signalsCte +
         " SELECT doc_id, url, n_chars, n_words, n_lines, mean_word_len, symbol_ratio," +
         " bullet_frac, ellipsis_frac, alpha_ratio, stop_hits, dup_line_frac, dup5_frac FROM sig"),
+    "q88_top_ngram" ->
+      // per-n: explode word n-grams, count, rank by (count DESC, gram ASC)
+      // — the same total order as the kernel — mass = count * gram chars
+      (webdocCte + shingleCte + Seq(2, 3, 4).map { k =>
+        val gram = (0 until k).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+        s""", g$k AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - $k + 2), i -> $gram)) AS g
+           |          FROM wsw WHERE len(words) >= $k)
+           |, gc$k AS (SELECT doc_id, g, count(*) AS c FROM g$k GROUP BY doc_id, g)
+           |, t$k AS (SELECT doc_id, c * length(g) AS mass FROM
+           |          (SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM gc$k)
+           |          WHERE rn = 1)""".stripMargin
+      }.mkString +
+        """ SELECT w.doc_id, w.url,
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t2.mass, 0) * 1.0 / length(w.text), 6) END AS top2_frac,
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t3.mass, 0) * 1.0 / length(w.text), 6) END AS top3_frac,
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t4.mass, 0) * 1.0 / length(w.text), 6) END AS top4_frac
+          | FROM webdoc w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

@@ -546,6 +546,46 @@ class OperatorSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("TopNgrams: matches an independent sliding-window replication + edge cases") {
+    import spark.implicits._
+    // independent replication: groupBy over sliding windows, max by
+    // (count, then smallest gram), mass = count * codepoints(gram)
+    def expect(text: String): (Double, Double, Double) = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val denom = text.codePointCount(0, text.length).toDouble
+      def f(n: Int): Double = {
+        if (denom == 0.0 || words.length < n) return 0.0
+        val grams = words.sliding(n).map(_.mkString(" ")).toSeq
+        val (g, c) = grams.groupBy(identity).view.mapValues(_.size)
+          .toSeq.maxBy { case (g, c) => (c, g) }(
+            Ordering.Tuple2(Ordering.Int, Ordering.String.reverse))
+        math.floor(c * g.codePointCount(0, g.length) / denom * 1e6 + 0.5) / 1e6
+      }
+      (f(2), f(3), f(4))
+    }
+    val crafted = Seq(
+      "",                       // empty → all zero
+      "word",                   // one word → no grams
+      "a b a b a b",            // clear winner "a b" ×3
+      "x y z x y z",            // count tie: "x y" vs "y z" → smaller gram
+      "spam spam spam spam",    // self-overlapping repeats
+      "tab\tand\nnewline  splits ok tab\tand")
+    val out = crafted.toDF("text")
+      .select(graft.functions.TopNgrams(col("text")).as("tg"))
+      .select(col("tg.top2_frac"), col("tg.top3_frac"), col("tg.top4_frac"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    crafted.zip(out).foreach { case (t, got) =>
+      assert(got == expect(t), s"text '$t': $got != ${expect(t)}") }
+    // corpus differential on the real fixture
+    val docs = Pipeline.webdoc(spark, sfDir).select("text").as[String].collect()
+    val fix = docs.toSeq.toDF("text")
+      .select(graft.functions.TopNgrams(col("text")).as("tg"))
+      .select(col("tg.top2_frac"), col("tg.top3_frac"), col("tg.top4_frac"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    docs.zip(fix).foreach { case (t, got) =>
+      assert(got == expect(t), s"fixture doc mismatch: $got != ${expect(t)}") }
+  }
+
   test("incrementalNew: shuffle-verify fallback equals the broadcast-verify path") {
     import graft.operators.Dedup
     val wd = Pipeline.webdoc(spark, sfDir)

@@ -172,6 +172,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q88: top-n-gram repetition is exchange-free and stays in codegen") {
+    // per-row native expression ⇒ scan-bound, embarrassingly parallel
+    val plan = staticPlan(SparkEntry.queries("q88_top_ngram")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(2000))
+  }
+
   test("q87: tercile cutoffs shuffle only (lang, ppl); the corpus side joins broadcast") {
     // the 100 TB contract: ONE LM-scorer pass (lang rides the scorer's
     // mapPartitions schema, so there is no corpus re-join to recover
