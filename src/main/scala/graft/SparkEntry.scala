@@ -27,6 +27,11 @@ object SparkEntry {
     "q03_signals" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select((Seq("doc_id", "url") ++ graft.operators.Rules.signalCols).map(col): _*)),
+    // Host reputation prior: Laplace-smoothed per-host keep rate joined
+    // back to docs — the domain-level trust signal over the rule verdicts
+    "q89_host_prior" -> ((s, dir) =>
+      graft.operators.QualityModel.hostPrior(Pipeline.scored(s, dir))),
+
     // Gopher top-n-gram repetition: fraction of chars in the most common
     // {2,3,4}-gram — per-row native expression, shuffle-free, scan-bound
     "q88_top_ngram" -> ((s, dir) =>
@@ -721,6 +726,16 @@ object SparkEntry {
       (webdocCte + signalsCte +
         " SELECT doc_id, url, n_chars, n_words, n_lines, mean_word_len, symbol_ratio," +
         " bullet_frac, ellipsis_frac, alpha_ratio, stop_hits, dup_line_frac, dup5_frac FROM sig"),
+    "q89_host_prior" ->
+      (pipelineCte +
+        """, hs AS (SELECT host, count(*) AS host_n_docs,
+          |          CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS kept
+          |          FROM scrub GROUP BY host)
+          | SELECT s.doc_id, s.url, s.host, hs.host_n_docs,
+          |   round(hs.kept * 1.0 / hs.host_n_docs, 6) AS host_keep_rate,
+          |   round((hs.kept + 2.0) / (hs.host_n_docs + 4.0), 6) AS host_prior,
+          |   (round((hs.kept + 2.0) / (hs.host_n_docs + 4.0), 6) < 0.25) AS low_trust_host
+          | FROM scrub s JOIN hs USING (host)""".stripMargin),
     "q88_top_ngram" ->
       // per-n: explode word n-grams, count, rank by (count DESC, gram ASC)
       // — the same total order as the kernel — mass = count * gram chars

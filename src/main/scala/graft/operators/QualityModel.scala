@@ -155,4 +155,41 @@ object QualityModel {
       .select(col("cluster_id"), col("doc_id").as("rep_doc"),
         col("n_members"), col("n_words").as("rep_words"))
   }
+
+  /** Host reputation prior — the domain-level trust signal real pipelines
+    * layer over per-doc rules (RefinedWeb/DCLM-style: a host whose pages
+    * overwhelmingly fail the filter taints its remaining pages). Per
+    * host: raw keep rate, plus a Laplace-smoothed prior
+    * (n_kept + α) / (n_docs + α + β) so single-page hosts regress to 0.5
+    * instead of swinging 0-or-1; `low_trust_host` flags prior < 0.25.
+    *
+    * Exactness: both rates are integer ratios rounded at 6 dp — one
+    * double division per host, no float accumulation — so they agree
+    * across engines by the repo's round(x, 6) convention.
+    *
+    * Scale shape: the stats aggregation is map-side-combinable (count +
+    * sum), so the hot-host skew this corpus bakes in (one host holding
+    * ~30% of docs) collapses to one partial row per partition before the
+    * exchange. The join back runs on a NARROW projection — (doc_id, url,
+    * host) only, text never reaches an exchange (plan-pinned). At 10^12
+    * docs the stats side is ~|hosts| rows (too big to assume
+    * broadcastable at 10^8 hosts — AQE picks broadcast when it fits,
+    * skew-split sort-merge when it doesn't; both sides of that choice
+    * shuffle only narrow rows). */
+  def hostPrior(scored: DataFrame, alpha: Double = 2.0,
+                beta: Double = 2.0): DataFrame = {
+    val stats = scored.groupBy(col("host")).agg(
+        count(lit(1)).as("host_n_docs"),
+        sum(col("keep").cast("long")).as("__kept"))
+      .select(col("host"), col("host_n_docs"),
+        round(col("__kept") * lit(1.0) / col("host_n_docs"), 6)
+          .as("host_keep_rate"),
+        round((col("__kept") + lit(alpha)) /
+          (col("host_n_docs") + lit(alpha + beta)), 6).as("host_prior"))
+    scored.select(col("doc_id"), col("url"), col("host"))
+      .join(stats, Seq("host"))
+      .select(col("doc_id"), col("url"), col("host"), col("host_n_docs"),
+        col("host_keep_rate"), col("host_prior"),
+        (col("host_prior") < lit(0.25)).as("low_trust_host"))
+  }
 }

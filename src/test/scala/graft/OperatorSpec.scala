@@ -546,6 +546,28 @@ class OperatorSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("hostPrior: smoothed rates replicate a plain-Scala aggregation; smoothing regresses small hosts") {
+    val scored = Pipeline.scored(spark, sfDir)
+    val docs = scored.select("doc_id", "host", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byHost = docs.groupBy(_._2).map { case (h, rs) =>
+      val n = rs.length.toLong; val k = rs.count(_._3).toLong
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      h -> (n, r6(k * 1.0 / n), r6((k + 2.0) / (n + 4.0)))
+    }
+    val out = graft.operators.QualityModel.hostPrior(scored).collect()
+    assert(out.length == docs.length) // one row per doc
+    out.foreach { r =>
+      val (n, rate, prior) = byHost(r.getString(2))
+      assert(r.getLong(3) == n && r.getDouble(4) == rate && r.getDouble(5) == prior,
+        s"host ${r.getString(2)}: got (${r.getLong(3)}, ${r.getDouble(4)}, ${r.getDouble(5)}), want ($n, $rate, $prior)")
+      assert(r.getBoolean(6) == (prior < 0.25))
+    }
+    // smoothing: a prior never reaches the raw extremes a small host shows
+    byHost.values.filter(_._1 <= 2).foreach { case (_, _, prior) =>
+      assert(prior > 0.0 && prior < 1.0) }
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by

@@ -182,6 +182,18 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(2000))
   }
 
+  test("q89: host-prior exchanges never carry text — narrow stats and narrow probe") {
+    // the stats agg is map-side-combinable and the join probe projects
+    // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
+    // shuffle narrow rows while the text stays in the scan stage
+    val plan = staticPlan(SparkEntry.queries("q89_host_prior")(spark, sfDir))
+    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+      val cols = s.output.map(_.name)
+      assert(!cols.exists(c => c.contains("text") || c == "scrubbed"),
+        s"exchange carries text: $cols")
+    }
+  }
+
   test("q87: tercile cutoffs shuffle only (lang, ppl); the corpus side joins broadcast") {
     // the 100 TB contract: ONE LM-scorer pass (lang rides the scorer's
     // mapPartitions schema, so there is no corpus re-join to recover
