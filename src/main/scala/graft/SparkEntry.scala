@@ -32,6 +32,15 @@ object SparkEntry {
     "q89_host_prior" -> ((s, dir) =>
       graft.operators.QualityModel.hostPrior(Pipeline.scored(s, dir))),
 
+    // The end product: keep-filter → PII scrub → corpus-wide
+    // first-occurrence line dedup, materialized as final cleaned text —
+    // every stage individually oracle-gated, composed here end-to-end
+    "q90_clean_corpus" -> ((s, dir) =>
+      graft.operators.Dedup.firstOccurrenceLines(
+        Pipeline.scored(s, dir).filter(col("keep"))
+          .select(col("doc_id"), col("url"),
+            col("scrubbed_text").as("text")))),
+
     // Gopher top-n-gram repetition: fraction of chars in the most common
     // {2,3,4}-gram — per-row native expression, shuffle-free, scan-bound
     "q88_top_ngram" -> ((s, dir) =>
@@ -726,6 +735,22 @@ object SparkEntry {
       (webdocCte + signalsCte +
         " SELECT doc_id, url, n_chars, n_words, n_lines, mean_word_len, symbol_ratio," +
         " bullet_frac, ellipsis_frac, alpha_ratio, stop_hits, dup_line_frac, dup5_frac FROM sig"),
+    "q90_clean_corpus" ->
+      // the q84 winner-ranking chain over the KEPT docs' scrubbed text
+      // kept-line ⟺ winner rank 1 in the per-hash (doc_id, pos) order —
+      // one window + one aggregate (the NOT EXISTS form OOMs DuckDB here)
+      (pipelineCte +
+        s""", kd AS (SELECT doc_id, url, scrubbed_text AS text FROM scrub WHERE keep)
+           |, lns AS (SELECT doc_id, url, unnest(string_split(text, chr(10))) AS line,
+           |    generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos FROM kd)
+           |, rk AS (SELECT doc_id, url, pos, line, row_number() OVER (
+           |    PARTITION BY ${graft.oracle.OracleDdl.h60("line")}
+           |    ORDER BY doc_id, pos) AS rn FROM lns)
+           | SELECT doc_id, any_value(url) AS url,
+           |   CAST(count(*) AS INT) AS n_lines,
+           |   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_removed,
+           |   coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+           | FROM rk GROUP BY doc_id""".stripMargin),
     "q89_host_prior" ->
       (pipelineCte +
         """, hs AS (SELECT host, count(*) AS host_n_docs,
