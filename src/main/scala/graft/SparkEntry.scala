@@ -32,6 +32,11 @@ object SparkEntry {
     "q89_host_prior" -> ((s, dir) =>
       graft.operators.QualityModel.hostPrior(Pipeline.scored(s, dir))),
 
+    // Classifier calibration: predicted survival rate vs observed keep
+    // fraction per rate-decile bucket — where the model and rules disagree
+    "q91_calibration" -> ((s, dir) =>
+      graft.operators.QualityModel.calibration(Pipeline.scored(s, dir))),
+
     // The end product: keep-filter → PII scrub → corpus-wide
     // first-occurrence line dedup, materialized as final cleaned text —
     // every stage individually oracle-gated, composed here end-to-end
@@ -735,6 +740,26 @@ object SparkEntry {
       (webdocCte + signalsCte +
         " SELECT doc_id, url, n_chars, n_words, n_lines, mean_word_len, symbol_ratio," +
         " bullet_frac, ellipsis_frac, alpha_ratio, stop_hits, dup_line_frac, dup5_frac FROM sig"),
+    "q91_calibration" ->
+      // same decimal rate chain as q86; per-bucket means are an exact
+      // decimal sum + one double division, ratios rounded at 6 dp
+      (pipelineCte + logitCtes +
+        s""", sc AS (SELECT doc_id, url, $mlIcept + sum(c) AS logit_dec
+           |         FROM contrib GROUP BY doc_id, url)
+           |, rt AS (SELECT doc_id,
+           |    CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4))
+           |        + CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)),
+           |      CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14)) AS rate
+           |    FROM sc)
+           |, j AS (SELECT r.rate, s.keep FROM rt r JOIN scrub s USING (doc_id))
+           |, cagg AS (SELECT CAST(floor(rate * 10) AS INT) AS bucket,
+           |    count(*) AS n_docs,
+           |    CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+           |    round(CAST(sum(rate) AS DOUBLE) / count(*), 6) AS pred_rate,
+           |    round(sum(CAST(keep AS BIGINT)) * 1.0 / count(*), 6) AS actual_rate
+           |  FROM j GROUP BY 1)
+           | SELECT bucket, n_docs, n_kept, pred_rate, actual_rate,
+           |   round(abs(pred_rate - actual_rate), 6) AS calib_gap FROM cagg""".stripMargin),
     "q90_clean_corpus" ->
       // the q84 winner-ranking chain over the KEPT docs' scrubbed text
       // kept-line ⟺ winner rank 1 in the per-hash (doc_id, pos) order —

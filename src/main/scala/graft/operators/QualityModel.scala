@@ -156,6 +156,45 @@ object QualityModel {
         col("n_members"), col("n_words").as("rep_words"))
   }
 
+  /** Clamped linear survival probability over `logit_dec` — the soft
+    * sampling rate (q86) and the calibration report's predicted rate:
+    * 0.5 + 0.25·logit clamped to [0.05, 0.95], DECIMAL end-to-end (the
+    * logit narrows to DECIMAL(18,10) first so the product stays under
+    * precision 38). ONE definition shared by softSample and calibration
+    * so the two can't drift. */
+  val survivalRateSql: String =
+    "CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4)) + " +
+      "CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)), " +
+      "CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14))"
+
+  /** Classifier calibration (reliability report): bucket docs by the
+    * model's predicted survival rate — floor(rate·10), exact because the
+    * rate is DECIMAL — and compare the mean predicted rate against the
+    * observed heuristic keep fraction per bucket. A well-calibrated
+    * model tracks the rules it was trained to soften; a bucket with a
+    * large `calib_gap` is where the model and the rules disagree — the
+    * threshold-tuning view for q86's sampler.
+    *
+    * Exactness: bucket ids floor an exact decimal; pred_rate is an exact
+    * decimal SUM over the bucket followed by one double division;
+    * actual_rate is an integer ratio — all engine-identical under the
+    * round(x, 6) convention. Scale shape: scoreDecimal's narrow
+    * (doc_id, url, contribution) aggregation, a doc_id-keyed join of two
+    * narrow legs (rate + keep flag — no text), and a ≤10-group final
+    * aggregation with map-side partials. */
+  def calibration(scored: DataFrame): DataFrame = {
+    val rated = scoreDecimal(scored).withColumn("__rate", expr(survivalRateSql))
+    rated.join(scored.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(floor(col("__rate") * lit(10)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(col("__rate")).as("__sumrate"))
+      .select(col("bucket"), col("n_docs"), col("n_kept"),
+        round(col("__sumrate").cast("double") / col("n_docs"), 6).as("pred_rate"),
+        round(col("n_kept") * lit(1.0) / col("n_docs"), 6).as("actual_rate"))
+      .withColumn("calib_gap", round(abs(col("pred_rate") - col("actual_rate")), 6))
+  }
+
   /** Host reputation prior — the domain-level trust signal real pipelines
     * layer over per-doc rules (RefinedWeb/DCLM-style: a host whose pages
     * overwhelmingly fail the filter taints its remaining pages). Per

@@ -34,12 +34,8 @@ object TrainPrep {
     * flips. Scale shape: scoreDecimal's one narrow (doc_id, url,
     * contribution) aggregation; the gate itself is a pure filter. */
   def softSample(signals: DataFrame, salt: String): DataFrame = {
-    val rate = expr(
-      "CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4)) + " +
-        "CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)), " +
-        "CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14))")
     QualityModel.scoreDecimal(signals)
-      .withColumn("__rate", rate)
+      .withColumn("__rate", expr(QualityModel.survivalRateSql))
       .filter(pmod(md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt))),
           lit(1000000L)).cast("decimal(20,0)")
         < col("__rate") * lit(1000000))
