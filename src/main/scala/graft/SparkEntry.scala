@@ -84,6 +84,11 @@ object SparkEntry {
       graft.operators.Dedup.minhashPairs(Pipeline.webdoc(s, dir), 0.5)),
     "q13_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(Pipeline.webdoc(s, dir), 3)),
+    // Sketch calibration: signature-estimated vs exact Jaccard per LSH
+    // candidate pair — the audit that justifies the 16-component/4×4-band
+    // parameterization before trusting it at scale
+    "q95_minhash_err" -> ((s, dir) =>
+      graft.operators.Dedup.minhashCalibration(Pipeline.webdoc(s, dir))),
     "q41_jaccard_capped" -> ((s, dir) =>
       graft.operators.Dedup.jaccardPairsCapped(Pipeline.webdoc(s, dir), 0.5, 10)),
 
@@ -616,6 +621,35 @@ object SparkEntry {
     "q84_first_lines" -> ((s, dir) =>
       graft.operators.Dedup.firstOccurrenceLines(Pipeline.webdoc(s, dir))),
 
+    // TRAINED coarse quantizer: Lloyd k-means over the embeddings — the
+    // upstream of q15/q53/q85's IVF cells (which consume a centroid table
+    // as given; this FITS it). Per iteration: shuffle-free literal-model
+    // assignment + ONE k·dim-group decimal aggregation; only the model
+    // reaches the driver (Train scaladoc)
+    "q92_kmeans_train" -> ((s, dir) =>
+      graft.operators.Train.kmeansCentroidTable(
+        s.read.parquet(s"$dir/embeddings.parquet"), 4, 2)),
+
+    // TRAINED quality classifier: batch-GD logistic(-surrogate)
+    // regression on the labeled embeddings — the upstream of q75's
+    // weight side-table; dim+1-group decimal gradient aggregation per
+    // pass, rational sigmoid (engine-exact, no transcendental variance)
+    "q93_lr_train" -> ((s, dir) =>
+      graft.operators.Train.logisticWeightTable(
+        s.read.parquet(s"$dir/embeddings.parquet"), 3, 0.5)),
+
+    // KMV distinct-count sketch over corpus shingle hashes, audited
+    // against the exact distinct: bounded per-partition k-min state via
+    // mapPartitions, only partitions·k longs ever shuffle for the
+    // estimate (the exact leg is the calibration reference)
+    "q94_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Dedup.kmvAudit(Pipeline.webdoc(s, dir), 256)),
+
+    // Per-host distinct-shingle cardinality via the typed KMV Aggregator
+    // (mergeable sketch as a two-phase agg; ≤ k longs per host shuffle)
+    "q96_host_kmv" -> ((s, dir) =>
+      graft.operators.Dedup.hostKmv(Pipeline.webdoc(s, dir), 64)),
+
     // Model-driven quality classifier: the learned-model stage after the
     // heuristic rules — weights live in a broadcast side TABLE (not code),
     // dot product is decimal-exact so the score is order-independent and
@@ -837,6 +871,32 @@ object SparkEntry {
           |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
           |   FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           | WHERE jaccard >= 0.5""".stripMargin),
+    "q96_host_kmv" ->
+      // per-host k smallest DISTINCT shingle hashes (row_number ≤ k) —
+      // exact below k, (k−1)·2^60/kth once full, same as the Aggregator
+      (webdocCte + shingleCte +
+        s""", hsh AS (SELECT w.host, ${h60("x.s")} AS h
+           |    FROM (SELECT doc_id, unnest(sh) AS s FROM wsh) x
+           |    JOIN webdoc w ON x.doc_id = w.doc_id)
+           |, dh AS (SELECT DISTINCT host, h FROM hsh)
+           |, rk AS (SELECT host, h, row_number() OVER (PARTITION BY host ORDER BY h) AS rn FROM dh)
+           |, km AS (SELECT host, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_h
+           |         FROM rk WHERE rn <= 64 GROUP BY host)
+           | SELECT host, k_used, kth_h,
+           |   CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+           |        ELSE round(63.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6) END AS est_distinct
+           | FROM km""".stripMargin),
+    "q95_minhash_err" ->
+      // same candidate mining as q12; est = agreeing components / 16,
+      // exact = shingle-set Jaccard, err = est − exact (both 6 dp)
+      (webdocCte + shingleCte + minhashCte +
+        """ SELECT c.doc_a, c.doc_b,
+          |   round(len(list_filter(range(1, 17), i -> x.ms[i] = y.ms[i])) / 16.0, 6) AS est_jac,
+          |   round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jac,
+          |   round(round(len(list_filter(range(1, 17), i -> x.ms[i] = y.ms[i])) / 16.0, 6)
+          |     - round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6), 6) AS err
+          | FROM cand c JOIN msig x ON c.doc_a = x.doc_id JOIN msig y ON c.doc_b = y.doc_id
+          | JOIN wsh sa ON c.doc_a = sa.doc_id JOIN wsh sb ON c.doc_b = sb.doc_id""".stripMargin),
     "q41_jaccard_capped" ->
       // mirrors the hashed-stream form exactly: the shingle stream carries
       // h60(shingle), df/candidates/intersections all run on the hash, and
@@ -1447,6 +1507,29 @@ object SparkEntry {
            |   CAST(coalesce(nr.n_removed, 0) AS INT) AS n_removed,
            |   coalesce(ct.clean_text, '') AS clean_text
            | FROM nl LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
+    "q92_kmeans_train" ->
+      // Lloyd unrolled to 2 chained CTE iterations (OracleDdl.kmeansSql):
+      // same init, tie-break, decimal sums, 6-dp updates, empty carry
+      kmeansSql(4, 2, 64),
+    "q93_lr_train" ->
+      // batch GD unrolled to 3 chained CTE iterations (logisticSql): same
+      // rational sigmoid, 6-dp residuals, decimal gradient sums
+      logisticSql(3, 64, 0.5),
+    "q94_kmv_distinct" ->
+      // k smallest DISTINCT shingle hashes — partitioning-independent, so
+      // DISTINCT ORDER BY LIMIT k reproduces the sketch state exactly
+      (webdocCte + shingleCte +
+        s""", hs AS (SELECT DISTINCT ${h60("s.sh")} AS h
+           |    FROM (SELECT unnest(sh) AS sh FROM wsh) s)
+           |, km AS (SELECT h FROM hs ORDER BY h LIMIT 256)
+           |, kk AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_h FROM km)
+           |, ex AS (SELECT count(*) AS n_exact FROM hs)
+           | SELECT k_used, kth_h,
+           |   round(255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6) AS est_distinct,
+           |   n_exact,
+           |   round(abs(round(255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6)
+           |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+           | FROM kk, ex""".stripMargin),
     "q86_soft_sample" ->
       // decimal-exact end-to-end: logit → clamped linear rate → hash gate
       // (logit narrowed to DECIMAL(18,10) before the product on BOTH

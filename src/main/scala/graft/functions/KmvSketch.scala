@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** KMV sketch summary: k_used = entries held (= exact distinct while the
+  * sketch isn't full), kth_h = largest held hash, est_distinct = the
+  * estimate ((k−1)·2^60/kth once full; exact k_used before that). */
+case class KmvSummary(k_used: Long, kth_h: Long, est_distinct: Double)
+
+/** Typed UDAF (SURVEY §2.10): the KMV distinct-count sketch as a real
+  * `Aggregator`, so per-GROUP cardinalities (distinct shingles per host,
+  * per language, per snapshot) run as ONE ordinary two-phase aggregation —
+  * map-side partials hold a bounded k-entry buffer per group, the shuffle
+  * carries ≤ k longs per (partition, group), and merge is the k-smallest
+  * of the union (associative + commutative, exactly what Spark requires).
+  * The corpus-wide form (Dedup.kmvDistinctShingles) hand-rolls the same
+  * sketch with mapPartitions for the single-group case; THIS form is what
+  * a per-host diversity/boilerplate monitor uses at 100 TB, where
+  * count(DISTINCT) per host would shuffle every (host, hash) pair.
+  *
+  * Buffer = sorted Array[Long] of the ≤ k smallest DISTINCT hashes seen.
+  * Steady-state reduce is allocation-free: once the buffer is full, a
+  * hash ≥ kth (the overwhelming majority — expected hit rate k/distinct)
+  * returns the buffer untouched after one binary search.
+  *
+  * Determinism: the k smallest distinct values of a set are independent
+  * of arrival order and partitioning, so the DuckDB oracle reproduces the
+  * exact buffer with DISTINCT ORDER BY LIMIT k per group. */
+class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], KmvSummary] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(buf, h)
+    if (idx >= 0) buf // already held
+    else {
+      val ins = -idx - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins >= k) buf // ≥ current kth: not a candidate
+      else {
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1) // drops old kth
+        out
+      }
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // k-smallest distinct of two sorted arrays: one linear merge pass
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (i >= a.length) { val v = b(j); j += 1; v }
+        else if (j >= b.length) { val v = a(i); i += 1; v }
+        else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+        else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+        else { val v = a(i); i += 1; j += 1; v } // shared value: once
+      out(n) = take
+      n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  override def finish(buf: Array[Long]): KmvSummary = {
+    if (buf.isEmpty) KmvSummary(0L, 0L, 0.0)
+    else if (buf.length < k) // not full ⇒ the sketch IS the exact set
+      KmvSummary(buf.length.toLong, buf.last, buf.length.toDouble)
+    else {
+      val est = (k - 1).toDouble * 1152921504606846976.0 /* 2^60 */ / buf.last.toDouble
+      KmvSummary(k.toLong, buf.last,
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[KmvSummary] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KmvSummary]()
+}

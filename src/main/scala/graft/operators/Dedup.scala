@@ -163,6 +163,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Sketch-calibration audit for the MinHash family ("measure, don't
+    * guess"): per LSH candidate pair, the SIGNATURE-estimated Jaccard
+    * (fraction of the 16 minhash components that agree — the unbiased
+    * estimator the banding scheme is built on) next to the EXACT shingle
+    * Jaccard, and the signed error. This is how a pipeline owner decides
+    * whether 16 components / 4×4 bands still fit a new corpus before
+    * trusting the sketch at 100 TB: σ ≈ √(J(1−J)/16) ≈ 0.125 at J=0.5,
+    * so systematic drift beyond that flags a parameterization problem.
+    *
+    * Same one-persisted-shingle-pass discipline as minhashPairs: the
+    * signature leg, the banding leg and both exact-verify legs all read
+    * the SAME cached (doc_id, sh) table; candidate-bounded joins only. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sh = graft.plans.TrackedCache.persist(
+      withShingles(docs).select(col("doc_id"), col("sh")))
+    val sig = sh.withColumn("sig", graft.functions.ShingleExprs.minhashSig(col("sh")))
+      .select(col("doc_id"), col("sig"))
+    val ga = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val gb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    minhashCandidatesFromSh(sh)
+      .join(ga, "doc_a").join(gb, "doc_b")
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jac", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / 16.0, 6))
+      .withColumn("jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .select(col("doc_a"), col("doc_b"), col("est_jac"), col("jac"),
+        round(col("est_jac") - col("jac"), 6).as("err"))
+  }
+
   /** Frequency-capped Jaccard: candidate pairs are generated ONLY from
     * shingles with document frequency ≤ maxDf (the standard web-scale
     * guard — a boilerplate shingle appearing in 10^6 docs would otherwise
@@ -604,5 +638,81 @@ object Dedup {
       if (committed.isEmpty) lit(false) // first snapshot: everything is new
       else snapshotCol.isin(committed.toSeq: _*)
     incrementalNew(docs, isHist, expectedItems, fpp)
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch over the corpus's
+    * 3-word shingle hashes — "how many unique shingles does this corpus
+    * hold" is the standing diversity/contamination-surface metric of a
+    * training-data pipeline, and the exact answer is a corpus-wide
+    * distinct (the shuffle the sketch exists to avoid).
+    *
+    * Estimator (Bar-Yossef et al. 2002, public): keep the k smallest
+    * DISTINCT hash values; if the kth smallest is h_k over a hash space
+    * of size 2^60, distinct ≈ (k−1)·2^60/h_k.
+    *
+    * Scale shape — the whole point: per-partition mapPartitions keeps a
+    * BOUNDED k-entry sorted set (the only justified-mapPartitions shape:
+    * constant state, one pass); only partitions·k candidate longs leave
+    * the scan, the global merge distinct-sorts that tiny set. The corpus
+    * is read once; nothing corpus-sized shuffles. Deterministic: the k
+    * smallest distinct values of a set do not depend on partitioning.
+    *
+    * Returns one row (k, kth_h, est_distinct). The DuckDB oracle mirrors
+    * with DISTINCT ORDER BY LIMIT k — same set, same estimate. */
+  def kmvDistinctShingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashes = withShingles(docs)
+      .select(explode(col("sh")).as("s"))
+      .select(md5Hash60(col("s")).as("h")).as[Long]
+    val candidates = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[java.lang.Long]()
+      while (it.hasNext) {
+        val h = it.next()
+        if (set.size < k) set.add(h)
+        else if (h < set.last) { set.add(h); if (set.size > k) set.pollLast() }
+      }
+      import scala.jdk.CollectionConverters._
+      set.iterator().asScala.map(_.longValue())
+    }
+    candidates.toDF("h").distinct().orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).cast("long").as("k_used"), max(col("h")).as("kth_h"))
+      .select(col("k_used"), col("kth_h"),
+        round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("kth_h").cast("double"), 6)
+          .as("est_distinct"))
+  }
+
+  /** Per-GROUP KMV rollup via the typed [[graft.functions.KmvSketch]]
+    * Aggregator: distinct-shingle cardinality per host — the diversity /
+    * boilerplate monitor (a host whose est_distinct plateaus while its
+    * doc count grows is serving templated pages). One ordinary two-phase
+    * aggregation: map-side partials keep a bounded k-entry buffer per
+    * host, the shuffle moves ≤ k longs per (partition, host) — a
+    * count(DISTINCT h) per host would shuffle EVERY distinct (host, h)
+    * pair instead. Exact below k (the sketch is the set), (k−1)·2^60/kth
+    * once full. */
+  def hostKmv(docs: DataFrame, k: Int): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k))
+    withShingles(docs)
+      .select(col("host"), explode(col("sh")).as("s"))
+      .select(col("host"), md5Hash60(col("s")).as("h"))
+      .groupBy(col("host"))
+      .agg(kmv(col("h")).as("s"))
+      .select(col("host"), col("s.k_used").as("k_used"),
+        col("s.kth_h").as("kth_h"), col("s.est_distinct").as("est_distinct"))
+  }
+
+  /** q94 audit surface: the sketch estimate next to the exact distinct
+    * count and the relative error — the calibration view (exact is the
+    * expensive reference; production monitoring reads est_distinct only). */
+  def kmvAudit(docs: DataFrame, k: Int): DataFrame = {
+    val exact = withShingles(docs)
+      .select(explode(col("sh")).as("s"))
+      .select(md5Hash60(col("s")).as("h"))
+      .distinct().agg(count(lit(1)).as("n_exact"))
+    kmvDistinctShingles(docs, k).crossJoin(exact)
+      .select(col("k_used"), col("kth_h"), col("est_distinct"), col("n_exact"),
+        round(abs(col("est_distinct") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 6)
+          .as("rel_err"))
   }
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed model TRAINING over the corpus — the missing upstream of
+  * the model-consuming operators: [[Similarity]]'s IVF / SemDeDup cells
+  * take a centroid table as given, and [[QualityModel]] scores with a
+  * weight table as given; this operator family produces those tables from
+  * the data itself, with the classic Spark training shape (MLlib's
+  * pattern, re-derived from first principles on the public DataFrame
+  * API): per-record work stays in ONE codegen'd projection against a
+  * broadcast/literal model, each iteration runs ONE map-side-combinable
+  * aggregation whose group count is model-sized (k·dim or dim+1 — never
+  * corpus-sized), and only the model (k·dim doubles) ever reaches the
+  * driver. Reference analogue: the reference's side-model tables
+  * (the CSVs under vlass2caom2/data consumed by main_app.py:157-229) are
+  * hand-curated; here the engine can also FIT them.
+  *
+  * Determinism (the correctness gate is a DuckDB hash-compare, and at
+  * scale a rerun must reproduce the same model bit-for-bit regardless of
+  * partitioning):
+  *  - inputs are 6-dp-rounded up front, so per-record contributions are
+  *    exact DECIMAL(18,6) values;
+  *  - cross-record sums run as exact DECIMAL sums (order-independent,
+  *    unlike double addition);
+  *  - within-record reductions (dot products, squared distances) are
+  *    fixed ascending-index left folds — the same IEEE sequence in Spark
+  *    (`aggregate`/`zip_with`) and DuckDB (`list_reduce`);
+  *  - every model update rounds back to 6 dp, so the next iteration's
+  *    literals are identical on any engine.
+  */
+object Train {
+
+  /** Embeddings prepared for training: components rounded to 6 dp (exact
+    * decimal values — see determinism note above). */
+  def roundedVecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"))
+
+  /** Squared-L2 distance between a vector column and one centroid
+    * literal: ascending-index left fold (bit-stable cross-engine). */
+  private def sqDist(v: Column, cent: Seq[Double]): Column =
+    aggregate(zip_with(v, array(cent.map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (s, t) => s + t)
+
+  /** Nearest-centroid id for each row of `vecs` given driver-side
+    * centroids — a PURE PROJECTION: the k·dim model rides into the task
+    * as a literal, distances and the argmin evaluate per-row inside
+    * whole-stage codegen, nothing shuffles. Ties break to the lowest
+    * cluster id (array_position finds the FIRST index achieving the
+    * min — mirrored in SQL by ORDER BY dist, cluster_id). */
+  def assignClusters(vecs: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val dists = array(cents.map(c => sqDist(col("v"), c)): _*)
+    vecs.withColumn("dists", dists)
+      .withColumn("cluster_id",
+        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .drop("dists")
+  }
+
+  /** Lloyd k-means over the embedding column, `iters` full passes.
+    *
+    * Init: the vectors of the k lowest vec_ids (deterministic, no RNG —
+    * the k-means++ alternative needs randomness the oracle can't mirror;
+    * at web scale you'd seed from a hash-sampled subset the same way).
+    *
+    * Per iteration: one corpus pass — assignment is the shuffle-free
+    * projection above, then ONE aggregation with k·dim groups
+    * (`(cluster_id, pos)` after posexplode) computing exact decimal
+    * component sums + counts; the k·dim result is the only thing
+    * collected. Empty clusters carry their previous centroid. At 10^12
+    * vectors this is iters× the cost of one narrow scan+agg — the same
+    * cost class as any corpus aggregation, and the map-side combine means
+    * the shuffle carries at most partitions·k·dim rows.
+    *
+    * Returns (final centroids, sizes at the final update), where
+    * `centroids(c)(j)` is 6-dp-rounded. */
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): (Seq[Seq[Double]], Map[Int, Long]) = {
+    val vecs = roundedVecs(embeddings).select(col("vec_id"), col("v"))
+    // bounded model collect: k rows (the init centroids), never the corpus
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var sizes = Map.empty[Int, Long]
+    for (_ <- 1 to iters) {
+      val stats = assignClusters(vecs, cents)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("x").cast("decimal(18,6)")).as("sx"), count(lit(1)).as("n"))
+        .collect() // bounded model collect: k·dim rows
+      val byCluster = stats.groupBy(_.getInt(0))
+      sizes = byCluster.map { case (c, rows) => c -> rows.head.getLong(3) } // n repeats per pos
+      cents = cents.indices.map { c =>
+        byCluster.get(c) match {
+          case None => cents(c) // empty cluster: carry previous centroid
+          case Some(rows) =>
+            val n = rows.head.getLong(3).toDouble
+            val byPos = rows.map(r => r.getInt(1) -> r.getDecimal(2)).toMap
+            cents(c).indices.map { j =>
+              val mean = BigDecimal(byPos(j)).toDouble / n // exact sum, one double divide
+              BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+        }
+      }
+    }
+    (cents, sizes)
+  }
+
+  /** q92 surface: fit, then emit the trained coarse-quantizer table —
+    * (cluster_id, pos, c, n): 6-dp centroid components plus the cluster
+    * size at the final update. This table is exactly what
+    * [[Similarity.semDedup]]/IVF consume as their cell model. */
+  def kmeansCentroidTable(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (cents, sizes) = kmeansFit(embeddings, k, iters)
+    cents.zipWithIndex.flatMap { case (cv, c) =>
+      cv.zipWithIndex.map { case (x, j) => (c, j, x, sizes.getOrElse(c, 0L)) }
+    }.toDF("cluster_id", "pos", "c", "n")
+  }
+
+  /** Fast sigmoid σ̃(z) = 0.5 + z / (2(1+|z|)) — same link every engine
+    * computes identically (pure +,*,/,abs: each IEEE op is correctly
+    * rounded, no transcendental library variance). Monotone, σ̃(0)=0.5,
+    * range (0,1) — the standard rational surrogate. */
+  private def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Batch-gradient-descent logistic(-surrogate) regression: learns
+    * weights over the embedding to predict a binary target — the TRAINED
+    * form of the quality classifier whose weight table [[QualityModel]]
+    * consumes (fastText/CCNet-style: fit on labeled seed data, then score
+    * the whole corpus with the broadcast weights).
+    *
+    * Per iteration: ONE corpus pass — z = w·x + b is a fixed left fold
+    * against the weight literal inside codegen; per-record per-dim
+    * contributions round to 6 dp; the gradient aggregation has dim+1
+    * groups (pos 0 = bias) and is map-side combinable; only the dim+1
+    * gradient rows reach the driver. Updates: w_j ← round(w_j − lr·g_j, 6).
+    *
+    * Returns the (bias +: weights) vector after `iters` updates. */
+  def logisticFit(labeled: DataFrame, target: Column, dim: Int, iters: Int, lrate: Double): Seq[Double] = {
+    val vecs = labeled.select(
+      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"),
+      target.cast("double").as("y"))
+    var w: Seq[Double] = Seq.fill(dim)(0.0)
+    var b = 0.0
+    val n = vecs.count().toDouble
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to iters) {
+      val z = aggregate(zip_with(col("v"), array(w.map(lit): _*), (x, ww) => x * ww),
+        lit(0.0), (s, t) => s + t) + lit(b)
+      val r = round(fastSigmoid(z) - col("y"), 6)
+      // (pos, contribution) rows: pos 0 = bias (contribution r), pos j =
+      // round(r·x_j, 6); exact decimal sums → order-independent gradient
+      val grads = vecs.withColumn("r", r)
+        .select(explode(concat(
+          array(struct(lit(0).as("pos"), col("r").as("g"))),
+          zip_with(col("v"), sequence(lit(1), lit(dim)),
+            (x, i) => struct(i.cast("int").as("pos"), round(col("r") * x, 6).as("g"))))).as("pg"))
+        .groupBy(col("pg.pos")).agg(sum(col("pg.g").cast("decimal(18,6)")).as("sg"))
+        .collect() // bounded model collect: dim+1 rows
+        .map(row => row.getInt(0) -> BigDecimal(row.getDecimal(1)).toDouble).toMap
+      b = round6(b - lrate * (grads(0) / n))
+      w = w.indices.map(j => round6(w(j) - lrate * (grads(j + 1) / n)))
+    }
+    b +: w
+  }
+
+  /** q93 surface: the trained weight table (pos, w) with pos 0 = bias —
+    * the same shape QualityModel's weight side-table consumes. */
+  def logisticWeightTable(embeddings: DataFrame, iters: Int, lrate: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = logisticFit(embeddings, col("label") <= 4, 64, iters, lrate)
+    w.zipWithIndex.map { case (x, j) => (j, x) }.toDF("pos", "w")
+  }
+}

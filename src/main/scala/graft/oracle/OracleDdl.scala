@@ -297,4 +297,81 @@ object OracleDdl {
        |, pplt AS (SELECT doc_id, url, count(*) AS n_words,
        |   round(exp(sum(-ln(pr)) / count(*)), 6) AS ppl
        | FROM terms GROUP BY doc_id, url)""".stripMargin
+
+  /** Squared-L2 distance between two DOUBLE[] expressions — same
+    * ascending-index left fold as Train.sqDist (list_reduce over a
+    * 0.0-seeded prepend, identical IEEE order). */
+  def sqDistSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (s, t) -> s + t)"
+
+  /** Lloyd k-means unrolled to `iters` chained CTE iterations — mirrors
+    * Train.kmeansFit exactly: 6-dp-rounded inputs, first-k-by-vec_id
+    * init, argmin with (dist, cluster_id) tie-break, DECIMAL(18,6)
+    * component sums, round(mean, 6) updates, empty-cluster carry, final
+    * table (cluster_id, pos, c, n) with n from the final update's
+    * assignment. */
+  def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings),
+              | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+              |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"c${t - 1}"
+      sb ++= s""",
+                | a$t AS (SELECT e.vec_id, e.v, c.cluster_id FROM e CROSS JOIN $prev c
+                |   QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                |     ORDER BY ${sqDistSql("e.v", "c.cv", dim)}, c.cluster_id) = 1),
+                | s$t AS (SELECT cluster_id, t.i AS i,
+                |     round(CAST(sum(CAST(v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+                |   FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cluster_id, t.i),
+                | c$t AS (SELECT p.cluster_id,
+                |     CASE WHEN count(s.i) = 0 THEN first(p.cv) ELSE list(s.c ORDER BY s.i) END AS cv
+                |   FROM $prev p LEFT JOIN s$t s ON p.cluster_id = s.cluster_id GROUP BY p.cluster_id)""".stripMargin
+    }
+    sb ++= s"""
+              | SELECT c.cluster_id, CAST(t.i - 1 AS INT) AS pos, c.cv[t.i] AS c,
+              |   CAST(coalesce(n.n, 0) AS BIGINT) AS n
+              | FROM c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
+              | LEFT JOIN (SELECT cluster_id, count(*) AS n FROM a$iters GROUP BY cluster_id) n
+              |   ON c.cluster_id = n.cluster_id""".stripMargin
+    sb.toString
+  }
+
+  /** Batch-GD logistic(-surrogate) regression unrolled to `iters` chained
+    * CTE iterations — mirrors Train.logisticFit: zero init, fixed-fold
+    * z = w·x + b, fast sigmoid 0.5 + z/(2(1+|z|)), 6-dp residuals,
+    * DECIMAL(18,6) gradient sums over dim+1 groups (pos 0 = bias),
+    * w ← round(w − lr·g/n, 6). Output (pos, w). */
+  def logisticSql(iters: Int, dim: Int, lrate: Double): String = {
+    def dotW(w: String, v: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), i -> $w[i] * $v[i])), (s, t) -> s + t)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v,
+              |     CASE WHEN label <= 4 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y FROM embeddings),
+              | nn AS (SELECT count(*)::DOUBLE AS n FROM e),
+              | w0 AS (SELECT list_transform(range(1, ${dim + 1}), i -> 0.0::DOUBLE) AS wl, 0.0::DOUBLE AS b)""".stripMargin
+    for (t <- 1 to iters) {
+      val prev = s"w${t - 1}"
+      sb ++= s""",
+                | z$t AS (SELECT e.v, e.y,
+                |     round((0.5 + (${dotW("w.wl", "e.v")} + w.b) / (2.0 * (1.0 + abs(${dotW("w.wl", "e.v")} + w.b)))) - e.y, 6) AS r
+                |   FROM e CROSS JOIN $prev w),
+                | g$t AS (SELECT u.pos AS pos, CAST(sum(CAST(u.g AS DECIMAL(18,6))) AS DOUBLE) AS sg
+                |   FROM (SELECT unnest(list_prepend(struct_pack(pos := 0::BIGINT, g := r),
+                |       list_transform(range(1, ${dim + 1}), i -> struct_pack(pos := i, g := round(r * v[i], 6))))) AS u
+                |     FROM z$t) GROUP BY u.pos),
+                | w$t AS (SELECT
+                |     list_transform(range(1, ${dim + 1}), i ->
+                |       round(w.wl[i] - $lrate * (g.gl[i] / nn.n), 6)) AS wl,
+                |     round(w.b - $lrate * (gb.sgb / nn.n), 6) AS b
+                |   FROM $prev w,
+                |     (SELECT list(sg ORDER BY pos) AS gl FROM g$t WHERE pos >= 1) g,
+                |     (SELECT sg AS sgb FROM g$t WHERE pos = 0) gb, nn)""".stripMargin
+    }
+    sb ++= s"""
+              | SELECT CAST(t.i AS INT) AS pos,
+              |   CASE WHEN t.i = 0 THEN w.b ELSE w.wl[t.i] END AS w
+              | FROM w$iters w CROSS JOIN range(0, ${dim + 1}) t(i)""".stripMargin
+    sb.toString
+  }
 }

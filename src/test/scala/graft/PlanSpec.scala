@@ -283,4 +283,43 @@ class PlanSpec extends SparkSpec {
     assert("windowspecdefinition\\(host#\\d+, __bkt#\\d+".r.findFirstIn(plan).isDefined,
       plan.take(3000))
   }
+
+  test("q92: k-means assignment is a shuffle-free projection; one model-sized agg exchange per pass") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecs = graft.operators.Train.roundedVecs(emb).select(col("vec_id"), col("v"))
+    val cents = Seq.fill(4)(Seq.fill(64)(0.1))
+    // assignment alone: the k·dim model rides as a literal, nothing moves
+    val assignPlan = staticPlan(graft.operators.Train.assignClusters(vecs, cents))
+    assert(assignPlan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      assignPlan.toString.take(2000))
+    // one training pass (assignment + sufficient-statistics agg): EXACTLY
+    // one exchange, keyed (cluster_id, pos), carrying no vector column —
+    // the map-side partial agg means it moves ≤ partitions·k·dim rows
+    val statsPlan = staticPlan(
+      graft.operators.Train.assignClusters(vecs, cents)
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(sum(col("x").cast("decimal(18,6)")).as("sx"), count(lit(1)).as("n")))
+    val ex = statsPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.length == 1, statsPlan.toString.take(2000))
+    assert(ex.head.outputPartitioning.toString.contains("cluster_id"),
+      ex.head.outputPartitioning.toString)
+    assert(!ex.head.output.map(_.name).contains("v"),
+      ex.head.output.map(_.name).mkString(","))
+    assert(statsPlan.toString.contains("partial_sum") ||
+      statsPlan.toString.contains("partial"), "no map-side combine:\n" +
+      statsPlan.toString.take(2000))
+  }
+
+  test("q94: the KMV estimate leg shuffles only candidate hashes (bounded per-partition state)") {
+    val plan = staticPlan(
+      graft.operators.Dedup.kmvDistinctShingles(Pipeline.webdoc(spark, sfDir), 256))
+    // every exchange sits ABOVE the mapPartitions sketch and carries only
+    // the candidate h column — never text, words or shingles
+    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    shuffleCols.foreach { cols =>
+      assert(cols.forall(c => c == "h" || c.startsWith("count") || c.startsWith("max")),
+        cols.mkString(",")) }
+    assert(plan.toString.contains("MapPartitions"), plan.toString.take(2000))
+  }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Distributed training operators (Train): k-means coarse quantizer,
+  * batch-GD logistic regression, and the KMV distinct sketch. */
+class TrainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Tiny 2-d synthetic blob corpus, padded to dim d with zeros: two tight
+    * clusters around (−5,−5) and (5,5). Deterministic, no RNG; vecs 0 and
+    * 2 are EXACT duplicates (and 1/3), so k=3 init yields a duplicate
+    * centroid whose cluster empties immediately (carry-path coverage). */
+  private def blobs(d: Int = 4) = {
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) -5.0 else 5.0
+      val jx = if (i < 4) 0.0 else (i % 5) * 0.1
+      val jy = if (i < 4) 0.0 else (i % 7) * 0.1
+      (i.toLong, (Seq(base + jx, base + jy) ++ Seq.fill(d - 2)(0.0)).map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansFit separates two obvious blobs and assigns every vector") {
+    val (cents, sizes) = graft.operators.Train.kmeansFit(blobs(), 2, 3)
+    assert(cents.length == 2)
+    assert(sizes.values.sum == 20)
+    // the two centroids land near (−5,−5,...) and (5,5,...), one each
+    val c0 = cents.map(_.head).min
+    val c1 = cents.map(_.head).max
+    assert(c0 < -4.0 && c1 > 4.0, s"centroids not separated: $cents")
+    // final assignment with the fitted model is clean: every even id with
+    // the low centroid, every odd with the high one
+    val assigned = graft.operators.Train.assignClusters(
+      graft.operators.Train.roundedVecs(blobs()), cents)
+    val mixed = assigned
+      .withColumn("expect_low", col("vec_id") % 2 === 0)
+      .groupBy(col("cluster_id")).agg(countDistinct(col("expect_low")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(mixed == 0)
+  }
+
+  test("kmeansFit is deterministic across repartitionings") {
+    val a = graft.operators.Train.kmeansFit(blobs().repartition(1), 2, 2)
+    val b = graft.operators.Train.kmeansFit(blobs().repartition(7), 2, 2)
+    assert(a._1 == b._1, "centroids depend on partitioning")
+    assert(a._2 == b._2, "sizes depend on partitioning")
+  }
+
+  test("kmeansFit carries the previous centroid for an empty cluster") {
+    // k=3 init = vecs 0,1,2 — but vec 2 duplicates vec 0 exactly, so the
+    // lowest-cluster-id tie-break sends every member to cluster 0 and
+    // cluster 2 is empty after the first update: it must carry its init
+    // centroid unchanged (and report size 0), not crash or NaN
+    val (cents, sizes) = graft.operators.Train.kmeansFit(blobs(), 3, 1)
+    assert(cents.length == 3)
+    assert(sizes.values.sum == 20)
+    assert(!sizes.contains(2), s"duplicate-init cluster should be empty: $sizes")
+    assert(cents(2) == Seq(-5.0, -5.0, 0.0, 0.0), s"carry failed: ${cents(2)}")
+    // ...and the carried centroid stays a live, usable cell: with more
+    // iterations it recaptures its exact-duplicate points (k-means
+    // semantics, not a frozen tombstone)
+    val (_, sizes3) = graft.operators.Train.kmeansFit(blobs(), 3, 3)
+    assert(sizes3.getOrElse(2, 0L) > 0, s"carried centroid never re-engaged: $sizes3")
+    assert(sizes3.values.sum == 20)
+  }
+
+  test("logisticFit learns a separable target and improves over iterations") {
+    // target: first component > 0 ⇔ the (5,5) blob — cleanly separable
+    val labeled = blobs().withColumn("label",
+      when(element_at(col("embedding"), 1) > 0.0f, 0).otherwise(9))
+    // label <= 4 ⇔ first component > 5 (the Train target convention)
+    def accuracy(iters: Int): Double = {
+      val w = graft.operators.Train.logisticFit(labeled, col("label") <= 4, 4, iters, 0.5)
+      val (b, wl) = (w.head, w.tail)
+      val z = aggregate(zip_with(
+        transform(col("embedding").cast("array<double>"), x => round(x, 6)),
+        array(wl.map(lit): _*), (x, ww) => x * ww), lit(0.0), (s, t) => s + t) + lit(b)
+      labeled.select(((z > 0) === (col("label") <= 4)).cast("int").as("ok"))
+        .agg(avg(col("ok"))).head().getDouble(0)
+    }
+    val a5 = accuracy(5)
+    assert(a5 == 1.0, s"separable target not learned: acc=$a5")
+  }
+
+  test("logisticFit is deterministic across repartitionings") {
+    val labeled = blobs().withColumn("label",
+      when(element_at(col("embedding"), 1) > 5.0f, 0).otherwise(9))
+    val a = graft.operators.Train.logisticFit(labeled.repartition(1), col("label") <= 4, 4, 3, 0.5)
+    val b = graft.operators.Train.logisticFit(labeled.repartition(5), col("label") <= 4, 4, 3, 0.5)
+    assert(a == b, "weights depend on partitioning")
+  }
+
+  test("logisticWeightTable on the fixture: dim+1 rows, finite weights") {
+    val w = graft.operators.Train.logisticWeightTable(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), 2, 0.5).collect()
+    assert(w.length == 65)
+    assert(w.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+  }
+
+  test("KmvSketch Aggregator: reduce/merge hold the k smallest distinct, in order") {
+    val agg = new graft.functions.KmvSketch(4)
+    // deterministic pseudo-random stream with duplicates
+    val xs = (1 to 200).map(i => ((i * 2654435761L) % 1000) + 1)
+    val viaReduce = xs.foldLeft(agg.zero)(agg.reduce)
+    val expect = xs.distinct.sorted.take(4).toArray
+    assert(viaReduce.sameElements(expect), viaReduce.mkString(","))
+    // merge of arbitrary splits equals the whole — associativity the
+    // two-phase agg relies on
+    val (l, r) = xs.splitAt(73)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.sameElements(expect), merged.mkString(","))
+    // overlap dedup: merging a buffer with itself is identity
+    assert(agg.merge(viaReduce, viaReduce).sameElements(viaReduce))
+    // below-k group: sketch IS the exact set, finish reports it exact
+    val small = Seq(9L, 3L, 3L, 7L).foldLeft(agg.zero)(agg.reduce)
+    val f = agg.finish(small)
+    assert(f.k_used == 3 && f.est_distinct == 3.0 && f.kth_h == 9L)
+  }
+
+  test("hostKmv: exact for below-k hosts, sane estimate for the hot host") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val got = graft.operators.Dedup.hostKmv(docs, 64)
+    val exact = graft.operators.Dedup.withShingles(docs)
+      .select(col("host"), explode(col("sh")).as("s"))
+      .groupBy(col("host")).agg(countDistinct(col("s")).as("nd"))
+    val joined = got.join(exact, "host").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (kUsed, est, nd) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      if (nd < 64) assert(kUsed == nd && est == nd.toDouble, s"below-k host not exact: $r")
+      else assert(math.abs(est - nd) / nd < 0.5, s"k=64 est off: $r") // σ≈12.6%; 0.5 ≈ 4σ
+    }
+    // the hot host (30% of docs) must be full and estimated, not exact
+    assert(joined.exists(r => r.getLong(1) == 64))
+  }
+
+  test("minhashCalibration: the 16-component estimator is unbiased within sampling noise") {
+    val cal = graft.operators.Dedup.minhashCalibration(Pipeline.webdoc(spark, sfDir))
+      .agg(avg(col("err")).as("bias"), avg(abs(col("err"))).as("mae"),
+        count(lit(1)).as("n")).head()
+    graft.plans.TrackedCache.releaseAll()
+    val (bias, mae, n) = (cal.getDouble(0), cal.getDouble(1), cal.getLong(2))
+    assert(n > 0)
+    // per-pair σ ≈ √(J(1−J)/16) ≤ 0.125; LSH-selected pairs skew high-J
+    // so the mean abs error sits well inside one σ
+    assert(mae < 0.125, s"mean abs err $mae over $n pairs")
+    assert(math.abs(bias) < 0.08, s"systematic bias $bias over $n pairs")
+  }
+
+  test("kmvDistinctShingles: estimate within 20% of exact on the fixture, partitioning-independent") {
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val audit = graft.operators.Dedup.kmvAudit(docs, 256).head()
+    val (kUsed, est, exact, relErr) =
+      (audit.getLong(0), audit.getDouble(2), audit.getLong(3), audit.getDouble(4))
+    assert(kUsed == 256)
+    assert(exact > 1000, s"fixture should have >1000 distinct shingles, got $exact")
+    // KMV standard error ~ 1/sqrt(k) ≈ 6.3% at k=256; 20% is a loose 3σ
+    assert(relErr < 0.20, s"est=$est exact=$exact relErr=$relErr")
+    // sketch state is the k smallest distinct values — partitioning-free
+    val a = graft.operators.Dedup.kmvDistinctShingles(docs.repartition(2), 64).head()
+    val b = graft.operators.Dedup.kmvDistinctShingles(docs.repartition(13), 64).head()
+    assert(a == b)
+  }
+}
