@@ -104,6 +104,17 @@ object SparkEntry {
     "q53_ann_ivf2" -> ((s, dir) =>
       graft.operators.Similarity.ivfTopK(
         s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251, nprobe = 2)),
+    // Contrastive hard-negative mining: per anchor, the most similar
+    // same-label (positive) and different-label (hard negative) vectors —
+    // one partial-aggregable min(struct) per anchor, no Q·N window
+    "q97_hard_negatives" -> ((s, dir) =>
+      graft.operators.Similarity.hardNegatives(
+        s.read.parquet(s"$dir/embeddings.parquet"), 25)),
+    // Recall@10 audit of the IVF index vs brute-force truth — the
+    // measured recall/cost trade of the (centroidMod, nprobe) knobs
+    "q98_ivf_recall" -> ((s, dir) =>
+      graft.operators.Similarity.ivfRecallAudit(
+        s.read.parquet(s"$dir/embeddings.parquet"), 10, 25, 251)),
     // Embedding-cosine near-dup: sign-random-projection LSH over
     // embeddings ∪ deterministic near-dup clones, exact-cosine verified
     "q52_emb_dup" -> ((s, dir) =>
@@ -936,6 +947,58 @@ object SparkEntry {
            |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
            |   FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id)
            | WHERE rank <= 10""".stripMargin),
+    "q97_hard_negatives" ->
+      // same scored set as q14 but with labels; the min(struct(−cos, id))
+      // argmax mirrors as row_number ORDER BY cos DESC, id
+      (s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+          | n AS (SELECT vec_id, v, label, sqrt(${dotSql("v", "v")}) AS nrm FROM e),
+          | scored AS (
+          |   SELECT q.vec_id AS query_id, q.label AS qlabel, x.vec_id AS id, x.label AS lb,
+          |     round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS cos
+          |   FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id),
+          | poss AS (SELECT query_id, id, cos,
+          |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+          |   FROM scored WHERE lb = qlabel),
+          | negs AS (SELECT query_id, id, lb, cos,
+          |     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rn
+          |   FROM scored WHERE lb <> qlabel),
+          | anchors AS (SELECT DISTINCT query_id, qlabel FROM scored)
+          | SELECT a.query_id, a.qlabel AS anchor_label,
+          |   p.id AS pos_id, p.cos AS pos_cos,
+          |   ng.id AS neg_id, ng.cos AS neg_cos, ng.lb AS neg_label
+          | FROM anchors a
+          | LEFT JOIN poss p ON p.query_id = a.query_id AND p.rn = 1
+          | LEFT JOIN negs ng ON ng.query_id = a.query_id AND ng.rn = 1""".stripMargin),
+    "q98_ivf_recall" ->
+      // q14's truth set LEFT JOIN q15's IVF set, hit-counted per query
+      (embCte +
+        s""", btop AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |     row_number() OVER (PARTITION BY q.vec_id
+           |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
+           |   FROM n q JOIN n x ON q.vec_id % 25 = 0 AND q.vec_id <> x.vec_id)
+           |  WHERE rank <= 10)
+           |, cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 251 = 0)
+           |, assigned AS (
+           |   SELECT vec_id, v, nrm, centroid_id FROM (
+           |     SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+           |       row_number() OVER (PARTITION BY n.vec_id
+           |         ORDER BY round(${dotSql("n.v", "c.cv")} / (n.nrm * c.cn), 6) DESC, c.centroid_id) AS rn
+           |     FROM n, cents c)
+           |   WHERE rn = 1)
+           |, itop AS (SELECT query_id, neighbor_id FROM (
+           |   SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+           |     row_number() OVER (PARTITION BY q.vec_id
+           |       ORDER BY round(${dotSql("q.v", "x.v")} / (q.nrm * x.nrm), 6) DESC, x.vec_id) AS rank
+           |   FROM assigned q JOIN assigned x
+           |     ON q.vec_id % 25 = 0 AND q.centroid_id = x.centroid_id AND q.vec_id <> x.vec_id)
+           |  WHERE rank <= 10)
+           | SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |   CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           |   round(count(i.neighbor_id) * 1.0 / count(*), 6) AS recall
+           | FROM btop b LEFT JOIN itop i
+           |   ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           | GROUP BY b.query_id""".stripMargin),
     "q15_ann_ivf" ->
       (embCte +
         s""", cents AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 251 = 0)

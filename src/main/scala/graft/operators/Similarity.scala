@@ -283,4 +283,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** Contrastive hard-negative mining — the pair-construction step of
+    * embedding-model training (SimCSE/E5-style): for each anchor, the
+    * most similar SAME-label vector (the positive) and the most similar
+    * DIFFERENT-label vector (the hard negative — the pair the contrastive
+    * loss learns the most from). One aggregation, no window: the per-
+    * anchor argmax is min(struct(−cos, id, label)) — partial-aggregable,
+    * so the exchange carries one struct per (partition, anchor) instead
+    * of every scored pair (the row_number form would shuffle all Q·N
+    * candidates). `0.0 −` rather than unary minus keeps a 0.0 cosine at
+    * +0.0 cross-engine. At web scale the candidate set comes from the IVF
+    * cells (compose with ivfAssign) instead of the full broadcast join. */
+  def hardNegatives(embeddings: DataFrame, queryMod: Int): DataFrame = {
+    val all = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", norm(col("v")))
+    val q = all.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val scored = broadcast(q).join(all, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos"))
+    def best(cond: Column) = min(when(cond,
+      struct((lit(0.0) - col("cos")).as("nc"), col("vec_id").as("id"),
+        col("label").as("lb"))))
+    scored.groupBy(col("query_id"), col("qlabel"))
+      .agg(best(col("label") === col("qlabel")).as("pos"),
+        best(col("label") =!= col("qlabel")).as("neg"))
+      .select(col("query_id"), col("qlabel").as("anchor_label"),
+        col("pos.id").as("pos_id"), (lit(0.0) - col("pos.nc")).as("pos_cos"),
+        col("neg.id").as("neg_id"), (lit(0.0) - col("neg.nc")).as("neg_cos"),
+        col("neg.lb").as("neg_label"))
+  }
+
+  /** Recall@k audit of the IVF path against brute-force ground truth —
+    * the standing eval a pipeline publishes NEXT TO its ANN index so the
+    * recall/cost trade of (centroidMod, nprobe) is a measured number, not
+    * a belief. Truth and approx share queryMod/k; hits count by
+    * (query_id, neighbor_id) identity. */
+  def ivfRecallAudit(embeddings: DataFrame, k: Int, queryMod: Int,
+                     centroidMod: Int, nprobe: Int = 1): DataFrame = {
+    val truth = bruteForceTopK(embeddings, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, k, queryMod, centroidMod, nprobe)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(col("hit").isNotNull.cast("long")).as("n_hit"))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+  }
 }

@@ -71,4 +71,45 @@ class SimilaritySpec extends SparkSpec {
       .map(id => (id, id + 100000L)).sorted.toSeq
     assert(pairs == want) // every clone found (sign bits barely move), no false positives
   }
+
+  test("hardNegatives picks cross-blob negatives and within-blob positives") {
+    import spark.implicits._
+    // two antipodal blobs: even ids near (−5,−5) labeled 0, odd near
+    // (5,5) labeled 9 — the positive must come from the anchor's blob
+    // (cos ≈ 1), the hard negative from the other (cos ≈ −1)
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) -5.0 else 5.0
+      (i.toLong, Seq(base + (i % 5) * 0.1f, base + (i % 7) * 0.1f).map(_.toFloat),
+        if (i % 2 == 0) 0 else 9)
+    }
+    val blob = rows.toDF("vec_id", "embedding", "label")
+    val mined = Similarity.hardNegatives(blob, 2).collect() // anchors = even ids
+    assert(mined.length == 10)
+    mined.foreach { r =>
+      assert(r.getInt(1) == 0, s"anchor label: $r")
+      assert(r.getInt(6) == 9, s"negative label must differ: $r")
+      assert(r.getDouble(3) > 0.99, s"positive should be within-blob: $r")
+      assert(r.getDouble(5) < -0.99, s"hard negative should be cross-blob: $r")
+      assert(r.getLong(2) != r.getLong(0), "positive must not be the anchor")
+    }
+  }
+
+  test("ivfRecallAudit agrees with the set-arithmetic recall and bounds it in (0,1]") {
+    val audited = Similarity.ivfRecallAudit(emb, 10, 25, 61).collect()
+    assert(audited.nonEmpty)
+    audited.foreach { r =>
+      val (nTruth, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nTruth > 0 && nHit <= nTruth)
+      assert(math.abs(recall - nHit.toDouble / nTruth) < 1e-6)
+    }
+    // cross-check the mean against the independent set-arithmetic form
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = resultSet(Similarity.bruteForceTopK(emb, 10, 25))
+    val p1 = resultSet(Similarity.ivfTopK(emb, 10, 25, 61, nprobe = 1))
+    val expect = (truth & p1).size.toDouble / truth.size
+    val got = audited.map(r => r.getLong(2)).sum.toDouble / audited.map(_.getLong(1)).sum
+    assert(math.abs(got - expect) < 1e-9, s"audit $got vs set-arithmetic $expect")
+  }
 }
