@@ -84,6 +84,12 @@ object SparkEntry {
       graft.operators.Dedup.minhashPairs(Pipeline.webdoc(s, dir), 0.5)),
     "q13_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(Pipeline.webdoc(s, dir), 3)),
+    // Normalization-robust exact dedup: md5 over the canonical text key
+    // (NFC + lowercase + whitespace collapse via the native
+    // normalize_text expression) — catches re-encoded/case/whitespace
+    // variants byte-exact dedup misses; same one-shuffle shape as q10
+    "q99_norm_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.exactNormalized(Pipeline.webdoc(s, dir))),
     // Sketch calibration: signature-estimated vs exact Jaccard per LSH
     // candidate pair — the audit that justifies the 16-component/4×4-band
     // parameterization before trusting it at scale
@@ -897,6 +903,17 @@ object SparkEntry {
            |   CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
            |        ELSE round(63.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6) END AS est_distinct
            | FROM km""".stripMargin),
+    "q99_norm_dedup" ->
+      // canonical key: NFC → lower → \s-runs to one space → trim (the
+      // explicit class mirrors java-regex \s incl. \x0b, which RE2's \s
+      // lacks); md5 hex is lowercase in both engines
+      (webdocCte +
+        """ SELECT md5(nt) AS norm_hash, min(doc_id) AS doc_id,
+          |   count(*) AS n_copies
+          | FROM (SELECT doc_id,
+          |     trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nt
+          |   FROM webdoc)
+          | GROUP BY md5(nt)""".stripMargin),
     "q95_minhash_err" ->
       // same candidate mining as q12; est = agreeing components / 16,
       // exact = shingle-set Jaccard, err = est − exact (both 6 dp)

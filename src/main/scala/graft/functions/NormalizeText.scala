@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: canonical text key for encoding-robust
+  * dedup — NFC unicode normalization, ROOT-locale lowercase, ASCII
+  * whitespace runs collapsed to one space, trimmed.
+  *
+  * Why it exists: byte-exact dedup misses re-encodings of the SAME text —
+  * a crawler that emits "café" decomposed (e + U+0301) and one that emits
+  * it precomposed (U+00E9) produce different md5s, as do case-only and
+  * whitespace-only variants of mirrored pages. Normalizing before hashing
+  * collapses those classes without touching near-dup territory. (The
+  * LSH/SimHash family is insensitive to this at the signature level but
+  * exact dedup — the first and cheapest pass — is not.)
+  *
+  * Composable twin: `regexp_replace(trim(lower(text)), "\\s+", " ")` —
+  * identical for ASCII (differential-tested); the NFC step has no
+  * built-in Column form, which is why this is a native expression (brief
+  * preference (b)). The DuckDB oracle mirrors with
+  * `regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')`;
+  * unicode-specific behavior (composed vs decomposed agreement) is
+  * pinned by unit test against java.text.Normalizer semantics. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      NormalizeText.normalize(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.NormalizeText.normalize($c.toString()));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  def apply(c: Column): Column =
+    GraftBridge.column(NormalizeText(GraftBridge.expression(c)))
+
+  private def isWs(ch: Char): Boolean = // java-regex \s (ASCII)
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+
+  /** NFC → ROOT lowercase → collapse \s+ runs to ' ' → trim. One shared
+    * JVM implementation so interpreted eval and codegen cannot drift. */
+  def normalize(s: String): String = {
+    val lowered = java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < lowered.length) {
+      val ch = lowered.charAt(i)
+      if (isWs(ch)) { if (sb.length() > 0) pendingSpace = true } // leading ws: drop
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(ch)
+      }
+      i += 1
+    }
+    sb.toString // trailing ws never flushed ⇒ trimmed
+  }
+
+  /** SQL registration: SELECT normalize_text(text) ... */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeText(exprs.head), "scala_udf")
+}

@@ -163,6 +163,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Normalization-robust exact dedup: the same one-shuffle group-by-hash
+    * as [[exact]], but keyed on md5 of the CANONICAL text key (NFC ∘
+    * lowercase ∘ whitespace-collapse, [[graft.functions.NormalizeText]] —
+    * a native codegen'd expression, so the canonicalization stays inside
+    * the scan projection). Catches the duplicate classes byte-exact dedup
+    * misses — re-encoded (composed vs decomposed unicode), case-only and
+    * whitespace-only variants of mirrored pages — while staying far short
+    * of near-dup territory. Runs as pass 1.5 between exact and LSH in a
+    * real pipeline; same scale shape as q10 (16-byte binary keys in the
+    * exchange, hex only in the output projection). */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.withColumn("__ch", unhex(md5(graft.functions.NormalizeText(col("text")))))
+      .groupBy(col("__ch"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(lower(hex(col("__ch"))).as("norm_hash"),
+        col("doc_id"), col("n_copies"))
+
   /** Sketch-calibration audit for the MinHash family ("measure, don't
     * guess"): per LSH candidate pair, the SIGNATURE-estimated Jaccard
     * (fraction of the 16 minhash components that agree — the unbiased

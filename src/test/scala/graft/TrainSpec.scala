@@ -149,6 +149,32 @@ class TrainSpec extends SparkSpec {
     assert(math.abs(bias) < 0.08, s"systematic bias $bias over $n pairs")
   }
 
+  test("NormalizeText: unicode/case/whitespace variants collapse, distinct texts don't") {
+    import spark.implicits._
+    val composed = "Café  du  Monde"          // é precomposed
+    val decomposed = "café\tdu\nmonde "      // é decomposed, ws variants
+    val different = "Cafe du Monde"                // no accent — different text
+    val df = Seq((1L, composed), (2L, decomposed), (3L, different))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.NormalizeText(col("text")).as("nt"))
+    val nt = df.orderBy("doc_id").collect().map(_.getString(1))
+    assert(nt(0) == nt(1), s"'${nt(0)}' vs '${nt(1)}'")
+    assert(nt(0) == "café du monde")
+    assert(nt(2) == "cafe du monde")
+    // differential vs the composable built-ins twin on the (ASCII) corpus
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val diff = docs.select(
+      graft.functions.NormalizeText(col("text")).as("a"),
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // the dedup surface: case/ws variants share one group
+    val d = graft.operators.Dedup.exactNormalized(
+      Seq((1L, "A  B"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")).collect()
+    assert(d.length == 2)
+    assert(d.find(_.getLong(1) == 1L).get.getLong(2) == 2L) // {1,2} merged, rep=1
+  }
+
   test("kmvDistinctShingles: estimate within 20% of exact on the fixture, partitioning-independent") {
     val docs = Pipeline.webdoc(spark, sfDir)
     val audit = graft.operators.Dedup.kmvAudit(docs, 256).head()
