@@ -133,6 +133,12 @@ object SparkEntry {
       graft.operators.Similarity.semDedup(
         graft.operators.Similarity.withCloneVariants(
           s.read.parquet(s"$dir/embeddings.parquet")), 251, 0.95)),
+    // q92 → q85 end to end: SemDeDup over TRAINED k-means cells — fit
+    // the quantizer, assign shuffle-free, dedup within trained cells
+    "q100_semdedup_trained" -> ((s, dir) =>
+      graft.operators.Similarity.semDedupTrained(
+        graft.operators.Similarity.withCloneVariants(
+          s.read.parquet(s"$dir/embeddings.parquet")), 4, 2, 0.95)),
 
     // ── Text analysis ──
     "q16_tokens" -> ((s, dir) =>
@@ -709,6 +715,41 @@ object SparkEntry {
     "q78_incr_dedup" -> ((s, dir) =>
       graft.operators.Dedup.incrementalNew(
         Pipeline.webdoc(s, dir), col("doc_id") < 10000000L, 100000L, 0.01)),
+
+    // SnapLog table format end to end: two commits, then a time-travel
+    // read of snapshot 1 and an incremental read 1→2 — every row tagged
+    // with the snapshot that introduced it, straight from the manifests
+    "q101_snaplog" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t = java.nio.file.Files.createTempDirectory("snaplog_q101").toString
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 2 === 0), t, Some("doc_id"))
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 2 =!= 0), t, Some("doc_id"))
+      graft.plans.SnapLog.readAt(s, t, 1L)
+        .select(col("doc_id"), lit(1L).as("snap"))
+        .unionByName(graft.plans.SnapLog.readIncremental(s, t, 1L, 2L)
+          .select(col("doc_id"), lit(2L).as("snap")))
+    }),
+
+    // The production per-crawl loop over the table format: commit the raw
+    // snapshot, commit the next batch (refetches + genuinely-new docs),
+    // then manifest-driven incremental dedup — the two legs read DISJOINT
+    // file sets (no split predicate, no double scan), bloom routes, exact
+    // verify, neither big side shuffles
+    "q102_snaplog_dedup" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("doc://"), col("doc_id").cast("string")).as("url"), col("text"))
+      val t = java.nio.file.Files.createTempDirectory("snaplog_q102").toString
+      graft.plans.SnapLog.commit(base, t, Some("doc_id"))
+      val refetch = base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("url"), col("text"))
+      val fresh = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("url"),
+          concat(col("text"), lit(" updated")).as("text"))
+      graft.plans.SnapLog.commit(refetch.unionByName(fresh), t, Some("doc_id"))
+      graft.operators.Dedup.incrementalNewFromSnapLog(s, t, 1L, 100000L, 0.01)
+    }),
 
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
@@ -1591,6 +1632,26 @@ object SparkEntry {
       // Lloyd unrolled to 2 chained CTE iterations (OracleDdl.kmeansSql):
       // same init, tie-break, decimal sums, 6-dp updates, empty carry
       kmeansSql(4, 2, 64),
+    "q100_semdedup_trained" ->
+      // clone union → round → the SAME kmeans CTE chain as q92 → L2
+      // assignment to trained cells → within-cell pairwise cosine
+      (s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          | eu AS (SELECT vec_id, v FROM e0
+          |        UNION ALL
+          |        SELECT vec_id + 100000, list_transform(range(1, 65), i -> v[i] * (1 + (((i-1) % 7) - 3) * 0.003))
+          |        FROM e0 WHERE vec_id % 31 = 0),
+          | e AS (SELECT vec_id, list_transform(v, x -> round(x, 6)) AS v FROM eu)""".stripMargin +
+        kmeansCtes(4, 2, 64) +
+        s"""
+           |, va AS (SELECT e.vec_id, e.v, c.cluster_id FROM e CROSS JOIN c2 c
+           |    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqDistSql("e.v", "c.cv", 64)}, c.cluster_id) = 1)
+           |, asn AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm, cluster_id FROM va)
+           |, rm AS (SELECT DISTINCT y.vec_id FROM asn x JOIN asn y
+           |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+           |    WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.95)
+           | SELECT a.vec_id, a.cluster_id, (r.vec_id IS NOT NULL) AS removed
+           | FROM asn a LEFT JOIN rm r ON a.vec_id = r.vec_id""".stripMargin),
     "q93_lr_train" ->
       // batch GD unrolled to 3 chained CTE iterations (logisticSql): same
       // rational sigmoid, 6-dp residuals, decimal gradient sums
@@ -1686,6 +1747,20 @@ object SparkEntry {
           | WHERE b.doc_id >= 10000000 AND NOT EXISTS
           |   (SELECT 1 FROM webdoc h
           |    WHERE h.doc_id < 10000000 AND md5(h.text) = md5(b.text))""".stripMargin),
+    "q101_snaplog" ->
+      ("SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS snap" +
+        " FROM documents"),
+    "q102_snaplog_dedup" ->
+      // same NOT EXISTS discipline as q78 (NULL-text hazard); the batch
+      // is refetches (%5, text unchanged → dup) + fresh docs (%7,
+      // ' updated' suffix → novel content)
+      ("""WITH base AS (SELECT doc_id, 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents),
+        | batch AS (
+        |   SELECT doc_id + 1000000 AS doc_id, url, text FROM base WHERE doc_id % 5 = 0
+        |   UNION ALL
+        |   SELECT doc_id + 2000000 AS doc_id, url, text || ' updated' AS text FROM base WHERE doc_id % 7 = 0)
+        | SELECT b.doc_id, b.url, md5(b.text) AS content_hash FROM batch b
+        | WHERE NOT EXISTS (SELECT 1 FROM base h WHERE md5(h.text) = md5(b.text))""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

@@ -657,6 +657,29 @@ object Dedup {
     incrementalNew(docs, isHist, expectedItems, fpp)
   }
 
+  /** Table-format-driven incrementalNew: the historical/batch split comes
+    * straight from the SnapLog manifests — historical = the table as of
+    * `sinceSnapshot` (time travel), batch = files ADDED after it
+    * (incremental read). Strictly better scan shape than the predicate
+    * and ledger forms: the two legs read DISJOINT FILE SETS, so no row is
+    * scanned twice and no split predicate runs at all — the manifest IS
+    * the split. This is the loop a production crawl pipeline runs per
+    * arriving snapshot: commit the raw batch to the table, diff against
+    * the previous snapshot id, process only the novel docs. */
+  def incrementalNewFromSnapLog(spark: org.apache.spark.sql.SparkSession,
+                                table: String, sinceSnapshot: Long,
+                                expectedItems: Long, fpp: Double,
+                                broadcastVerify: Boolean = true): DataFrame = {
+    val toId = graft.plans.SnapLog.currentId(table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot in $table"))
+    val hist = graft.plans.SnapLog.readAt(spark, table, sinceSnapshot)
+      .withColumn("__snap_hist", lit(true))
+    val batch = graft.plans.SnapLog.readIncremental(spark, table, sinceSnapshot, toId)
+      .withColumn("__snap_hist", lit(false))
+    incrementalNew(hist.unionByName(batch), col("__snap_hist"),
+      expectedItems, fpp, broadcastVerify)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over the corpus's
     * 3-word shingle hashes — "how many unique shingles does this corpus
     * hold" is the standing diversity/contamination-surface metric of a

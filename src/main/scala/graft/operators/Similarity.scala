@@ -262,6 +262,36 @@ object Similarity {
         coalesce(col("__rm"), lit(false)).as("removed"))
   }
 
+  /** SemDeDup over TRAINED cells — q92's Lloyd quantizer feeding q85's
+    * dedup, end to end: fit k-means on the (6-dp-rounded) vectors, assign
+    * every vector to its trained cell with the shuffle-free literal-model
+    * projection, then the cell-confined pairwise cosine with
+    * lowest-vec_id survivor. This is the production composition (SemDeDup
+    * trains its clustering; sampling data points as cells is the fixture
+    * shortcut) — cells from k-means are balanced by construction, which
+    * is exactly the |cell|² control the sampled-centroid form lacks.
+    * Expects raw (vec_id, v DOUBLE array) input (compose with
+    * withCloneVariants); rounds once, trains, scores. */
+  def semDedupTrained(vecs: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val rounded = vecs.select(col("vec_id"),
+      transform(col("v"), x => round(x, 6)).as("v"))
+    val (cents, _) = graft.operators.Train.kmeansFitVecs(rounded, k, iters)
+    val assigned = graft.plans.TrackedCache.persist(
+      graft.operators.Train.assignClusters(rounded, cents)
+        .withColumn("nrm", norm(col("v")))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cluster_id")))
+    val lo = assigned.select(col("cluster_id"), col("vec_id").as("lo_id"),
+      col("v").as("lo_v"), col("nrm").as("lo_n"))
+    val removed = assigned.join(lo, Seq("cluster_id"))
+      .filter(col("lo_id") < col("vec_id") &&
+        round(dot(col("v"), col("lo_v")) / (col("nrm") * col("lo_n")), 6) >= threshold)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(broadcast(removed.withColumn("__rm", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("__rm"), lit(false)).as("removed"))
+  }
+
   /** IVF top-k: queries probe their `nprobe` nearest cells (data vectors
     * live in exactly one cell, so multi-probe candidate sets are disjoint
     * — no dedup needed). nprobe is the recall/cost knob: cells scanned per

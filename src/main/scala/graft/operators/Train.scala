@@ -75,8 +75,13 @@ object Train {
     *
     * Returns (final centroids, sizes at the final update), where
     * `centroids(c)(j)` is 6-dp-rounded. */
-  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): (Seq[Seq[Double]], Map[Int, Long]) = {
-    val vecs = roundedVecs(embeddings).select(col("vec_id"), col("v"))
+  def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): (Seq[Seq[Double]], Map[Int, Long]) =
+    kmeansFitVecs(roundedVecs(embeddings).select(col("vec_id"), col("v")), k, iters)
+
+  /** Same, over an already-prepared 6-dp (vec_id, v) frame — lets callers
+    * train on synthetic unions (clone variants) or any non-`embedding`
+    * source. */
+  def kmeansFitVecs(vecs: DataFrame, k: Int, iters: Int): (Seq[Seq[Double]], Map[Int, Long]) = {
     // bounded model collect: k rows (the init centroids), never the corpus
     var cents: Seq[Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq

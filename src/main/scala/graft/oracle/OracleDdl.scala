@@ -310,9 +310,14 @@ object OracleDdl {
     * component sums, round(mean, 6) updates, empty-cluster carry, final
     * table (cluster_id, pos, c, n) with n from the final update's
     * assignment. */
-  def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  /** The iteration CTE chain alone (assumes an `e(vec_id, v DOUBLE[])`
+    * CTE of 6-dp-rounded vectors is already in scope) — composable into
+    * consumers of the trained model (q100's trained SemDeDup). Final
+    * centroids land in CTE `c<iters>`; final assignment rows in
+    * `a<iters>`. */
+  def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings),
+    sb ++= s""",
               | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
               |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k))""".stripMargin
     for (t <- 1 to iters) {
@@ -328,14 +333,18 @@ object OracleDdl {
                 |     CASE WHEN count(s.i) = 0 THEN first(p.cv) ELSE list(s.c ORDER BY s.i) END AS cv
                 |   FROM $prev p LEFT JOIN s$t s ON p.cluster_id = s.cluster_id GROUP BY p.cluster_id)""".stripMargin
     }
-    sb ++= s"""
-              | SELECT c.cluster_id, CAST(t.i - 1 AS INT) AS pos, c.cv[t.i] AS c,
-              |   CAST(coalesce(n.n, 0) AS BIGINT) AS n
-              | FROM c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
-              | LEFT JOIN (SELECT cluster_id, count(*) AS n FROM a$iters GROUP BY cluster_id) n
-              |   ON c.cluster_id = n.cluster_id""".stripMargin
     sb.toString
   }
+
+  def kmeansSql(k: Int, iters: Int, dim: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings)""" +
+      kmeansCtes(k, iters, dim) +
+      s"""
+         | SELECT c.cluster_id, CAST(t.i - 1 AS INT) AS pos, c.cv[t.i] AS c,
+         |   CAST(coalesce(n.n, 0) AS BIGINT) AS n
+         | FROM c$iters c CROSS JOIN range(1, ${dim + 1}) t(i)
+         | LEFT JOIN (SELECT cluster_id, count(*) AS n FROM a$iters GROUP BY cluster_id) n
+         |   ON c.cluster_id = n.cluster_id""".stripMargin
 
   /** Batch-GD logistic(-surrogate) regression unrolled to `iters` chained
     * CTE iterations — mirrors Train.logisticFit: zero init, fixed-fold

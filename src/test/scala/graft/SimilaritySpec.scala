@@ -72,6 +72,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == want) // every clone found (sign bits barely move), no false positives
   }
 
+  test("semDedupTrained: trained k-means cells confine and find every clone") {
+    val vecs = Similarity.withCloneVariants(emb)
+    val out = Similarity.semDedupTrained(vecs, 4, 2, 0.95)
+    val removed = out.filter(col("removed")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val total = out.count()
+    graft.plans.TrackedCache.releaseAll()
+    val want = emb.filter(col("vec_id") % 31 === 0).select(col("vec_id"))
+      .collect().map(_.getLong(0) + 100000L).sorted.toSeq
+    // every clone lands in its original's trained cell (ε-perturbation
+    // cannot cross a k=4 Voronoi boundary here) and is removed; nothing
+    // else reaches 0.95 cosine
+    assert(removed == want)
+    assert(total == vecs.count()) // one verdict row per vector
+  }
+
   test("hardNegatives picks cross-blob negatives and within-blob positives") {
     import spark.implicits._
     // two antipodal blobs: even ids near (−5,−5) labeled 0, odd near

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.SnapLog
+
+/** SnapLog table format: commit/read round-trip, time travel, incremental
+  * reads, crash-safe publish, concurrent-commit rejection, manifest file
+  * pruning, compaction, schema enforcement. */
+class SnapLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(ids: Range) =
+    ids.map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+
+  test("commit/read round-trip and snapshot lineage") {
+    val t = tmpDir("snaplog_rt")
+    val id1 = SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    assert(id1 == 1L)
+    assert(SnapLog.currentId(t).contains(1L))
+    val got = SnapLog.read(spark, t).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 10L))
+    val id2 = SnapLog.commit(docs(10 until 15), t, Some("doc_id"))
+    assert(id2 == 2L)
+    val s2 = SnapLog.snapshot(t, 2L)
+    assert(s2.parent == 1L && s2.op == "append")
+    assert(SnapLog.read(spark, t).count() == 15)
+    assert(s2.files.map(_.rows).sum == 15)
+  }
+
+  test("time travel and incremental read partition history exactly") {
+    val t = tmpDir("snaplog_tt")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    SnapLog.commit(docs(10 until 25), t, Some("doc_id"))
+    SnapLog.commit(docs(25 until 30), t, Some("doc_id"))
+    assert(SnapLog.readAt(spark, t, 1L).count() == 10)
+    assert(SnapLog.readAt(spark, t, 2L).count() == 25)
+    val inc = SnapLog.readIncremental(spark, t, 1L, 3L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(inc.toSeq == (10L until 30L))
+    // as-of ∪ incremental reconstructs the current table with no overlap
+    assert(SnapLog.readAt(spark, t, 1L).count() + inc.length ==
+      SnapLog.read(spark, t).count())
+  }
+
+  test("a writer killed before the hint swap is invisible to readers") {
+    val t = tmpDir("snaplog_crash")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    intercept[RuntimeException] {
+      SnapLog.commit(docs(10 until 20), t, Some("doc_id"),
+        faultBeforePublish = () => throw new RuntimeException("[test] kill"))
+    }
+    // reader still sees snapshot 1 only
+    assert(SnapLog.currentId(t).contains(1L))
+    assert(SnapLog.read(spark, t).count() == 10)
+    // and the orphaned snapshot id is never reused by the next commit
+    val id = SnapLog.commit(docs(10 until 20), t, Some("doc_id"))
+    assert(id == 3L)
+    assert(SnapLog.read(spark, t).count() == 20)
+  }
+
+  test("a concurrent commit that lost the race is rejected at the swap") {
+    val t = tmpDir("snaplog_race")
+    SnapLog.commit(docs(0 until 5), t, Some("doc_id"))
+    // second writer commits while the first sits between snapshot write
+    // and hint swap — the first must fail loudly, not clobber
+    val e = intercept[IllegalStateException] {
+      SnapLog.commit(docs(5 until 10), t, Some("doc_id"),
+        faultBeforePublish =
+          () => { SnapLog.commit(docs(10 until 15), t, Some("doc_id")): Unit })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's rows are there; the loser's are not
+    val got = SnapLog.read(spark, t).select("doc_id").as[Long].collect().toSet
+    assert(got == ((0L until 5L) ++ (10L until 15L)).toSet)
+  }
+
+  test("manifest min/max stats prune non-overlapping files from a scan") {
+    val t = tmpDir("snaplog_prune")
+    // three commits with disjoint doc_id ranges → ≥3 files with disjoint
+    // [min,max]; coalesce(1) keeps each range in one file
+    SnapLog.commit(docs(0 until 100).coalesce(1), t, Some("doc_id"))
+    SnapLog.commit(docs(100 until 200).coalesce(1), t, Some("doc_id"))
+    SnapLog.commit(docs(200 until 300).coalesce(1), t, Some("doc_id"))
+    val all = SnapLog.currentSnapshot(t).get.files
+    assert(all.size == 3)
+    val planned = SnapLog.plannedFiles(t, 120, 180)
+    assert(planned.size == 1, s"expected 1 file, planned: $planned")
+    assert(planned.head.min.contains(100L) && planned.head.max.contains(199L))
+    val got = SnapLog.scan(spark, t, 120, 180).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == (120L to 180L))
+    // a range past the table plans zero files and returns zero rows
+    assert(SnapLog.plannedFiles(t, 1000, 2000).isEmpty)
+    assert(SnapLog.scan(spark, t, 1000, 2000).count() == 0)
+  }
+
+  test("compaction replaces many small files, preserving rows and history") {
+    val t = tmpDir("snaplog_compact")
+    (0 until 4).foreach(i => SnapLog.commit(
+      docs(i * 10 until (i + 1) * 10).repartition(3), t, Some("doc_id")))
+    val before = SnapLog.currentSnapshot(t).get.files.size
+    assert(before >= 4)
+    val cid = SnapLog.compact(spark, t, numFiles = 1)
+    val after = SnapLog.snapshot(t, cid)
+    assert(after.op == "replace" && after.files.size == 1)
+    assert(SnapLog.read(spark, t).count() == 40)
+    // time travel to a pre-compaction snapshot still resolves
+    assert(SnapLog.readAt(spark, t, 2L).count() == 20)
+  }
+
+  test("schema and stats-column drift are rejected at commit") {
+    val t = tmpDir("snaplog_schema")
+    SnapLog.commit(docs(0 until 5), t, Some("doc_id"))
+    intercept[IllegalArgumentException] {
+      SnapLog.commit(Seq((1L, "x", 2.0)).toDF("doc_id", "text", "extra"), t, Some("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapLog.commit(docs(5 until 10), t, None)
+    }
+  }
+
+  test("incrementalNewFromSnapLog finds exactly the novel-content docs") {
+    val t = tmpDir("snaplog_incr")
+    val base = docs(0 until 50)
+      .select(col("doc_id"), concat(lit("u"), col("doc_id")).as("url"), col("text"))
+    SnapLog.commit(base, t, Some("doc_id"))
+    // batch: 10 refetches (same text) + 5 genuinely new docs
+    val refetch = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 100).as("doc_id"), col("url"), col("text"))
+    val fresh = docs(200 until 205)
+      .select(col("doc_id"), concat(lit("u"), col("doc_id")).as("url"), col("text"))
+    SnapLog.commit(refetch.unionByName(fresh), t, Some("doc_id"))
+    val novel = graft.operators.Dedup
+      .incrementalNewFromSnapLog(spark, t, 1L, 1000L, 0.01)
+      .select("doc_id").as[Long].collect().sorted
+    graft.plans.TrackedCache.releaseAll()
+    assert(novel.toSeq == (200L until 205L))
+  }
+}
