@@ -751,6 +751,25 @@ object SparkEntry {
       graft.operators.Dedup.incrementalNewFromSnapLog(s, t, 1L, 100000L, 0.01)
     }),
 
+    // Embedding-space outlier filter: distance from the corpus centroid
+    // vs the 95th-quantile cutoff — mean as a collected literal, distance
+    // pass shuffle-free
+    "q103_emb_outliers" -> ((s, dir) =>
+      graft.operators.Similarity.centroidOutliers(
+        s.read.parquet(s"$dir/embeddings.parquet"), 0.95)),
+
+    // Mirror-site detection: host pairs with near-identical distinct-
+    // content sets (Jaccard over content-hash sets via hash equi-join,
+    // df-capped — never O(hosts²))
+    "q104_mirror_hosts" -> ((s, dir) =>
+      graft.operators.Dedup.mirrorHosts(Pipeline.webdoc(s, dir), 0.5)),
+
+    // DSIR importance weights: per-doc mean log-likelihood ratio of the
+    // target-domain hashed-unigram model vs the raw-corpus model
+    "q105_dsir" -> ((s, dir) =>
+      graft.operators.TrainPrep.dsirWeights(Pipeline.webdoc(s, dir),
+        col("source").isin("src0", "src1", "src2", "src3"))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -1761,6 +1780,49 @@ object SparkEntry {
         |   SELECT doc_id + 2000000 AS doc_id, url, text || ' updated' AS text FROM base WHERE doc_id % 7 = 0)
         | SELECT b.doc_id, b.url, md5(b.text) AS content_hash FROM batch b
         | WHERE NOT EXISTS (SELECT 1 FROM base h WHERE md5(h.text) = md5(b.text))""".stripMargin),
+    "q103_emb_outliers" ->
+      // same decimal-mean + fixed-fold-distance + 6-dp discipline as the
+      // kmeans family; cutoff = 6-dp-rounded quantile_cont, strict >
+      ("""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v FROM embeddings),
+        | comp AS (SELECT pos, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+        |   FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) GROUP BY pos),
+        | mv AS (SELECT list(m ORDER BY pos) AS mv FROM comp),
+        | d AS (SELECT vec_id, round(sqrt(""".stripMargin +
+        sqDistSql("e.v", "mv.mv", 64) +
+        """), 6) AS dist FROM e CROSS JOIN mv),
+          | c AS (SELECT round(quantile_cont(dist, 0.95), 6) AS cut FROM d)
+          | SELECT d.vec_id, d.dist, d.dist > c.cut AS is_outlier FROM d CROSS JOIN c""".stripMargin),
+    "q104_mirror_hosts" ->
+      (webdocCte +
+        """, hd AS (SELECT DISTINCT host, md5(text) AS h FROM webdoc)
+          |, sizes AS (SELECT host, count(*) AS n FROM hd GROUP BY host)
+          |, shared AS (SELECT h FROM hd GROUP BY h HAVING count(*) BETWEEN 2 AND 64)
+          |, cap AS (SELECT hd.host, hd.h FROM hd JOIN shared USING (h))
+          |, pr AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+          |         FROM cap a JOIN cap b ON a.h = b.h AND a.host < b.host GROUP BY 1, 2)
+          |, j AS (SELECT pr.host_a, pr.host_b, sa.n AS n_a, sb.n AS n_b, pr.n_shared,
+          |         round(CAST(pr.n_shared AS DOUBLE) / (sa.n + sb.n - pr.n_shared), 6) AS jaccard
+          |        FROM pr JOIN sizes sa ON pr.host_a = sa.host JOIN sizes sb ON pr.host_b = sb.host)
+          | SELECT host_a, host_b, n_a, n_b, n_shared, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin),
+    "q105_dsir" ->
+      // identical operand order to TrainPrep.dsirWeights: each term is
+      // ln((tcnt+1)·(rtot+V) / ((rcnt+1)·(ttot+V))); ULPs absorbed by the
+      // final 6-dp round (the q31 ln-sum contract)
+      (webdocCte + shingleCte +
+        s""", wx AS (SELECT w.doc_id, w.url, d.source, unnest(w.words) AS wd
+           |        FROM wsw w JOIN webdoc d USING (doc_id))
+           |, wh AS (SELECT doc_id, url, source IN ('src0','src1','src2','src3') AS t,
+           |         ${h60("wd")} AS h FROM wx)
+           |, rc AS (SELECT h, count(*) AS rcnt FROM wh GROUP BY h)
+           |, tc AS (SELECT h, count(*) AS tcnt FROM wh WHERE t GROUP BY h)
+           |, tot AS (SELECT (SELECT sum(rcnt) FROM rc) AS rtot, (SELECT count(*) FROM rc) AS v,
+           |                 (SELECT count(*) FROM wh WHERE t) AS ttot)
+           |, terms AS (SELECT wh.doc_id, wh.url,
+           |    ln((CAST(coalesce(tc.tcnt, 0) + 1 AS DOUBLE) * (tot.rtot + tot.v)) /
+           |       (CAST(rc.rcnt + 1 AS DOUBLE) * (tot.ttot + tot.v))) AS term
+           |   FROM wh JOIN rc USING (h) LEFT JOIN tc USING (h) CROSS JOIN tot)
+           | SELECT doc_id, url, count(*) AS n_words, round(sum(term) / count(*), 6) AS dsir_logw
+           | FROM terms GROUP BY doc_id, url""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

@@ -680,6 +680,45 @@ object Dedup {
       expectedItems, fpp, broadcastVerify)
   }
 
+  /** Mirror-site detection — host pairs whose DISTINCT CONTENT sets are
+    * near-identical (Jaccard over per-host content-hash sets ≥
+    * `minJaccard`): CDNs, www/non-www twins, scraper mirrors. Training
+    * pipelines drop or collapse mirrors BEFORE per-doc dedup so the
+    * expensive passes never see the duplicated corpus mass.
+    *
+    * Scale shape: documents leave the scan as (host, 16-B content hash)
+    * pairs; candidate host pairs come ONLY from an equi-join on the hash
+    * (hosts sharing ≥1 document), never an O(hosts²) comparison. Hashes
+    * held by > `maxHostsPerHash` hosts are dropped before the self-join —
+    * the same df-cap discipline as jaccardCapped: one boilerplate page
+    * syndicated to 10^5 hosts would otherwise fan out 10^10 pairs; a true
+    * mirror pair's Jaccard barely moves (caveat documented, cap
+    * parameterized). Intersection counts aggregate map-side; set sizes
+    * join back as narrow (host, n) rows. */
+  def mirrorHosts(docs: DataFrame, minJaccard: Double,
+                  maxHostsPerHash: Int = 64): DataFrame = {
+    val hd = graft.plans.TrackedCache.persist(
+      docs.select(col("host"), unhex(md5(col("text"))).as("h")).distinct())
+    val sizes = hd.groupBy(col("host")).agg(count(lit(1)).as("n"))
+    val shared = hd.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") >= 2 && col("nh") <= maxHostsPerHash)
+    val capped = hd.join(shared.select(col("h")), Seq("h"))
+    val pairs = capped
+      .join(capped.select(col("h"), col("host").as("host_b")), Seq("h"))
+      .filter(col("host") < col("host_b"))
+      .withColumnRenamed("host", "host_a")
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("host_a"), col("host_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over the corpus's
     * 3-word shingle hashes — "how many unique shingles does this corpus
     * hold" is the standing diversity/contamination-surface metric of a

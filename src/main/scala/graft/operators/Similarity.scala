@@ -105,6 +105,40 @@ object Similarity {
       .groupBy(col("g"), col("pos"))
       .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
 
+  /** Embedding-space outlier filter — the "drop the weird vectors before
+    * they poison training" pass (corrupt decodes, OCR noise, off-manifold
+    * spam cluster in embedding space far from the corpus centroid).
+    * Flags vectors whose L2 distance from the component-wise corpus mean
+    * exceeds the q-th quantile of that distance.
+    *
+    * Determinism (Train.scala discipline): inputs 6-dp-rounded, the mean
+    * from exact DECIMAL component sums rounded back to 6 dp, distances as
+    * fixed ascending-index folds against the mean LITERAL, rounded 6 dp
+    * before the quantile — so the cutoff comparison sees identical values
+    * on any engine/partitioning.
+    *
+    * Scale shape: the mean is one map-side-combinable (pos, sum, n)
+    * aggregation (dim rows out); it returns to the executors as a literal
+    * (bounded model collect — dim doubles), so the distance pass is a
+    * pure codegen projection with NO shuffle and no join; the quantile is
+    * a second tiny aggregation over (vec_id, dist) pairs. */
+  def centroidOutliers(embeddings: DataFrame, q: Double): DataFrame = {
+    val vecs = graft.plans.TrackedCache.persist(
+      graft.operators.Train.roundedVecs(embeddings))
+    val mean: Seq[Double] = vecs
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    val sq = aggregate(
+      zip_with(col("v"), array(mean.map(lit): _*), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (s, t) => s + t)
+    val d = graft.plans.TrackedCache.persist(
+      vecs.select(col("vec_id"), round(sqrt(sq), 6).as("dist")))
+    val cutoff = d.agg(round(expr(s"percentile(dist, $q)"), 6)).head().getDouble(0)
+    d.select(col("vec_id"), col("dist"), (col("dist") > cutoff).as("is_outlier"))
+  }
+
   /** Deterministic ±1 hyperplanes for sign-random-projection LSH
     * (splitmix64-style finalizer per (bit, component) — no RNG; the
     * DuckDB oracle serializes the produced matrix as a VALUES literal, so

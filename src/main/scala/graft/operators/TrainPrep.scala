@@ -316,4 +316,49 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("total_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): per-doc mean
+    * log-likelihood ratio between a TARGET domain's hashed-unigram model
+    * and the raw-corpus model. Docs scoring high "look like" the target
+    * (curated sources, wiki-like text) and get up-sampled when composing
+    * a training mix. `isTarget` marks the target exemplar docs (here a
+    * source whitelist; in production a curated corpus unioned in).
+    *
+    * Model: add-1-smoothed unigram over 60-bit-hashed words —
+    * p_t(w) = (tcnt+1)/(ttot+V), p_r(w) = (rcnt+1)/(rtot+V) with V = the
+    * corpus vocabulary (hashing trick: fixed id space, no vocab file, the
+    * published method's own trick). Weight = Σ ln(p_t/p_r) / n_words,
+    * rounded 6 dp — the same ln-sum-then-round determinism contract as
+    * the perplexity family (q31).
+    *
+    * Scale shape: words leave the row as (doc_id, 60-bit hash) pairs; the
+    * two count tables aggregate map-side; the scalar totals (3 longs) are
+    * a bounded collect; the per-occurrence term join is hash-keyed and
+    * the target table is vocabulary-sized (broadcast it when the target
+    * corpus is small — here Catalyst/AQE picks, both sides narrow). */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val words = graft.plans.TrackedCache.persist(docs
+      .select(col("doc_id"), col("url"), isTarget.as("__t"),
+        explode(Rules.wordsOf(col("text"))).as("w"))
+      .select(col("doc_id"), col("url"), col("__t"), md5Hash60(col("w")).as("h")))
+    val rc = graft.plans.TrackedCache.persist(
+      words.groupBy(col("h")).agg(count(lit(1)).as("rcnt")))
+    val tc = words.filter(col("__t")).groupBy(col("h")).agg(count(lit(1)).as("tcnt"))
+    val Array(rtot, vocab) = rc.agg(sum(col("rcnt")), count(lit(1)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val ttot = words.filter(col("__t")).count()
+    // ln((tcnt+1)·(rtot+V) / ((rcnt+1)·(ttot+V))): numerator and
+    // denominator each one exact-integer product converted to double —
+    // identical operand order in the SQL twin, ULPs absorbed by the final
+    // 6-dp round over the mean
+    val term = log(
+      ((coalesce(col("tcnt"), lit(0L)) + 1L).cast("double") * lit((rtot + vocab).toDouble)) /
+        ((col("rcnt") + 1L).cast("double") * lit((ttot + vocab).toDouble)))
+    words.join(rc, Seq("h"))
+      .join(tc, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("url"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(term) / count(lit(1)), 6).as("dsir_logw"))
+  }
 }

@@ -322,4 +322,35 @@ class PlanSpec extends SparkSpec {
         cols.mkString(",")) }
     assert(plan.toString.contains("MapPartitions"), plan.toString.take(2000))
   }
+
+  test("q104 mirrorHosts: shuffles carry (host, 16-B hash) pairs, never text") {
+    val plan = staticPlan(
+      graft.operators.Dedup.mirrorHosts(Pipeline.webdoc(spark, sfDir), 0.5))
+    val shuffleCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    assert(shuffleCols.nonEmpty)
+    shuffleCols.foreach { cols =>
+      assert(!cols.contains("text"), cols.mkString(","))
+    }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q105 dsirWeights: words leave the row as 60-bit hashes — no word strings in exchanges") {
+    val plan = staticPlan(
+      graft.operators.TrainPrep.dsirWeights(Pipeline.webdoc(spark, sfDir),
+        col("source") === "src0"))
+    val shuffleCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    assert(shuffleCols.nonEmpty)
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "w" || c == "text"), cols.mkString(","))
+    }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    graft.plans.TrackedCache.releaseAll()
+  }
 }

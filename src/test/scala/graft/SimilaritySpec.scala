@@ -128,4 +128,19 @@ class SimilaritySpec extends SparkSpec {
     val got = audited.map(r => r.getLong(2)).sum.toDouble / audited.map(_.getLong(1)).sum
     assert(math.abs(got - expect) < 1e-9, s"audit $got vs set-arithmetic $expect")
   }
+
+  test("centroidOutliers flags ~(1-q) of vectors, exactly the farthest ones") {
+    val out = Similarity.centroidOutliers(emb, 0.95)
+    val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    graft.plans.TrackedCache.releaseAll()
+    val n = rows.length
+    val flagged = rows.filter(_._3)
+    // quantile cutoff: at most 5% strictly above, and every flagged dist
+    // exceeds every unflagged dist (the flag is a pure threshold on dist)
+    assert(flagged.length <= math.ceil(n * 0.05) + 1)
+    assert(flagged.nonEmpty) // the fixture has spread
+    val maxIn = rows.filter(!_._3).map(_._2).max
+    val minOut = flagged.map(_._2).min
+    assert(minOut > maxIn)
+  }
 }

@@ -277,4 +277,38 @@ class TrainPrepSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(shards.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("dsirWeights: target-domain docs score higher on average than the rest") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val target = col("source").isin("src0", "src1", "src2", "src3")
+    val w = TrainPrep.dsirWeights(wd, target)
+      .join(wd.select(col("doc_id"), target.as("t")), Seq("doc_id"))
+    val Array(avgT, avgR) = w.groupBy(col("t"))
+      .agg(avg(col("dsir_logw"))).collect()
+      .sortBy(!_.getBoolean(0)).map(_.getDouble(1))
+    graft.plans.TrackedCache.releaseAll()
+    // the likelihood-ratio signal must separate its own training domains
+    assert(avgT > avgR, s"target avg $avgT should exceed rest avg $avgR")
+    // and the corpus-wide mean ratio can't be systematically positive:
+    // weights are a log ratio of two normalized models over the SAME corpus
+    assert(avgR < 0.0)
+  }
+
+  test("mirrorHosts finds exact mirrors and partial overlaps score below them") {
+    import spark.implicits._
+    // A and B carry identical 4-doc content; C shares 2 of 4 (jac=1/3)
+    val docs = (Seq(("a.com", 1), ("a.com", 2), ("a.com", 3), ("a.com", 4),
+      ("b.com", 1), ("b.com", 2), ("b.com", 3), ("b.com", 4),
+      ("c.com", 1), ("c.com", 2), ("c.com", 9), ("c.com", 10)))
+      .map { case (h, t) => (h, s"content $t") }.toDF("host", "text")
+    val strict = Dedup.mirrorHosts(docs, 0.99)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    graft.plans.TrackedCache.releaseAll()
+    assert(strict.toSeq == Seq(("a.com", "b.com", 1.0)))
+    val loose = Dedup.mirrorHosts(docs, 0.3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    graft.plans.TrackedCache.releaseAll()
+    assert(loose.keySet == Set(("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com")))
+    assert(loose(("a.com", "c.com")) == 0.333333)
+  }
 }
