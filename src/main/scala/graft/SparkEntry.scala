@@ -770,6 +770,41 @@ object SparkEntry {
       graft.operators.TrainPrep.dsirWeights(Pipeline.webdoc(s, dir),
         col("source").isin("src0", "src1", "src2", "src3"))),
 
+    // Luhn-validated credit-card scrub: deterministic card injections
+    // (valid, invalid-checksum, spaced Amex), candidates from a loose
+    // digit-run regex, precision from the checksum — one codegen'd
+    // projection, no UDF
+    "q106_cc_scrub" -> ((s, dir) => {
+      val injected = Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        concat(col("text"),
+          when(col("doc_id") % 21 === 0, lit(" Card 4111111111111111 on file.")).otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" Ref 4111111111111112 rejected.")).otherwise(lit("")),
+          when(col("doc_id") % 27 === 0, lit(" Amex 3782 822463 10005 billed.")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.Scrub.ccScrub(injected)
+        .select(col("doc_id"), col("url"), col("n_cc_candidates"),
+          col("n_cc_valid"), col("cc_scrubbed_text"))
+    }),
+
+    // Per-source host-diversity report: Shannon entropy over the host
+    // distribution + normalized entropy + top-host share — the corpus-
+    // composition dashboard a mix designer reads before weighting sources
+    "q107_host_entropy" -> ((s, dir) => {
+      val hs = Pipeline.webdoc(s, dir)
+        .groupBy(col("source"), col("host")).agg(count(lit(1)).as("nh"))
+      val tot = hs.groupBy(col("source")).agg(sum(col("nh")).as("n_docs"),
+        count(lit(1)).as("n_hosts"), max(col("nh")).as("max_nh"))
+      val x = col("nh").cast("double") / col("n_docs")
+      hs.join(tot, Seq("source"))
+        .groupBy(col("source"), col("n_docs"), col("n_hosts"), col("max_nh"))
+        .agg(sum(-x * log(x)).as("H"))
+        .select(col("source"), col("n_docs"), col("n_hosts"),
+          round(col("H"), 6).as("entropy"),
+          when(col("n_hosts") > 1,
+            round(col("H") / log(col("n_hosts").cast("double")), 6)).as("norm_entropy"),
+          round(col("max_nh").cast("double") / col("n_docs"), 6).as("top_host_share"))
+    }),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -1823,6 +1858,46 @@ object SparkEntry {
            |   FROM wh JOIN rc USING (h) LEFT JOIN tc USING (h) CROSS JOIN tot)
            | SELECT doc_id, url, count(*) AS n_words, round(sum(term) / count(*), 6) AS dsir_logw
            | FROM terms GROUP BY doc_id, url""".stripMargin),
+    "q106_cc_scrub" -> {
+      // Luhn over a digits-only expression D — identical arithmetic to
+      // Scrub.luhnValid (right-to-left, double every 2nd, −9 over 9)
+      def luhn(d: String): String =
+        s"""(length($d) BETWEEN 13 AND 19 AND
+           |  list_reduce(list_prepend(0, list_transform(range(1, length($d) + 1),
+           |    i -> CASE WHEN i % 2 = 1 THEN CAST(substr(reverse($d), i, 1) AS INT)
+           |         ELSE CASE WHEN CAST(substr(reverse($d), i, 1) AS INT) > 4
+           |              THEN CAST(substr(reverse($d), i, 1) AS INT) * 2 - 9
+           |              ELSE CAST(substr(reverse($d), i, 1) AS INT) * 2 END END)),
+           |    (a, b) -> a + b) % 10 = 0)""".stripMargin
+      (webdocCte +
+        """, inj AS (SELECT doc_id, url, text ||
+          |    CASE WHEN doc_id % 21 = 0 THEN ' Card 4111111111111111 on file.' ELSE '' END ||
+          |    CASE WHEN doc_id % 23 = 0 THEN ' Ref 4111111111111112 rejected.' ELSE '' END ||
+          |    CASE WHEN doc_id % 27 = 0 THEN ' Amex 3782 822463 10005 billed.' ELSE '' END AS text
+          |  FROM webdoc)
+          |, c AS (SELECT doc_id, url, text,
+          |    regexp_extract_all(text, '[0-9](?:[0-9 -]{11,21})[0-9]') AS cands FROM inj)
+          |, v AS (SELECT doc_id, url, text, cands,
+          |    list_filter(cands, c -> """.stripMargin +
+        luhn("regexp_replace(c, '[ -]', '', 'g')") +
+        """) AS valid FROM c)
+          | SELECT doc_id, url, CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+          |   CAST(len(valid) AS BIGINT) AS n_cc_valid,
+          |   list_reduce(list_prepend(text, valid), (acc, x) -> replace(acc, x, '<CC>')) AS cc_scrubbed_text
+          | FROM v""".stripMargin)
+    },
+    "q107_host_entropy" ->
+      (webdocCte +
+        """, hs AS (SELECT source, host, count(*) AS nh FROM webdoc GROUP BY 1, 2)
+          |, tot AS (SELECT source, CAST(sum(nh) AS BIGINT) AS n_docs,
+          |          count(*) AS n_hosts, max(nh) AS max_nh FROM hs GROUP BY source)
+          |, e AS (SELECT h.source, t.n_docs, t.n_hosts, t.max_nh,
+          |    sum(-(CAST(h.nh AS DOUBLE) / t.n_docs) * ln(CAST(h.nh AS DOUBLE) / t.n_docs)) AS H
+          |  FROM hs h JOIN tot t USING (source) GROUP BY 1, 2, 3, 4)
+          | SELECT source, n_docs, n_hosts, round(H, 6) AS entropy,
+          |   CASE WHEN n_hosts > 1 THEN round(H / ln(CAST(n_hosts AS DOUBLE)), 6) END AS norm_entropy,
+          |   round(CAST(max_nh AS DOUBLE) / n_docs, 6) AS top_host_share
+          | FROM e""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

@@ -250,13 +250,24 @@ object Dedup {
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
-    val cand = exr.as("x").join(exr.as("y"),
+    val cand = graft.plans.TrackedCache.persist(exr.as("x").join(exr.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b"))
+    // Verification reads only shingles of docs that appear in some
+    // candidate pair — near-dups are a sliver of any real corpus, so this
+    // semi-join cuts the two fan-out joins below from corpus-sized to
+    // candidate-sized inputs (measured 18 s → ~5 s at sf0.1; at web scale
+    // it is the difference between re-shuffling the corpus stream and
+    // shuffling just the suspects). cand is persisted: it feeds this
+    // filter and the pair fan-out, and re-deriving it would re-run the
+    // rare-shingle self-join.
+    val docsInPairs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val exC = ex.join(docsInPairs, Seq("doc_id"), "left_semi")
     cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
-      .join(ex.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
+      .join(exC.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
+      .join(exC.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
         Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))

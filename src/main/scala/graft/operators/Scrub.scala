@@ -50,4 +50,48 @@ object Scrub {
   }
 
   val countCols: Seq[String] = patterns.map { case (n, _, _) => s"scrub_$n" }
+
+  // ── Luhn-validated credit-card scrub ────────────────────────────────
+
+  /** Candidate pattern: a 13-23-char digit run allowing single space/dash
+    * separators (covers 4-4-4-4 and Amex 4-6-5 groupings). Deliberately
+    * loose — precision comes from the Luhn checksum, not the regex. */
+  val ccCandidatePattern = "[0-9](?:[0-9 -]{11,21})[0-9]"
+
+  /** Luhn checksum over a digits-only string column — a pure nested-HOF
+    * program (codegen'd, no UDF): sum right-to-left, doubling every 2nd
+    * digit (−9 when the double exceeds 9), valid iff total % 10 == 0 and
+    * 13 ≤ digits ≤ 19. Identical arithmetic to the DuckDB twin. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val total = aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      acc + when(i % 2 === 1, d)
+        .otherwise(when(d > 4, d * 2 - 9).otherwise(d * 2))
+    })
+    length(digits).between(13, 19) && total % 10 === 0
+  }
+
+  /** Checksum-validated PII scrub — the pattern family where a bare regex
+    * is NOT enough: 13-19-digit runs are also order ids, EANs, and
+    * timestamps, so candidates must pass the Luhn check before they are
+    * redacted (a random digit run passes with p = 0.1 — the checksum is
+    * the precision, the regex only the recall). Candidates that FAIL
+    * validation are left untouched.
+    *
+    * One codegen'd projection per row (extract → filter(Luhn) → fold of
+    * literal `replace`es in match order — the same fold order as the SQL
+    * twin, so shadowing substrings resolve identically). Scan-bound at
+    * 100 TB like the main scrub chain; no shuffle, no UDF. */
+  def ccScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(ccCandidatePattern), lit(0))
+    val valid = filter(cands, c => luhnValid(regexp_replace(c, "[ -]", "")))
+    df.withColumn("__cands", cands)
+      .withColumn("__valid", valid)
+      .withColumn("n_cc_candidates", size(col("__cands")).cast("long"))
+      .withColumn("n_cc_valid", size(col("__valid")).cast("long"))
+      .withColumn("cc_scrubbed_text",
+        aggregate(col("__valid"), col(textCol), (acc, c) => replace(acc, c, lit("<CC>"))))
+      .drop("__cands", "__valid")
+  }
 }

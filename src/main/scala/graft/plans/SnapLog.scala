@@ -227,9 +227,12 @@ object SnapLog {
     readFiles(spark, table, s, s.files)
   }
 
-  /** Files added after `fromId` up to `toId` (append-only incremental). */
+  /** Files added after `fromId` up to `toId` (append-only incremental).
+    * `fromId = 0` means "since before the first snapshot" — all of
+    * `toId`'s files. */
   def incrementalFiles(table: String, fromId: Long, toId: Long): Seq[FileEntry] = {
-    val from = snapshot(table, fromId).files.map(_.path).toSet
+    val from = if (fromId == 0L) Set.empty[String]
+               else snapshot(table, fromId).files.map(_.path).toSet
     snapshot(table, toId).files.filterNot(f => from(f.path))
   }
 
@@ -259,6 +262,66 @@ object SnapLog {
     val c = col(s.statsCol.get).cast("long")
     readFiles(spark, table, s, plannedFiles(table, lo, hi))
       .filter(c >= lo && c <= hi)
+  }
+
+  // ── Incremental processing with a durable bookmark ──────────────────
+  // The reference's time-boxed bookmark loop (composable.py:116-134:
+  // process one box, advance the bookmark, repeat; a killed run resumes
+  // at the high-watermark) generalized to table snapshots: the unit of
+  // progress is "one committed snapshot" instead of "one time box".
+
+  private def bookmarkPath(stateDir: String): Path =
+    Paths.get(stateDir, "snaplog_bookmark.txt")
+
+  /** Last snapshot id processed (0 = nothing yet). */
+  def bookmark(stateDir: String): Long = {
+    val p = bookmarkPath(stateDir)
+    if (Files.exists(p)) Files.readString(p).trim.toLong else 0L
+  }
+
+  private def advanceBookmark(stateDir: String, id: Long): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    val tmp = Paths.get(stateDir, s".bookmark-$id.tmp")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, bookmarkPath(stateDir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed-chain snapshot ids in (after, current], ascending — walks
+    * parent pointers from the current snapshot, so orphaned ids from
+    * crashed commits are skipped (they are on disk but not on the
+    * chain). */
+  def committedChain(table: String, after: Long): Seq[Long] = {
+    var id = currentId(table).getOrElse(return Nil)
+    var out = List.empty[Long]
+    while (id > after) {
+      out = id :: out
+      id = snapshot(table, id).parent
+    }
+    out
+  }
+
+  /** Process every snapshot committed since the bookmark EXACTLY ONCE, in
+    * commit order: `f(snapshotId, rowsAddedByThatSnapshot)`, then the
+    * bookmark durably advances — a run killed mid-loop (f throwing, the
+    * JVM dying) resumes at the first unprocessed snapshot and never
+    * re-runs a processed one, provided `f` is idempotent per snapshot
+    * (the same at-least-once-per-snapshot contract as the reference's
+    * boxes). `replace` snapshots (compaction) advance the bookmark with
+    * an EMPTY batch: they rewrite rows, they don't add any. Returns the
+    * ids processed by THIS call. */
+  def processNew(spark: SparkSession, table: String, stateDir: String)
+                (f: (Long, DataFrame) => Unit): Seq[Long] = {
+    val ids = committedChain(table, bookmark(stateDir))
+    ids.map { id =>
+      val s = snapshot(table, id)
+      val batch =
+        if (s.op == "replace") readFiles(spark, table, s, Nil)
+        else readFiles(spark, table, s, incrementalFiles(table, s.parent, id))
+      f(id, batch)
+      advanceBookmark(stateDir, id)
+      id
+    }
   }
 
   /** Compaction: rewrite the current snapshot's rows as `numFiles` files

@@ -109,4 +109,28 @@ class ScrubPropertySpec extends SparkSpec {
       .select("n_chars", "mean_word_len").collect().map(_.toSeq).toSeq
     assert(native == composable)
   }
+
+  test("ccScrub: Luhn-valid candidates scrubbed, invalid/short/long untouched, idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Scrub
+    val df = Seq(
+      (1L, "pay 4111111111111111 now"),
+      (2L, "bad 4111111111111112 here"),
+      (3L, "amex 3782 822463 10005 ok and visa 4012-8888-8888-1881 too"),
+      (4L, "no cards 123-456 here or 415-555-0123"),
+      (5L, "order 1234567890123456789012 too long")).toDF("doc_id", "text")
+    val out = Scrub.ccScrub(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L) == ((1L, 1L, "pay <CC> now")))
+    assert(out(2L) == ((1L, 0L, "bad 4111111111111112 here")))
+    assert(out(3L) == ((2L, 2L, "amex <CC> ok and visa <CC> too")))
+    assert(out(4L) == ((0L, 0L, "no cards 123-456 here or 415-555-0123")))
+    assert(out(5L) == ((1L, 0L, "order 1234567890123456789012 too long")))
+    // idempotence: re-scrubbing the scrubbed text finds nothing valid
+    val again = Scrub.ccScrub(
+      Scrub.ccScrub(df).select(col("doc_id"), col("cc_scrubbed_text").as("text")))
+      .agg(org.apache.spark.sql.functions.sum(col("n_cc_valid"))).head().getLong(0)
+    assert(again == 0L)
+  }
 }

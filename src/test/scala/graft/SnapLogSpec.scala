@@ -135,4 +135,34 @@ class SnapLogSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
     assert(novel.toSeq == (200L until 205L))
   }
+
+  test("processNew: each committed snapshot exactly once, crash-safe resume, compaction = empty batch") {
+    val t = tmpDir("snaplog_proc")
+    val st = tmpDir("snaplog_state")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    SnapLog.commit(docs(10 until 15), t, Some("doc_id"))
+    var seen = Vector.empty[(Long, Long)]
+    val p1 = SnapLog.processNew(spark, t, st) { (id, df) => seen :+= ((id, df.count())) }
+    assert(p1 == Seq(1L, 2L) && seen == Vector((1L, 10L), (2L, 5L)))
+    // nothing new: no callback fires
+    assert(SnapLog.processNew(spark, t, st)((_, _) => fail("must not run")).isEmpty)
+    // two more commits; f dies on the second -> bookmark holds at the first
+    SnapLog.commit(docs(15 until 18), t, Some("doc_id"))
+    SnapLog.commit(docs(18 until 20), t, Some("doc_id"))
+    intercept[RuntimeException] {
+      SnapLog.processNew(spark, t, st) { (id, df) =>
+        if (id == 4L) throw new RuntimeException("[test] kill")
+        df.count(): Unit
+      }
+    }
+    assert(SnapLog.bookmark(st) == 3L)
+    // resume processes ONLY the failed snapshot
+    val p2 = SnapLog.processNew(spark, t, st)((id, df) => seen :+= ((id, df.count())))
+    assert(p2 == Seq(4L) && seen.last == ((4L, 2L)))
+    // compaction advances the bookmark with zero added rows
+    SnapLog.compact(spark, t)
+    val p3 = SnapLog.processNew(spark, t, st)((id, df) => seen :+= ((id, df.count())))
+    assert(p3.size == 1 && seen.last._2 == 0L)
+    assert(SnapLog.bookmark(st) == SnapLog.currentId(t).get)
+  }
 }
