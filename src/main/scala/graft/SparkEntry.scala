@@ -805,6 +805,37 @@ object SparkEntry {
           round(col("max_nh").cast("double") / col("n_docs"), 6).as("top_host_share"))
     }),
 
+    // Host authority: 3 damped power iterations over the host link graph
+    // (deterministic outlinks stand in for href extraction). Corpus touched
+    // once by a (host,host) agg; iterations join edges against BROADCAST
+    // ranks/degrees — the edge table never reshuffles
+    "q108_host_rank" -> ((s, dir) =>
+      graft.operators.HostGraph.authority(Pipeline.webdoc(s, dir))),
+
+    // Robots-style longest-prefix URL policy: per-host rule arrays
+    // broadcast, decision is one codegen'd projection (filter matching
+    // prefixes, fold to the longest) — zero corpus-side exchanges
+    "q109_url_policy" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.operators.HostGraph.policyDecide(wd,
+        graft.operators.HostGraph.syntheticRules(wd))
+    }),
+
+    // Stopword ratio against the doc's own language inventory — C4/Gopher
+    // "real prose carries function words"; inventories fold into the
+    // expression tree as a map literal, one codegen'd HOF pass, no join
+    "q110_stopword_ratio" -> ((s, dir) =>
+      graft.operators.TextStats.withStopwordRatio(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_words"),
+          col("n_stopwords"), col("stop_ratio"))),
+
+    // Lexical diversity: type-token ratio + hapax fraction, computed
+    // inside the row (sorted-array neighbour compare) — zero exchanges
+    "q111_lexical_diversity" -> ((s, dir) =>
+      graft.operators.TextStats.withLexicalDiversity(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_words"), col("n_types"),
+          col("n_hapax"), col("ttr"), col("hapax_frac"))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -1898,6 +1929,83 @@ object SparkEntry {
           |   CASE WHEN n_hosts > 1 THEN round(H / ln(CAST(n_hosts AS DOUBLE)), 6) END AS norm_entropy,
           |   round(CAST(max_nh AS DOUBLE) / n_docs, 6) AS top_host_share
           | FROM e""".stripMargin),
+    "q108_host_rank" -> {
+      // one damped power iteration as a CTE-to-CTE step, replayed 3×
+      def iter(prev: String, next: String): String =
+        s""", $next AS (SELECT n.host, 0.15 + 0.85 * coalesce(c.c, 0.0) AS "rank"
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS host, sum(r."rank" * e.w / o.outdeg) AS c
+           |    FROM edges e JOIN $prev r ON r.host = e.src
+           |    JOIN outdeg o ON o.src = e.src GROUP BY 1) c USING (host))""".stripMargin
+      (webdocCte +
+        """, links AS (SELECT host AS src,
+          |    CASE WHEN ((doc_id + j * 31) * 131) % 997 < 300 THEN 'popular.example.com'
+          |         ELSE 'host-' || (((doc_id + j * 31) * 131) % 997) || '.example.com' END AS dst
+          |  FROM webdoc, (VALUES (1), (2), (3)) J(j))
+          |, edges AS (SELECT src, dst, count(*) AS w FROM links WHERE src <> dst GROUP BY 1, 2)
+          |, outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1)
+          |, nodes AS (SELECT DISTINCT src AS host FROM edges UNION SELECT DISTINCT dst FROM edges)
+          |, r0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS "rank" FROM nodes)""".stripMargin +
+        iter("r0", "r1") + iter("r1", "r2") + iter("r2", "r3") +
+        """
+          |, inh AS (SELECT dst AS host, count(*) AS n_in_hosts FROM edges GROUP BY 1)
+          | SELECT r3.host, round(r3."rank", 6) AS "rank",
+          |   coalesce(inh.n_in_hosts, 0) AS n_in_hosts
+          | FROM r3 LEFT JOIN inh USING (host)""".stripMargin)
+    },
+    "q109_url_policy" ->
+      (webdocCte +
+        """, hosts AS (SELECT DISTINCT host FROM webdoc)
+          |, rules AS (
+          |  SELECT host, '/' AS prefix, true AS allow FROM hosts
+          |  UNION ALL SELECT host, '/src2', false FROM hosts
+          |  UNION ALL SELECT host, '/src2/1', true FROM hosts WHERE length(host) % 2 = 0
+          |  UNION ALL SELECT host, '/src0', false FROM hosts WHERE host = 'popular.example.com')
+          |, d AS (SELECT doc_id, url, host,
+          |    regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path FROM webdoc)
+          |, m AS (SELECT d.doc_id, d.url, r.prefix, r.allow,
+          |    row_number() OVER (PARTITION BY d.doc_id
+          |                       ORDER BY length(r.prefix) DESC, r.prefix) AS rn
+          |  FROM d JOIN rules r ON r.host = d.host AND starts_with(d.path, r.prefix))
+          | SELECT d.doc_id, d.url, m.prefix AS matched_prefix,
+          |   coalesce(m.allow, true) AS allowed
+          | FROM d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id, url)""".stripMargin),
+    "q110_stopword_ratio" -> {
+      val cases = graft.operators.TextStats.stopwords.map { case (l, ws) =>
+        s"WHEN '$l' THEN [${ws.map(w => s"'$w'").mkString(", ")}]"
+      }.mkString(" ")
+      (webdocCte +
+        s""", w AS (SELECT doc_id, url, lang,
+           |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+           |  FROM webdoc)
+           |, s AS (SELECT doc_id, url, words,
+           |    CASE lang $cases END AS stops FROM w)
+           |, c AS (SELECT doc_id, url, CAST(len(words) AS BIGINT) AS n_words,
+           |    CAST(len(list_filter(words, x -> list_contains(stops, lower(x)))) AS BIGINT) AS n_stopwords
+           |  FROM s)
+           | SELECT doc_id, url, n_words, n_stopwords,
+           |   CASE WHEN n_words > 0
+           |        THEN round(CAST(n_stopwords AS DOUBLE) / n_words, 6) END AS stop_ratio
+           | FROM c""".stripMargin)
+    },
+    "q111_lexical_diversity" ->
+      (webdocCte +
+        """, w AS (SELECT doc_id, url,
+          |    list_transform(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+          |                   x -> lower(x)) AS words
+          |  FROM webdoc)
+          |, e AS (SELECT doc_id, unnest(words) AS x FROM w)
+          |, c AS (SELECT doc_id, x, count(*) AS cnt FROM e GROUP BY 1, 2)
+          |, t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |  FROM c GROUP BY 1)
+          | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
+          |   t.n_types, t.n_hapax,
+          |   CASE WHEN len(w.words) > 0
+          |        THEN round(CAST(t.n_types AS DOUBLE) / len(w.words), 6) END AS ttr,
+          |   CASE WHEN t.n_types > 0
+          |        THEN round(CAST(t.n_hapax AS DOUBLE) / t.n_types, 6) END AS hapax_frac
+          | FROM w JOIN t USING (doc_id)""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-level link-graph operators: the corpus-curation layer that looks
+  * ACROSS pages instead of at one page — a host authority score (power
+  * iteration over the host→host link graph, the RefinedWeb/CommonCrawl
+  * "rank hosts before you trust their pages" step) and a robots-style
+  * longest-prefix URL policy (most-specific rule wins, the crawler-side
+  * allow/deny semantics every webtext pipeline has to honour).
+  *
+  * Reference analogue: the per-level href filter chain
+  * (vlass2caom2/data_source.py:141-170) decides INCLUSION from url
+  * structure; these operators generalize that to graph- and policy-driven
+  * inclusion at corpus scale.
+  *
+  * Scale shape (100 TB): the corpus is touched exactly once by a narrow
+  * projection + one (host, host)-keyed aggregation with map-side partials
+  * — text never reaches an exchange. Everything after that first
+  * aggregation operates on the HOST graph (≈10⁷ hosts on the real web,
+  * ~10⁸ aggregated edges), which is broadcast-size for ranks/degrees; the
+  * per-iteration join is edges ⋈ broadcast(ranks), so power iterations
+  * never reshuffle the edge table either.
+  */
+object HostGraph {
+
+  /** The host rule, shared with the synthesis in WebDocs/the oracle. */
+  private def hostOf(hid: Column): Column =
+    when(hid < 300, lit("popular.example.com"))
+      .otherwise(concat(lit("host-"), hid.cast("string"), lit(".example.com")))
+
+  /** Deterministic outlinks: every doc links to 3 destination hosts
+    * derived from its doc_id (the sandbox stand-in for parsing hrefs out
+    * of `html` — the real extractor is a regexp_extract_all over the html
+    * column feeding the SAME edge aggregation). Self-loops dropped,
+    * parallel doc-level links collapse to one weighted host→host edge. */
+  def linkEdges(docs: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val dst = hostOf(pmod((did + col("j") * 31) * 131, lit(997)))
+    docs.select(did, col("host").as("src"))
+      .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
+      .select(col("src"), dst.as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** Host authority: `iters` damped power iterations over the weighted
+    * host graph — rank' = (1−d) + d·Σ_in rank(src)·w/outdeg(src).
+    * Dangling hosts (dst-only) contribute nothing, matching the plain
+    * formulation the oracle replays. The edge table is computed once and
+    * reused across iterations (persisted); ranks and degrees broadcast,
+    * so each iteration adds one narrow (host, contribution) aggregation
+    * and zero edge-side shuffles. */
+  def authority(docs: DataFrame, iters: Int = 3, damping: Double = 0.85,
+                base: Double = 0.15): DataFrame = {
+    // `base` is passed explicitly (not derived as 1−damping): 1.0−0.85 is
+    // 0.15000000000000002 in binary, one ulp off the 0.15 literal the
+    // oracle uses — both engines must fold the SAME constants.
+    val edges = graft.plans.TrackedCache.persist(linkEdges(docs))
+    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    var rank = nodes.select(col("host"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(broadcast(rank.withColumnRenamed("host", "src")), "src")
+        .join(broadcast(outdeg), "src")
+        .select(col("dst").as("host"),
+          (col("rank") * col("w") / col("outdeg")).as("c"))
+        .groupBy(col("host")).agg(sum(col("c")).as("c"))
+      rank = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    val in = edges.groupBy(col("dst").as("host")).agg(count(lit(1)).as("n_in_hosts"))
+    rank.join(in, Seq("host"), "left")
+      .select(col("host"), round(col("rank"), 6).as("rank"),
+        coalesce(col("n_in_hosts"), lit(0L)).as("n_in_hosts"))
+  }
+
+  /** Robots-style policy table for the synthetic corpus — derived purely
+    * from the distinct hosts so the oracle rebuilds it bit-for-bit:
+    * every host allows '/' and denies '/src2'; even-length hosts re-allow
+    * '/src2/1' (most-specific wins); the hot host additionally denies
+    * '/src0'. */
+  def syntheticRules(docs: DataFrame): DataFrame = {
+    val hosts = docs.select(col("host")).distinct()
+    val rules = array(
+      struct(lit("/").as("prefix"), lit(true).as("allow")),
+      struct(lit("/src2").as("prefix"), lit(false).as("allow")),
+      when(length(col("host")) % 2 === 0,
+        struct(lit("/src2/1").as("prefix"), lit(true).as("allow"))),
+      when(col("host") === "popular.example.com",
+        struct(lit("/src0").as("prefix"), lit(false).as("allow"))))
+    hosts.select(col("host"), explode(rules).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+  }
+
+  /** Longest-prefix policy decision per document — robots semantics: of
+    * the host's rules whose prefix starts the url path, the LONGEST
+    * prefix wins (tie-broken lexicographically for determinism); no
+    * matching rule ⇒ allowed (crawl-by-default).
+    *
+    * Plan shape: rules collapse to one array row per host and BROADCAST;
+    * the corpus side is a single codegen'd projection (parse path →
+    * filter matching rules → fold to the max-length rule) — the decision
+    * costs zero exchanges on the document side at any scale. */
+  def policyDecide(docs: DataFrame, rules: DataFrame): DataFrame = {
+    val perHost = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+    val path = parse_url(col("url"), lit("PATH"))
+    val matched = filter(col("rules"), r => startswith(col("path"), r("prefix")))
+    // fold to the best rule: longer prefix wins; equal length ⇒ smaller
+    // prefix string wins (cannot occur for genuinely different matches of
+    // one path, but pins the fold against collect_list ordering anyway)
+    val best = aggregate(col("matched"),
+      lit(null).cast("struct<prefix:string,allow:boolean>"),
+      (acc, r) => when(acc.isNull
+          || length(r("prefix")) > length(acc("prefix"))
+          || (length(r("prefix")) === length(acc("prefix"))
+              && r("prefix") < acc("prefix")), r)
+        .otherwise(acc))
+    docs.select(col("doc_id"), col("url"), col("host"), path.as("path"))
+      .join(broadcast(perHost), Seq("host"), "left")
+      .withColumn("matched", matched)
+      .withColumn("best", best)
+      .select(col("doc_id"), col("url"),
+        col("best.prefix").as("matched_prefix"),
+        coalesce(col("best.allow"), lit(true)).as("allowed"))
+  }
+}

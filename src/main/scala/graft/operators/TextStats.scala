@@ -43,6 +43,62 @@ object TextStats {
       round((lenScore + alphaScore + symScore + repScore) / 4.0, 6))
   }
 
+  /** Per-language stopword inventories (tiny, deterministic — the C4/Gopher
+    * "real prose carries function words" signal). Mirrored verbatim in the
+    * q110 oracle; swap for full fastText-era lists in production (they
+    * broadcast the same way — a few KB per language). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "a", "in", "to", "is", "was", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+    "zh" -> Seq("的", "了", "在", "是", "我", "有", "和", "就", "不", "人"))
+
+  /** Stopword ratio per doc against the doc's OWN language's inventory — a
+    * pure projection: the inventories fold into a map literal inside the
+    * expression tree (no join, no broadcast variable), the word pass is one
+    * codegen'd HOF filter. Scan-bound at any scale. */
+  def withStopwordRatio(docs: DataFrame): DataFrame = {
+    val inv = map(stopwords.flatMap { case (l, ws) =>
+      Seq(lit(l), array(ws.map(lit): _*)) }: _*)
+    val words = Rules.wordsOf(col("text"))
+    val nStop = size(filter(words, w => array_contains(element_at(inv, col("lang")), lower(w))))
+    docs.withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_stopwords", nStop.cast("long"))
+      .withColumn("stop_ratio",
+        when(col("n_words") > 0,
+          round(col("n_stopwords").cast("double") / col("n_words"), 6)))
+  }
+
+  /** Lexical-diversity signals per doc: type-token ratio (distinct
+    * lowercased words / words) and hapax fraction (once-occurring types /
+    * types). Boilerplate and template spam score LOW on both — a repetition
+    * lens the dup-line/top-n-gram family doesn't cover (it sees phrases,
+    * this sees vocabulary). Computed entirely inside the row: sort the
+    * word array once, then a neighbour-compare HOF counts hapaxes —
+    * O(n log n) per doc, zero exchanges. */
+  def withLexicalDiversity(docs: DataFrame): DataFrame = {
+    val lws = transform(Rules.wordsOf(col("text")), lower(_))
+    val d = docs.withColumn("__sorted", array_sort(lws))
+    val s = col("__sorted")
+    val n = size(s)
+    // hapax ⟺ differs from both neighbours in the sorted array (filter's
+    // index i is 0-based, element_at is 1-based: prev = i, next = i + 2)
+    val hapax = size(filter(s, (w, i) =>
+      (i === 0 || element_at(s, i) =!= w) &&
+      (i === n - 1 || element_at(s, i + 2) =!= w)))
+    d.withColumn("n_words", n.cast("long"))
+      .withColumn("n_types", size(array_distinct(s)).cast("long"))
+      .withColumn("n_hapax", hapax.cast("long"))
+      .withColumn("ttr",
+        when(col("n_words") > 0,
+          round(col("n_types").cast("double") / col("n_words"), 6)))
+      .withColumn("hapax_frac",
+        when(col("n_types") > 0,
+          round(col("n_hapax").cast("double") / col("n_types"), 6)))
+      .drop("__sorted")
+  }
+
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
     * whole corpus (one shuffle), then a broadcast join back onto the
     * exploded words (the counts table is lexicon-sized). */

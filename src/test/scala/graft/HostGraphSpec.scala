@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HostGraph
+
+class HostGraphSpec extends SparkSpec {
+
+  private def docs = sources.WebDocs.build(spark, sfDir)
+
+  test("linkEdges: no self-loops, positive weights, deterministic") {
+    val e = HostGraph.linkEdges(docs).collect()
+    assert(e.nonEmpty)
+    assert(e.forall(r => r.getString(0) != r.getString(1)))
+    assert(e.forall(_.getLong(2) >= 1L))
+    val again = HostGraph.linkEdges(docs).collect()
+    assert(e.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    plans.TrackedCache.releaseAll()
+  }
+
+  test("authority: ranks bounded below by base, hot host is the argmax") {
+    val r = HostGraph.authority(docs).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.forall(_ >= 0.15))
+    // ~30% of all deterministic outlinks land on the hot host — it must
+    // dominate any ordinary host by an order of magnitude
+    val hot = r("popular.example.com")
+    val rest = (r - "popular.example.com").values
+    assert(hot > rest.max * 5, s"hot=$hot restMax=${rest.max}")
+    plans.TrackedCache.releaseAll()
+  }
+
+  test("policyDecide: longest prefix wins, deny overrides, default allow") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "https://a.example.com/src2/10", "a.example.com"),
+      (2L, "https://a.example.com/src2/20", "a.example.com"),
+      (3L, "https://a.example.com/src0/3", "a.example.com"),
+      (4L, "https://norules.example.com/src0/4", "norules.example.com"))
+      .toDF("doc_id", "url", "host")
+    val rules = Seq(
+      ("a.example.com", "/", true),
+      ("a.example.com", "/src2", false),
+      ("a.example.com", "/src2/1", true))
+      .toDF("host", "prefix", "allow")
+    val out = HostGraph.policyDecide(d, rules).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((Some("/src2/1"), true)))   // most specific re-allows
+    assert(out(2L) == ((Some("/src2"), false)))    // deny layer
+    assert(out(3L) == ((Some("/"), true)))         // falls to the root rule
+    assert(out(4L) == ((None, true)))              // no rules: crawl-by-default
+  }
+
+  test("syntheticRules covers every host and only well-formed prefixes") {
+    val rules = HostGraph.syntheticRules(docs).collect()
+    val hosts = docs.select(col("host")).distinct().count()
+    assert(rules.map(_.getString(0)).distinct.length.toLong == hosts)
+    assert(rules.forall(_.getString(1).startsWith("/")))
+  }
+}

@@ -677,6 +677,39 @@ class OperatorSpec extends SparkSpec {
     assert(candidates >= naive.size)
   }
 
+  test("stopword ratio: own-language inventory, unknown lang counts zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the fast scan of the table", "en"),
+      (2L, "the fast scan of the table", "es"),   // 'the'/'of' not in es set
+      (3L, "la de y en", "es"),
+      (4L, "anything at all", "xx"))              // no inventory
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextStats.withStopwordRatio(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_stopwords"), r.getAs[Any]("stop_ratio")))).toMap
+    assert(out(1L) == ((3L, 0.5)))
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((4L, 1.0)))
+    assert(out(4L) == ((0L, 0.0)))
+  }
+
+  test("lexical diversity: ttr + hapax via sorted-neighbour compare, case-folded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a c"),        // types {a,b,c}, hapax {b,c}
+      (2L, "A a"),            // case folds to one type, zero hapax
+      (3L, "x y z"))          // all hapax
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextStats.withLexicalDiversity(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Double]("ttr")))).toMap
+    assert(out(1L) == ((4L, 3L, 2L, 0.75)))
+    assert(out(2L) == ((2L, 1L, 0L, 0.5)))
+    assert(out(3L) == ((3L, 3L, 3L, 1.0)))
+  }
+
   test("sliding windows: every event lands in exactly window/slide overlapping windows") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val win = e.groupBy(

@@ -346,6 +346,27 @@ class PlanSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("q109 policy: the corpus side never shuffles — rules broadcast, decision is a projection") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val plan = staticPlan(graft.operators.HostGraph.policyDecide(wd,
+      graft.operators.HostGraph.syntheticRules(wd)))
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
+    // the only exchanges build the per-host RULE arrays (host-keyed, tiny);
+    // no exchange may carry doc_id — the corpus leg is exchange-free
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "doc_id"),
+        s"corpus-side shuffle: ${e.output.mkString(",")}")
+    }
+  }
+
+  test("q108 authority: iterations join broadcast ranks — the edge table never reshuffles") {
+    val plan = staticPlan(SparkEntry.queries("q108_host_rank")(spark, sfDir)).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // power iterations must not sort-merge the edge table against ranks
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
