@@ -836,6 +836,45 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("n_words"), col("n_types"),
           col("n_hapax"), col("ttr"), col("hapax_frac"))),
 
+    // Unicode script-mix + encoding-sanity signals (the pre-langid
+    // filter): deterministic Cyrillic/CJK/mojibake injections exercise
+    // the counters the ASCII fixture can't — all codegen'd regexp_count
+    // passes, a pure projection
+    "q112_script_profile" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir).withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 41 === 0, lit(" Привет мир это тест")).otherwise(lit("")),
+          when(col("doc_id") % 53 === 0, lit(" 你好世界测试")).otherwise(lit("")),
+          when(col("doc_id") % 59 === 0,
+            lit(" broken \u00e2\u20ac\u0153quote\u00e2\u20ac\uFFFD here")).otherwise(lit(""))))
+      graft.operators.TextStats.withScriptProfile(wd)
+        .select(col("doc_id"), col("url"), col("n_cp"), col("n_latin"),
+          col("n_cyr"), col("n_cjk"), col("n_digit"), col("n_replacement"),
+          col("n_mojibake"), col("latin_frac"), col("cyr_frac"),
+          col("cjk_frac"), col("digit_frac"), col("dominant_script"),
+          col("script_ok"))
+    }),
+
+    // Priority sampling (Duffield–Lund–Thorup): fixed-size weighted
+    // sample with unbiased subset-sum estimator weights — two
+    // TakeOrderedAndProject passes, no shuffle, τ is a bounded collect
+    "q113_priority_sample" -> ((s, dir) =>
+      graft.operators.TrainPrep.prioritySample(Pipeline.webdoc(s, dir), 100, "ps1")),
+
+    // Product-quantization ADC search: per-subspace decimal-exact
+    // codebooks (the q92 Lloyd recipe ×4 slices), corpus scored from its
+    // m-byte CODES against broadcast per-query distance tables
+    "q114_pq_ann" -> ((s, dir) =>
+      graft.operators.Similarity.pqSearch(
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        dim = 64, m = 4, kCode = 8, iters = 2, topK = 10, queryMod = 25)),
+
+    // SimHash candidates verified by normalized Levenshtein — the
+    // character-level near-dup verify; texts fetched for candidate pairs
+    // only via broadcast joins, the corpus never shuffles
+    "q115_edit_verify" -> ((s, dir) =>
+      graft.operators.Dedup.simhashEditPairs(Pipeline.webdoc(s, dir), 3, 0.2)),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2006,6 +2045,72 @@ object SparkEntry {
           |   CASE WHEN t.n_types > 0
           |        THEN round(CAST(t.n_hapax AS DOUBLE) / t.n_types, 6) END AS hapax_frac
           | FROM w JOIN t USING (doc_id)""".stripMargin),
+    "q112_script_profile" ->
+      // same injections (mojibake bytes spelled as chr() so the SQL
+      // stays ASCII); RE2 \x{...} ranges ≡ Java \uXXXX ranges
+      (webdocCte +
+        """, wx AS (SELECT doc_id, url, text
+          |    || CASE WHEN doc_id % 41 = 0 THEN ' Привет мир это тест' ELSE '' END
+          |    || CASE WHEN doc_id % 53 = 0 THEN ' 你好世界测试' ELSE '' END
+          |    || CASE WHEN doc_id % 59 = 0 THEN ' broken ' || chr(226) || chr(8364) || chr(339)
+          |          || 'quote' || chr(226) || chr(8364) || chr(65533) || ' here' ELSE '' END AS text
+          |  FROM webdoc)
+          |, sc AS (SELECT doc_id, url, CAST(length(text) AS BIGINT) AS n_cp,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+          |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyr,
+          |    CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+          |    CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+          |    CAST(len(regexp_extract_all(text, '\x{00C3}[\x{0080}-\x{00BF}]|\x{00E2}\x{20AC}')) AS BIGINT) AS n_mojibake
+          |  FROM wx)
+          | SELECT doc_id, url, n_cp, n_latin, n_cyr, n_cjk, n_digit,
+          |   n_replacement, n_mojibake,
+          |   CASE WHEN n_cp > 0 THEN round(CAST(n_latin AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS latin_frac,
+          |   CASE WHEN n_cp > 0 THEN round(CAST(n_cyr AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS cyr_frac,
+          |   CASE WHEN n_cp > 0 THEN round(CAST(n_cjk AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS cjk_frac,
+          |   CASE WHEN n_cp > 0 THEN round(CAST(n_digit AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS digit_frac,
+          |   CASE WHEN n_latin + n_cyr + n_cjk = 0 THEN 'none'
+          |        WHEN n_latin >= n_cyr AND n_latin >= n_cjk THEN 'latin'
+          |        WHEN n_cyr >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant_script,
+          |   (n_replacement = 0 AND n_mojibake = 0 AND n_latin + n_cyr + n_cjk > 0) AS script_ok
+          | FROM sc""".stripMargin),
+    "q113_priority_sample" ->
+      // identical IEEE sequence: exact casts, ×2^60 exponent shift, one
+      // correctly-rounded division — the ranking is bit-equal cross-engine
+      (webdocCte +
+        s""", ws AS (SELECT doc_id, url,
+           |    CAST(greatest(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')), 1) AS BIGINT) AS w
+           |  FROM webdoc)
+           |, pr AS (SELECT doc_id, url, w,
+           |    CAST(w AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+           |      / CAST(${h60("doc_id || ':ps1'")} + 1 AS DOUBLE) AS q
+           |  FROM ws)
+           |, tau AS (SELECT coalesce(
+           |    (SELECT q FROM pr ORDER BY q DESC, doc_id LIMIT 1 OFFSET 100),
+           |    CAST(0.0 AS DOUBLE)) AS t)
+           | SELECT doc_id, url, w, round(q, 6) AS priority,
+           |   round(greatest(CAST(w AS DOUBLE), tau.t), 6) AS est_w
+           | FROM (SELECT * FROM pr ORDER BY q DESC, doc_id LIMIT 100) CROSS JOIN tau""".stripMargin),
+    "q114_pq_ann" ->
+      pqSql(dim = 64, m = 4, k = 8, iters = 2, topK = 10, queryMod = 25),
+    "q115_edit_verify" ->
+      // q13's band-candidate CTE, then texts joined for candidates only;
+      // DuckDB levenshtein counts bytes ≡ Spark's chars on ASCII text
+      (webdocCte + shingleCte + simhashCte +
+        """, cand AS (SELECT doc_a, doc_b, hamming FROM (
+          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |      bit_count(xor(a.simhash, b.simhash)) AS hamming
+          |    FROM simbands a JOIN simbands b
+          |      ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+          |  WHERE hamming <= 3)
+          | SELECT doc_a, doc_b, hamming, edit_dist, edit_frac FROM (
+          |   SELECT c.doc_a, c.doc_b, c.hamming,
+          |     CAST(levenshtein(wa.text, wb.text) AS BIGINT) AS edit_dist,
+          |     round(CAST(levenshtein(wa.text, wb.text) AS DOUBLE)
+          |       / greatest(length(wa.text), length(wb.text)), 6) AS edit_frac
+          |   FROM cand c JOIN webdoc wa ON wa.doc_id = c.doc_a
+          |     JOIN webdoc wb ON wb.doc_id = c.doc_b)
+          | WHERE edit_frac <= 0.2""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

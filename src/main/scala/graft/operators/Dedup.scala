@@ -282,7 +282,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val ds = withShingles(docs).select(col("doc_id"), col("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    // the stream carries the 60-bit shingle HASH, not the string — the
+    // self-join shuffles 8-byte longs instead of ~25-byte strings (the
+    // q41 discipline; oracle applies the identical h60). n_sh stays
+    // STRING-distinct (counted on the array, pre-hash).
+    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s"))
     val pairs = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
@@ -332,6 +337,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SimHash band candidates verified by normalized Levenshtein edit
+    * distance — the CHARACTER-level verify for near-dup pairs that
+    * word-level Jaccard is blind to (in-word typos, OCR noise, diff-sized
+    * whitespace runs all read as "every word changed" to a shingle but as
+    * a handful of edits here). Candidates come from the same 4×15-bit
+    * band join as [[simhashPairs]] (hamming ≤ maxDist pre-verify), and
+    * only candidate pairs — a sliver of any real corpus — fetch their
+    * texts back via two BROADCAST joins, so the corpus never shuffles and
+    * the O(len²) edit-distance evaluations are pair-bounded.
+    * `levenshtein` is a codegen'd builtin in both engines; NOTE: DuckDB's
+    * counts BYTES where Spark's counts CHARS — identical on ASCII text
+    * (this fixture), so the oracle stays exact here; a non-ASCII corpus
+    * keeps the Spark semantics and loses only the DuckDB cross-check. */
+  def simhashEditPairs(docs: DataFrame, maxDist: Int,
+                       maxEditFrac: Double): DataFrame = {
+    val pairs = simhashPairs(docs, maxDist)
+    val t = docs.select(col("doc_id"), col("text"))
+    val withA = t.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    val withB = t.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      .join(broadcast(withA), Seq("doc_b"))
+    withB.withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("edit_frac", round(col("edit_dist").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))), 6))
+      .filter(col("edit_frac") <= maxEditFrac)
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("edit_dist"), col("edit_frac"))
   }
 
   /** Connected components over an undirected edge list (doc_a, doc_b):

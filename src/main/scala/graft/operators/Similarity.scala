@@ -399,4 +399,75 @@ object Similarity {
       .select(col("query_id"), col("n_truth"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
   }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    * vector is cut into `m` equal slices and each slice space gets its
+    * own small k-means codebook, so a d-dim float vector compresses to m
+    * small codes — the memory format that makes billion-vector ANN fit a
+    * cluster (IVF's complement: IVF prunes WHICH vectors to score, PQ
+    * shrinks WHAT is stored/scored). Trained with the same decimal-exact
+    * Lloyd recipe as the coarse quantizer ([[Train.kmeansFitVecs]]) per
+    * slice — m·iters bounded model collects, each iteration one
+    * k·subDim-group aggregation, the corpus never shuffles.
+    * Returns codebooks(j)(c) = the 6-dp codeword vector. */
+  def pqFit(embeddings: DataFrame, dim: Int, m: Int, k: Int,
+            iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val vecs = Train.roundedVecs(embeddings)
+    (0 until m).map { j =>
+      Train.kmeansFitVecs(
+        vecs.select(col("vec_id"), slice(col("v"), j * subDim + 1, subDim).as("v")),
+        k, iters)._1
+    }
+  }
+
+  /** PQ encoding: each vector → its m nearest-codeword ids. A pure
+    * projection (codebooks ride in as literals, argmin per slice inside
+    * whole-stage codegen) — the corpus is read once and nothing
+    * shuffles; ties break to the lowest code id, mirroring the SQL
+    * `ORDER BY dist, cluster_id`. */
+  def pqEncode(embeddings: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val subDim = codebooks.head.head.size
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col("v"), j * subDim + 1, subDim)
+      val dists = array(cb.map(c => Train.sqDist(sub, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    Train.roundedVecs(embeddings).withColumn("codes", codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ codes: each query
+    * precomputes an m×k distance TABLE (slice-to-every-codeword — a
+    * projection on the tiny query side), broadcasts, and every corpus
+    * vector's approximate distance is m table lookups summed in fixed
+    * order — the scan side touches only the CODES, never the floats,
+    * which is the entire point at 10^9 vectors (m bytes/vector in the
+    * hot loop vs 4·dim). Per-query top-k is the q14 window; determinism:
+    * table entries are fixed-fold doubles of 6-dp operands, the m-term
+    * sum is a fixed left fold, ties break on vec_id. */
+  def pqSearch(embeddings: DataFrame, dim: Int, m: Int, kCode: Int,
+               iters: Int, topK: Int, queryMod: Int): DataFrame = {
+    val cbs = pqFit(embeddings, dim, m, kCode, iters)
+    val subDim = dim / m
+    val enc = pqEncode(embeddings, cbs).select(col("vec_id"), col("codes"))
+    val dtab = array(cbs.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(col("v"), j * subDim + 1, subDim)
+      array(cb.map(c => Train.sqDist(sub, c)): _*)
+    }: _*)
+    val q = Train.roundedVecs(embeddings)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), dtab.as("dtab"))
+    val adist = (0 until m)
+      .map(j => element_at(element_at(col("dtab"), j + 1), col("codes")(j) + 1))
+      .reduceLeft(_ + _)
+    val scored = broadcast(q).join(enc, col("query_id") =!= col("vec_id"))
+      .withColumn("adist", round(adist, 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("adist"))
+  }
 }

@@ -99,6 +99,47 @@ object TextStats {
       .drop("__sorted")
   }
 
+  /** Unicode script-mix + encoding-sanity signals per doc — the filter
+    * langid pipelines run BEFORE langid (fastText's docs recommend a
+    * script pre-filter; CCNet drops pages whose bytes didn't survive
+    * transcoding). All counters are codegen'd `regexp_count` passes over
+    * the text — a pure projection, scan-bound at any scale:
+    *  - latin/cyrillic/cjk/digit fracs  — codepoint-class shares
+    *  - n_replacement                   — U+FFFD chars (decode failures)
+    *  - n_mojibake                      — UTF-8-read-as-Latin-1 signatures
+    *                                      (`Ã` + continuation byte, `â€`)
+    *  - dominant_script                 — argmax of the three script counts
+    *  - script_ok                       — no decode damage AND a dominant
+    *                                      script actually exists
+    * Oracle twin: len(regexp_extract_all(...)) per class (RE2 `\x{...}`
+    * ranges ≡ Java `\u...` ranges for these BMP blocks). */
+  def withScriptProfile(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(pat: String): Column = regexp_count(t, lit(pat)).cast("long")
+    val d = docs
+      .withColumn("n_cp", length(t).cast("long"))
+      .withColumn("n_latin", cnt("[A-Za-z]"))
+      .withColumn("n_cyr", cnt("[\\u0400-\\u04FF]"))
+      .withColumn("n_cjk", cnt("[\\u4E00-\\u9FFF]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("n_replacement", cnt("\\uFFFD"))
+      .withColumn("n_mojibake", cnt("\\u00C3[\\u0080-\\u00BF]|\\u00E2\\u20AC"))
+    def frac(c: Column): Column =
+      when(col("n_cp") > 0, round(c.cast("double") / col("n_cp"), 6)).otherwise(lit(0.0))
+    d.withColumn("latin_frac", frac(col("n_latin")))
+      .withColumn("cyr_frac", frac(col("n_cyr")))
+      .withColumn("cjk_frac", frac(col("n_cjk")))
+      .withColumn("digit_frac", frac(col("n_digit")))
+      .withColumn("dominant_script",
+        when(col("n_latin") + col("n_cyr") + col("n_cjk") === 0, lit("none"))
+          .when(col("n_latin") >= col("n_cyr") && col("n_latin") >= col("n_cjk"), lit("latin"))
+          .when(col("n_cyr") >= col("n_cjk"), lit("cyrillic"))
+          .otherwise(lit("cjk")))
+      .withColumn("script_ok",
+        col("n_replacement") === 0 && col("n_mojibake") === 0 &&
+          col("dominant_script") =!= "none")
+  }
+
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
     * whole corpus (one shuffle), then a broadcast join back onto the
     * exploded words (the counts table is lexicon-sized). */

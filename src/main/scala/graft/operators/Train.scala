@@ -40,7 +40,7 @@ object Train {
 
   /** Squared-L2 distance between a vector column and one centroid
     * literal: ascending-index left fold (bit-stable cross-engine). */
-  private def sqDist(v: Column, cent: Seq[Double]): Column =
+  private[operators] def sqDist(v: Column, cent: Seq[Double]): Column =
     aggregate(zip_with(v, array(cent.map(lit): _*), (x, c) => (x - c) * (x - c)),
       lit(0.0), (s, t) => s + t)
 

@@ -361,4 +361,40 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_words"),
         round(sum(term) / count(lit(1)), 6).as("dsir_logw"))
   }
+
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
+    * fixed-size-k weighted-without-replacement sample with UNBIASED
+    * subset-sum estimators — the principled way to keep "a 100k-doc
+    * sample that still answers per-host/per-language token sums" out of
+    * a 10^12-doc corpus (q49's hash gate is per-doc Bernoulli: fixed
+    * RATE, unweighted, no estimator). Each doc draws priority
+    * q = w·2^60/(h+1) — h its deterministic 60-bit salt hash, so
+    * u=(h+1)/2^60 is the uniform and q is w/u up to the constant — the k
+    * largest survive, and each survivor's estimator weight is max(w, τ)
+    * with τ the (k+1)-th priority (Σ est_w over any subset ≈ its true
+    * weight sum, exactly unbiased). Every step is a correctly-rounded
+    * IEEE op on exactly-representable operands (·2^60 is an exponent
+    * shift), so the ranking is bit-identical in any engine — no decimal
+    * machinery needed.
+    *
+    * Scale shape: two TakeOrderedAndProject passes (per-partition top-k
+    * heaps + a k-row driver merge — never a total sort, no shuffle); τ
+    * is a bounded (k+1)-row model collect, the same discipline as the LM
+    * caps. Weight = word count (token-budget-proportional). */
+  def prioritySample(docs: DataFrame, k: Int, salt: String): DataFrame = {
+    val w = greatest(size(Rules.wordsOf(col("text"))), lit(1)).cast("long")
+    val h = md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val base = docs.select(col("doc_id"), col("url"), w.as("w"), h.as("h"))
+      .withColumn("q",
+        col("w").cast("double") * lit(1152921504606846976L).cast("double") /
+          (col("h") + lit(1L)).cast("double"))
+    val byQ = base.orderBy(col("q").desc, col("doc_id"))
+    // τ: the (k+1)-th priority — bounded collect; 0 when the corpus has ≤ k docs
+    val topRows = byQ.limit(k + 1).select(col("q")).collect()
+    val tau = if (topRows.length > k) topRows.last.getDouble(0) else 0.0
+    byQ.limit(k)
+      .select(col("doc_id"), col("url"), col("w"),
+        round(col("q"), 6).as("priority"),
+        round(greatest(col("w").cast("double"), lit(tau)), 6).as("est_w"))
+  }
 }

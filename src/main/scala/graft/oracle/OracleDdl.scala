@@ -383,4 +383,63 @@ object OracleDdl {
               | FROM w$iters w CROSS JOIN range(0, ${dim + 1}) t(i)""".stripMargin
     sb.toString
   }
+
+  /** Product-quantization ADC search — mirrors Similarity.pqSearch: the
+    * kmeans CTE chain replayed once per subspace over `v[lo:hi]` slices
+    * (names prefixed p<j>), each vector assigned its nearest final
+    * codeword per subspace (code<j>, which carries the codeword vector
+    * cv), then the approximate distance of a (query, vector) pair is the
+    * left-assoc sum of the m per-slice squared distances — the identical
+    * IEEE sequence as Spark's table-lookup fold, since the looked-up
+    * table entry IS sqDist(q_slice, cv). */
+  def pqSql(dim: Int, m: Int, k: Int, iters: Int, topK: Int, queryMod: Int): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings)"
+    for (j <- 0 until m) {
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      sb ++= s""",
+                | e$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+                | p${j}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+                |   FROM (SELECT vec_id, v FROM e$j ORDER BY vec_id LIMIT $k))""".stripMargin
+      for (t <- 1 to iters) {
+        val prev = s"p${j}c${t - 1}"
+        sb ++= s""",
+                  | p${j}a$t AS (SELECT x.vec_id, x.v, c.cluster_id FROM e$j x CROSS JOIN $prev c
+                  |   QUALIFY row_number() OVER (PARTITION BY x.vec_id
+                  |     ORDER BY ${sqDistSql("x.v", "c.cv", subDim)}, c.cluster_id) = 1),
+                  | p${j}s$t AS (SELECT cluster_id, t.i AS i,
+                  |     round(CAST(sum(CAST(v[t.i] AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+                  |   FROM p${j}a$t, range(1, ${subDim + 1}) t(i) GROUP BY cluster_id, t.i),
+                  | p${j}c$t AS (SELECT p.cluster_id,
+                  |     CASE WHEN count(s.i) = 0 THEN first(p.cv) ELSE list(s.c ORDER BY s.i) END AS cv
+                  |   FROM $prev p LEFT JOIN p${j}s$t s ON p.cluster_id = s.cluster_id GROUP BY p.cluster_id)""".stripMargin
+      }
+      sb ++= s""",
+                | code$j AS (SELECT x.vec_id, c.cluster_id AS code, c.cv FROM e$j x CROSS JOIN p${j}c$iters c
+                |   QUALIFY row_number() OVER (PARTITION BY x.vec_id
+                |     ORDER BY ${sqDistSql("x.v", "c.cv", subDim)}, c.cluster_id) = 1)""".stripMargin
+    }
+    val adist = (0 until m).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      sqDistSql(s"(q.v[$lo:$hi])", s"x$j.cv", subDim)
+    }.mkString(" + ")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN code$j x$j ON x$j.vec_id = x0.vec_id").mkString("\n | ")
+    sb ++= s""",
+              | qx AS (SELECT q.vec_id AS query_id, x0.vec_id AS neighbor_id,
+              |     round($adist, 6) AS adist
+              |   FROM e q
+              |   JOIN code0 x0 ON q.vec_id % $queryMod = 0 AND q.vec_id <> x0.vec_id
+              | $codeJoins)
+              | SELECT query_id, neighbor_id, rank, adist FROM (
+              |   SELECT query_id, neighbor_id, adist,
+              |     row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+              |   FROM qx)
+              | WHERE rank <= $topK""".stripMargin
+    sb.toString
+  }
 }

@@ -710,6 +710,96 @@ class OperatorSpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 3L, 1.0)))
   }
 
+  test("script profile: class counts, dominant script, decode-damage flags") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello world 42"),                 // latin + digits, clean
+      (2L, "Привет ok"), // Привет + 'ok': cyr 6, latin 2
+      (3L, "你好"),                   // 你好: cjk dominant
+      (4L, "bad â€œx"),        // â€œ mojibake signature
+      (5L, "x�y"),                       // replacement char
+      (6L, "1234 !!"))                        // no letters at all
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextStats.withScriptProfile(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_latin") == 10 && out(1L).getAs[Long]("n_digit") == 2)
+    assert(out(1L).getAs[String]("dominant_script") == "latin" && out(1L).getAs[Boolean]("script_ok"))
+    assert(out(2L).getAs[Long]("n_cyr") == 6 && out(2L).getAs[String]("dominant_script") == "cyrillic")
+    assert(out(3L).getAs[Long]("n_cjk") == 2 && out(3L).getAs[String]("dominant_script") == "cjk")
+    assert(out(4L).getAs[Long]("n_mojibake") == 1 && !out(4L).getAs[Boolean]("script_ok"))
+    assert(out(5L).getAs[Long]("n_replacement") == 1 && !out(5L).getAs[Boolean]("script_ok"))
+    assert(out(6L).getAs[String]("dominant_script") == "none" && !out(6L).getAs[Boolean]("script_ok"))
+  }
+
+  test("priority sample: matches a driver-side replay; est_w = max(w, tau)") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val k = 50
+    val out = graft.operators.TrainPrep.prioritySample(wd, k, "ps1").collect()
+    assert(out.length == k)
+    // replay: same hash, same IEEE sequence, top-k by (q desc, doc_id)
+    val base = wd.select(col("doc_id"), col("text")).collect().map { r =>
+      val id = r.getLong(0)
+      val w = math.max(r.getString(1).trim.split("\\s+").count(_.nonEmpty), 1).toLong
+      val h = graft.functions.Hashing.md5Hash60Jvm(s"$id:ps1")
+      (id, w, w.toDouble * 1152921504606846976L.toDouble / (h + 1L).toDouble)
+    }
+    val ranked = base.sortBy { case (id, _, q) => (-q, id) }
+    val expIds = ranked.take(k).map(_._1).toSet
+    val tau = ranked(k)._3
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expIds)
+    out.foreach { r =>
+      val w = r.getAs[Long]("w").toDouble
+      val est = r.getAs[Double]("est_w")
+      val expected = BigDecimal(math.max(w, tau))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(est == expected, s"doc ${r.getAs[Long]("doc_id")}: $est != $expected")
+    }
+    // unbiasedness surface: every survivor's estimator weight ≥ its weight
+    out.foreach(r => assert(r.getAs[Double]("est_w") >= r.getAs[Long]("w").toDouble))
+  }
+
+  test("PQ: codes in range, ADC top-k structure, deterministic rerun") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = graft.operators.Similarity.pqFit(emb, 64, 4, 8, 2)
+    assert(cbs.length == 4 && cbs.forall(_.length == 8) &&
+      cbs.forall(_.forall(_.length == 16)))
+    val enc = graft.operators.Similarity.pqEncode(emb, cbs)
+      .select(col("vec_id"), col("codes")).collect()
+    enc.foreach(r => assert(r.getSeq[Int](1).forall(c => c >= 0 && c < 8)))
+    val out = graft.operators.Similarity
+      .pqSearch(emb, 64, 4, 8, 2, 10, 25).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length == 10)
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      // adist is non-decreasing with rank (ties broken on vec_id)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("adist") <= b.getAs[Double]("adist"))
+      }
+    }
+    val rerun = graft.operators.Similarity
+      .pqSearch(emb, 64, 4, 8, 2, 10, 25).collect()
+    assert(out.map(_.toString).sorted.sameElements(rerun.map(_.toString).sorted))
+  }
+
+  test("edit verify: exact clones at frac 0, small edits measured, unrelated pairs absent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dxg near the old river bank today"),
+      (4L, "completely different words about spark catalyst plans and shuffle exchanges"))
+      .toDF("doc_id", "text")
+    // one substituted word moves this fixture's signatures 4 bits apart
+    // (probed; deterministic), so the hamming gate is 4 here
+    val out = graft.operators.Dedup.simhashEditPairs(d, 4, 0.2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_frac")))).toMap
+    assert(out((1L, 2L)) == ((0L, 0.0)))       // identical
+    assert(out((1L, 3L))._1 == 1L)             // one substitution
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("sliding windows: every event lands in exactly window/slide overlapping windows") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val win = e.groupBy(

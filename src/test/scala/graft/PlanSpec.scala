@@ -367,6 +367,25 @@ class PlanSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("q113 prioritySample: TakeOrderedAndProject, zero exchanges — never a total sort") {
+    val plan = staticPlan(SparkEntry.queries("q113_priority_sample")(spark, sfDir))
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString.take(2000))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(3000))
+  }
+
+  test("q114 PQ search: raw vectors never shuffle — scan side carries codes only") {
+    val plan = staticPlan(SparkEntry.queries("q114_pq_ann")(spark, sfDir))
+    // the query side (with its ADC tables) broadcasts into a nested-loop
+    // join (the <> predicate); the corpus side contributes only (vec_id,
+    // codes) — no exchange may carry the float vector column v
+    assert(plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString.take(2000))
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(!e.child.output.exists(_.name == "v"),
+        s"float vectors in a shuffle: ${e.output.mkString(",")}")
+    }
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
