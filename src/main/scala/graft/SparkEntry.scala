@@ -875,6 +875,18 @@ object SparkEntry {
     "q115_edit_verify" -> ((s, dir) =>
       graft.operators.Dedup.simhashEditPairs(Pipeline.webdoc(s, dir), 3, 0.2)),
 
+    // Count-Min-Sketch heavy-hitter audit: 3×1024 exact-counter sketch
+    // (mergeable, bounded state), estimates read from the collected
+    // sketch as a projection; publishes est vs exact for φ≥1/1000 terms
+    "q116_cms_heavy" -> ((s, dir) =>
+      graft.operators.TextStats.cmsHeavyHitters(Pipeline.webdoc(s, dir), 1024, 1000L)),
+
+    // URL path-template mining (crawl-trap detection): digit runs → N,
+    // count pages per (host, template) — one regex projection + one tiny
+    // keyed count
+    "q117_url_templates" -> ((s, dir) =>
+      graft.operators.UrlOps.pathTemplates(Pipeline.webdoc(s, dir), col("url"), 10L)),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2111,6 +2123,32 @@ object SparkEntry {
           |   FROM cand c JOIN webdoc wa ON wa.doc_id = c.doc_a
           |     JOIN webdoc wb ON wb.doc_id = c.doc_b)
           | WHERE edit_frac <= 0.2""".stripMargin),
+    "q116_cms_heavy" ->
+      // identical modular permutations (the shared MinHash constants);
+      // h ≥ 0 so % ≡ pmod throughout
+      (webdocCte +
+        s""", wrd AS (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS w FROM webdoc)
+           |, wh AS (SELECT w, ${h60("w")} AS h FROM wrd)
+           |, sk AS (SELECT j.j AS j,
+           |     (([7,13,31][j.j+1] * (h % 1000000007) + [3,17,29][j.j+1]) % 1000000007) % 1024 AS b,
+           |     count(*) AS c
+           |   FROM wh, range(0, 3) j(j) GROUP BY 1, 2)
+           |, tot AS (SELECT count(*) AS n FROM wrd)
+           |, cand AS (SELECT w, h, count(*) AS exact_cnt FROM wh GROUP BY 1, 2)
+           | SELECT c.w AS term, c.exact_cnt, least(s0.c, s1.c, s2.c) AS est_cnt,
+           |   least(s0.c, s1.c, s2.c) - c.exact_cnt AS overest
+           | FROM cand c
+           | JOIN sk s0 ON s0.j = 0 AND s0.b = ((7 * (c.h % 1000000007) + 3) % 1000000007) % 1024
+           | JOIN sk s1 ON s1.j = 1 AND s1.b = ((13 * (c.h % 1000000007) + 17) % 1000000007) % 1024
+           | JOIN sk s2 ON s2.j = 2 AND s2.b = ((31 * (c.h % 1000000007) + 29) % 1000000007) % 1024
+           | WHERE c.exact_cnt * 1000 >= (SELECT n FROM tot)""".stripMargin),
+    "q117_url_templates" ->
+      (webdocCte +
+        """, p AS (SELECT host,
+          |    regexp_replace(regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1), '[0-9]+', 'N', 'g') AS template
+          |  FROM webdoc)
+          | SELECT host, template, count(*) AS n_pages
+          | FROM p GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

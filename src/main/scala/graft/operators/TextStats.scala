@@ -140,6 +140,48 @@ object TextStats {
           col("dominant_script") =!= "none")
   }
 
+  /** Count-Min-Sketch heavy-hitter audit (Cormode & Muthukrishnan 2005):
+    * d=3 rows × `width` buckets, bucket_j(term) = the same fixed modular
+    * permutations as the MinHash family (Hashing.permute — shared
+    * constants, shared oracle arithmetic), counters summed exactly. The
+    * sketch is THE mergeable-state story for frequency at 10^12 words:
+    * per-partition 3×width counter arrays combine map-side, the shuffle
+    * carries ≤ 3·width rows per partition, and the collected sketch is a
+    * bounded model (24 KB here) — vs the unbounded distinct-term state an
+    * exact count needs. Production reads estimates straight from the
+    * broadcast sketch (the `est` projection below — no join, no second
+    * shuffle); this AUDIT form also computes exact counts for terms above
+    * the φ=1/phiInv heavy-hitter line to publish the sketch's actual
+    * overestimates (est ≥ exact always — the CMS one-sided guarantee,
+    * property-tested). */
+  def cmsHeavyHitters(docs: DataFrame, width: Int, phiInv: Long): DataFrame = {
+    import graft.functions.Hashing
+    val words = graft.plans.TrackedCache.persist(
+      docs.select(explode(Rules.wordsOf(col("text"))).as("w"))
+        .select(col("w"), Hashing.md5Hash60(col("w")).as("h")))
+    def bucket(j: Int) = pmod(Hashing.permute(col("h"), j), lit(width.toLong))
+    val sk = words.select(explode(array((0 until 3).map { j =>
+        struct(lit(j).as("j"), bucket(j).as("b"))
+      }: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded: ≤ 3·width rows — the sketch IS the model
+    val tables: Seq[Seq[Long]] = (0 until 3).map { j =>
+      val a = Array.fill(width)(0L)
+      sk.filter(_.getInt(0) == j).foreach(r => a(r.getLong(1).toInt) = r.getLong(2))
+      a.toSeq
+    }
+    val n = tables.head.sum // row sums all equal the total word count
+    val est = (0 until 3).map { j =>
+      element_at(typedLit(tables(j)), bucket(j).cast("int") + 1)
+    }.reduceLeft(least(_, _))
+    words.groupBy(col("w"), col("h")).agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") * phiInv >= n)
+      .withColumn("est_cnt", est)
+      .select(col("w").as("term"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overest"))
+  }
+
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
     * whole corpus (one shuffle), then a broadcast join back onto the
     * exploded words (the counts table is lexicon-sized). */

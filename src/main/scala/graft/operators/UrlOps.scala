@@ -68,6 +68,25 @@ object UrlOps {
     *      the join input from 10^12 rows to the candidate set.
     *
     * Emits the blocked (doc_id, url) rows. */
+  /** URL path-template mining: collapse every digit run in the path to
+    * `N` (`/post/123/page/4` → `/post/N/page/N`) and count pages per
+    * (host, template) — the crawl-side structure detector that finds
+    * calendar traps, pagination farms, and session-id explosions BEFORE
+    * fetching their text (a host whose pages concentrate into one
+    * parameterized template is a generator, not content; the standard
+    * crawl-frontier heuristic). One codegen'd regex projection + one
+    * (host, template)-keyed count — template strings are short and the
+    * key space is orders below the URL space, so the shuffle is tiny;
+    * `minPages` bounds the output to templates that matter. */
+  def pathTemplates(docs: DataFrame, url: Column, minPages: Long): DataFrame = {
+    val path = regexp_extract(url, "https?://[^/]+(/[^?#]*)", 1)
+    val tmpl = regexp_replace(path, "[0-9]+", "N")
+    docs.select(col("host"), tmpl.as("template"))
+      .groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("n_pages"))
+      .filter(col("n_pages") >= minPages)
+  }
+
   def blocklistHits(docs: DataFrame, blockUrls: DataFrame,
                     expectedItems: Long, fpp: Double): DataFrame = {
     val sketch = graft.functions.Bloom.serialize(

@@ -800,6 +800,39 @@ class OperatorSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("CMS heavy hitters: exact counts right, estimate one-sidedly ≥ exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date date date date"))
+      .toDF("doc_id", "text")
+    // phiInv=12, N=12 words ⇒ the line is exact_cnt ≥ 1: every term emits
+    val out = graft.operators.TextStats.cmsHeavyHitters(d, 64, 12L).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt")))).toMap
+    assert(out("apple")._1 == 4L && out("banana")._1 == 3L &&
+      out("date")._1 == 4L && out("cherry")._1 == 1L)
+    // the CMS guarantee: never underestimates
+    out.values.foreach { case (exact, est) => assert(est >= exact) }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("path templates: digit runs collapse, counts aggregate per (host, template)") {
+    import spark.implicits._
+    val d = Seq(
+      ("a.com", "https://a.com/post/123/page/4"),
+      ("a.com", "https://a.com/post/999/page/12"),
+      ("a.com", "https://a.com/about"),
+      ("b.com", "https://b.com/post/5/page/6?utm=1"))
+      .toDF("host", "url")
+    val out = graft.operators.UrlOps.pathTemplates(d, col("url"), 1L).collect()
+      .map(r => (r.getAs[String]("host"), r.getAs[String]("template")) ->
+        r.getAs[Long]("n_pages")).toMap
+    assert(out(("a.com", "/post/N/page/N")) == 2L)
+    assert(out(("a.com", "/about")) == 1L)
+    assert(out(("b.com", "/post/N/page/N")) == 1L) // query string excluded
+  }
+
   test("sliding windows: every event lands in exactly window/slide overlapping windows") {
     val e = spark.read.parquet(s"$sfDir/events.parquet")
     val win = e.groupBy(
