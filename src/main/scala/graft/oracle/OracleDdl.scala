@@ -40,7 +40,7 @@ object OracleDdl {
       |  SELECT doc_id, lang, source, CASE WHEN doc_id % 13 = 0 THEN t || ' Origin host 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256) || ' logged.' ELSE t END AS t FROM c7
       |), c9 AS (
       |  SELECT doc_id, lang, source, CASE WHEN doc_id % 17 = 0 THEN t || ' what the frak is this gorram page anyway.' ELSE t END AS text FROM c8
-      |), webdoc AS (
+      |), webdoc AS MATERIALIZED (
       |  SELECT doc_id, lang, source, text,
       |    CASE WHEN (doc_id * 131) % 997 < 300 THEN 'popular.example.com'
       |         ELSE 'host-' || ((doc_id * 131) % 997) || '.example.com' END AS host,
