@@ -887,6 +887,22 @@ object SparkEntry {
     "q117_url_templates" -> ((s, dir) =>
       graft.operators.UrlOps.pathTemplates(Pipeline.webdoc(s, dir), col("url"), 10L)),
 
+    // Asymmetric shingle containment: the quote/subset duplicate class
+    // symmetric Jaccard misses — C(A→B)=|A∩B|/|A|, df-capped candidates,
+    // hashed-shingle streams only in every exchange
+    "q118_containment" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(Pipeline.webdoc(s, dir), 0.9, 10)),
+
+    // Stopword induction: learn per-language top-k stopwords by document
+    // frequency (two bounded window passes, map-side-combinable DF agg)
+    "q119_stopwords" -> ((s, dir) =>
+      graft.operators.TextStats.stopwordInduction(Pipeline.webdoc(s, dir), 15)),
+
+    // Exact ROC-AUC of the learned survival rate vs heuristic keep labels
+    // — integer rank arithmetic over the bounded distinct-rate grid
+    "q120_auc" -> ((s, dir) =>
+      graft.operators.QualityModel.auc(Pipeline.scored(s, dir))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2149,6 +2165,57 @@ object SparkEntry {
           |  FROM webdoc)
           | SELECT host, template, count(*) AS n_pages
           | FROM p GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin),
+    "q118_containment" ->
+      // same hashed-stream + df-cap chain as q41; only the final ratio
+      // changes: inter/|A| and inter/|B| instead of inter/|A∪B|
+      (webdocCte + shingleCte +
+        s""", ex0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s0 FROM wsh)
+           |, ex AS (SELECT doc_id, n_sh, ${h60("s0")} AS s FROM ex0)
+           |, rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s) WHERE df <= 10)
+           |, exr AS (SELECT doc_id, s FROM ex JOIN rare USING (s))
+           |, cpairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |             FROM exr x JOIN exr y ON x.s = y.s AND x.doc_id < y.doc_id)
+           |, ver AS (SELECT doc_a, doc_b, count(*) AS inter,
+           |            min(a.n_sh) AS na, min(b.n_sh) AS nb
+           |          FROM cpairs
+           |          JOIN ex a ON cpairs.doc_a = a.doc_id
+           |          JOIN ex b ON cpairs.doc_b = b.doc_id AND a.s = b.s
+           |          GROUP BY doc_a, doc_b)
+           | SELECT doc_a, doc_b, cont_a, cont_b FROM (
+           |   SELECT doc_a, doc_b, round(inter * 1.0 / na, 6) AS cont_a,
+           |     round(inter * 1.0 / nb, 6) AS cont_b FROM ver)
+           | WHERE greatest(cont_a, cont_b) >= 0.9""".stripMargin),
+    "q119_stopwords" ->
+      // DF over per-doc DISTINCT lowercase words; the Spark side's
+      // two-phase pre-prune is exact, so the oracle is one plain window
+      (webdocCte +
+        """, dw AS (SELECT lang, unnest(list_distinct(list_transform(
+          |    list_filter(regexp_split_to_array(text, '\s+'), w -> w <> ''),
+          |    w -> lower(w)))) AS word FROM webdoc)
+          |, dfc AS (SELECT lang, word, count(*) AS df FROM dw GROUP BY lang, word)
+          |, rk AS (SELECT lang, word, df, CAST(row_number() OVER (
+          |    PARTITION BY lang ORDER BY df DESC, word) AS INT) AS rank FROM dfc)
+          | SELECT lang, rank, word, df FROM rk WHERE rank <= 15""".stripMargin),
+    "q120_auc" ->
+      // same decimal rate chain as q91; AUC numerator is pure integer
+      // arithmetic over the distinct-rate grid, one double division
+      (pipelineCte + logitCtes +
+        s""", sc AS (SELECT doc_id, url, $mlIcept + sum(c) AS logit_dec
+           |         FROM contrib GROUP BY doc_id, url)
+           |, rt AS (SELECT doc_id,
+           |    CAST(greatest(least(CAST(0.5 AS DECIMAL(8,4))
+           |        + CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)),
+           |      CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14)) AS rate
+           |    FROM sc)
+           |, j AS (SELECT r.rate, s.keep FROM rt r JOIN scrub s USING (doc_id))
+           |, br AS (SELECT rate, sum(CASE WHEN keep THEN 1 ELSE 0 END) AS pos,
+           |                 sum(CASE WHEN keep THEN 0 ELSE 1 END) AS neg
+           |          FROM j GROUP BY rate)
+           |, cw AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY rate
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg FROM br)
+           | SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+           |   round(CAST(sum(pos * (cumneg * 2 + neg)) AS DOUBLE)
+           |     / (CAST(sum(pos) AS DOUBLE) * sum(neg) * 2.0), 6) AS auc FROM cw""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

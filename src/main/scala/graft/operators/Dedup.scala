@@ -277,6 +277,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — the duplicate class symmetric
+    * Jaccard structurally misses: a short document quoted or embedded
+    * whole inside a much longer one (syndicated article + commentary,
+    * quoted posts, boilerplate-wrapped reprints). For such a pair
+    * J = |A∩B|/|A∪B| ≈ |A|/|B| is tiny, but C(A→B) = |A∩B|/|A| ≈ 1.
+    * Standard companion pass to MinHash in web dedup (the reference's
+    * version-shadow probe — data_source.py:234-273 — is the same idea at
+    * file granularity: "is this item subsumed by a later, larger one").
+    *
+    * Same scale discipline as [[jaccardPairsCapped]] (shares its maxDf
+    * candidate guard): ONE persisted hashed-shingle stream feeds df
+    * counting, the candidate self-join, and both verification probes;
+    * every exchange carries (doc_id, 60-bit shingle hash) — never text,
+    * never shingle arrays; verification is candidate-bounded via the
+    * semi-join prune. Emits both directions once per unordered pair:
+    * cont_a = inter/|A| (how much of A is inside B), cont_b = inter/|B|;
+    * keeps pairs where either direction ≥ threshold. The df cap bounds
+    * pair fan-out exactly as in the Jaccard pass; a short doc made
+    * ENTIRELY of ubiquitous boilerplate shingles escapes the cap's
+    * candidate mining by construction — that class is the boilerplate
+    * operator's job (q59), not containment's. */
+  def containmentPairs(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
+    val ex = graft.plans.TrackedCache.persist(withShingles(docs)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s")))
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
+    val cand = graft.plans.TrackedCache.persist(exr.as("x").join(exr.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b"))
+    val docsInPairs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val exC = ex.join(docsInPairs, Seq("doc_id"), "left_semi")
+    cand
+      .join(exC.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
+      .join(exC.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
+      .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

@@ -167,6 +167,43 @@ object QualityModel {
       "CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)), " +
       "CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14))"
 
+  /** Exact ROC-AUC of the learned survival rate against the heuristic
+    * keep/drop labels — the single-number companion to [[calibration]]'s
+    * per-bucket view: AUC = P(rate(kept doc) > rate(dropped doc)) with
+    * ties counted half. The threshold-free ranking quality a pipeline
+    * owner checks before moving the q86 sampler's cut.
+    *
+    * Exactness: the rate is an exact DECIMAL on a bounded grid, so the
+    * standard rank formula reduces to pure integer arithmetic — group to
+    * (rate, n_pos, n_neg), then numerator×2 = Σ_s pos_s·(2·cumneg_<s +
+    * neg_s); one double division at the very end, rounded 6 dp. No
+    * float accumulation, no average-rank doubles — engine-identical.
+    *
+    * Scale shape: the only corpus-sized stage is the map-side-combinable
+    * (rate → pos, neg) aggregation; the unpartitioned ordering window
+    * then runs over the DISTINCT-RATE table, whose size is bounded by
+    * the decimal grid (≤ a few thousand rows at any corpus size), not by
+    * the corpus — the same bounded-state trick as q87's percentile grid. */
+  def auc(scored: DataFrame): DataFrame = {
+    val rated = scoreDecimal(scored).withColumn("__rate", expr(survivalRateSql))
+    val byRate = rated.join(scored.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("__rate"))
+      .agg(sum(col("keep").cast("long")).as("pos"),
+        sum((!col("keep")).cast("long")).as("neg"))
+    val w = Window.orderBy(col("__rate"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byRate
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      // num2 in DECIMAL(38,0): pos·cumneg products overflow Long at
+      // ~10^10 docs; the final division is the only double
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(col("pos").cast("decimal(19,0)") *
+          (col("cumneg") * 2 + col("neg")).cast("decimal(19,0)")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg") * 2.0), 6).as("auc"))
+  }
+
   /** Classifier calibration (reliability report): bucket docs by the
     * model's predicted survival rate — floor(rate·10), exact because the
     * rate is DECIMAL — and compare the mean predicted rate against the

@@ -58,6 +58,39 @@ object TextStats {
     * pure projection: the inventories fold into a map literal inside the
     * expression tree (no join, no broadcast variable), the word pass is one
     * codegen'd HOF filter. Scan-bound at any scale. */
+  /** Stopword INDUCTION: learn the per-language stopword table from the
+    * corpus itself (top-k words by document frequency per language),
+    * instead of shipping a hand-curated list per language — the standard
+    * bootstrap for the long tail of languages where no curated list
+    * exists (the [[withStopwordRatio]] table above covers 3 languages;
+    * a web corpus has ~100). DF, not term frequency: a word repeated
+    * 500× in one spammy page must not outrank "the".
+    *
+    * Scale shape: words leave the row as DISTINCT-per-doc lowercase
+    * tokens; the (lang, word) count is map-side-combinable so the
+    * ubiquitous words — precisely the ones we're mining — collapse to
+    * one partial row per partition before the exchange. The top-k is
+    * TWO bounded window passes (the domainCap discipline,
+    * TrainPrep.scala): a pre-prune ranked within (lang, hash-bucket)
+    * kills the million-word tail per language before the exact per-lang
+    * rank, so no single task ever sorts a full language's vocabulary.
+    * Ties break lexicographically — engine-exact, no doubles anywhere. */
+  def stopwordInduction(docs: DataFrame, k: Int, fanout: Int = 64): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val df = docs
+      .select(col("lang"), explode(array_distinct(
+        transform(Rules.wordsOf(col("text")), w => lower(w)))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("df"))
+    df.withColumn("__bkt", pmod(graft.functions.Hashing.md5Hash60(col("word")), lit(fanout.toLong)))
+      .withColumn("__rk1", row_number().over(
+        W.partitionBy(col("lang"), col("__bkt")).orderBy(col("df").desc, col("word"))))
+      .filter(col("__rk1") <= k)
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("df").desc, col("word"))))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("word"), col("df"))
+  }
+
   def withStopwordRatio(docs: DataFrame): DataFrame = {
     val inv = map(stopwords.flatMap { case (l, ws) =>
       Seq(lit(l), array(ws.map(lit): _*)) }: _*)

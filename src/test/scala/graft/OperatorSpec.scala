@@ -620,6 +620,70 @@ class OperatorSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("containmentPairs finds the subset pair symmetric Jaccard misses") {
+    import spark.implicits._
+    // A = a distinctive 12-word passage; B = A embedded in 60 words of
+    // other prose. C(A→B) = 1.0 but J(A,B) ≈ |A|/|B| ≈ 0.2.
+    val a = "zephyr quokka marmalade vortex bassoon trellis quasar nimbus ferret oboe lichen praxis"
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, s"$filler $a")).toDF("doc_id", "text")
+    val cont = graft.operators.Dedup.containmentPairs(docs, 0.9, 10)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.exists { case (da, db, ca, _) => da == 1L && db == 2L && ca == 1.0 })
+    val jac = graft.operators.Dedup.jaccardPairsCapped(docs, 0.9, 10).count()
+    assert(jac == 0, "Jaccard at the same threshold must miss the subset pair")
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("containmentPairs agrees with a driver-side shingle-set recomputation on the corpus") {
+    import spark.implicits._
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val got = graft.operators.Dedup.containmentPairs(wd, 0.9, 10)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // exact recompute over df<=10 candidate pairs from raw shingle sets
+    val sh = graft.operators.Dedup.withShingles(wd)
+      .select(col("doc_id"), col("sh")).as[(Long, Seq[String])].collect()
+    val dfCount = sh.flatMap { case (_, s) => s.distinct }.groupBy(identity)
+      .map { case (s, xs) => s -> xs.length }
+    val rare = dfCount.filter(_._2 <= 10).keySet
+    val byDoc = sh.map { case (id, s) => id -> s.toSet }.toMap
+    val expected = (for {
+      Seq((ia, sa), (ib, sb)) <- byDoc.toSeq.sortBy(_._1).combinations(2)
+      if sa.intersect(sb).exists(rare.contains)
+      inter = sa.intersect(sb).size
+      ca = BigDecimal(inter.toDouble / sa.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(inter.toDouble / sb.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.9
+    } yield (ia, ib) -> (ca, cb)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture corpus must contain at least one containment pair")
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("stopwordInduction: two-phase top-k equals the single-window form, ranks dense, df sorted") {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val got = graft.operators.TextStats.stopwordInduction(wd, 15)
+    val df = wd.select(col("lang"), explode(array_distinct(
+        transform(graft.operators.Rules.wordsOf(col("text")), w => lower(w)))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("df"))
+    val single = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("df").desc, col("word"))))
+      .filter(col("rank") <= 15)
+      .select(col("lang"), col("rank"), col("word"), col("df"))
+    assert(got.exceptAll(single).isEmpty && single.exceptAll(got).isEmpty)
+    // per language: ranks are exactly 1..15 and df is non-increasing in rank
+    val byLang = got.select("lang", "rank", "df").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (l, rs) => l -> rs.sortBy(_._2) }
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (l, rs) =>
+      assert(rs.map(_._2).toSeq == (1 to 15), s"lang $l ranks")
+      assert(rs.map(_._3).toSeq == rs.map(_._3).sortBy(-_).toSeq, s"lang $l df order")
+    }
+  }
+
   test("dedup cache lifecycle: releaseAll leaves zero residual persisted entries") {
     import graft.plans.TrackedCache
     TrackedCache.releaseAll()

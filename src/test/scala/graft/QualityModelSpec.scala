@@ -18,6 +18,28 @@ class QualityModelSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("auc equals the O(P·N) pairwise definition computed driver-side") {
+    val scored = Pipeline.scored(spark, sfDir)
+    val row = QualityModel.auc(scored).head()
+    val rated = QualityModel.scoreDecimal(scored)
+      .withColumn("__rate", expr(QualityModel.survivalRateSql))
+      .join(scored.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .select(col("__rate").cast("double"), col("keep"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = rated.filter(_._2).map(_._1)
+    val neg = rated.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = BigDecimal(wins / (pos.length.toDouble * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(row.getAs[Double]("auc") == expected)
+    // the linear model is a soft sampler, not a rule clone — but it must
+    // rank kept docs above dropped ones better than chance
+    assert(row.getAs[Double]("auc") > 0.5)
+  }
+
   test("scoreLinear matches a driver-side BigDecimal recomputation") {
     val sig = Pipeline.scored(spark, sfDir)
     val feats = QualityModel.weights.map(_._1)
