@@ -903,6 +903,47 @@ object SparkEntry {
     "q120_auc" -> ((s, dir) =>
       graft.operators.QualityModel.auc(Pipeline.scored(s, dir))),
 
+    // Per-host length quantiles via the bottom-k-by-hash sketch — unlike
+    // GK/KLL the saturated result is partitioning-independent, so it
+    // stays oracle-exact at any scale; exchange carries ≤ 2k longs per
+    // (partition, host)
+    "q121_quantiles" -> ((s, dir) =>
+      graft.operators.TextStats.hostLengthQuantiles(Pipeline.webdoc(s, dir), 256)),
+
+    // C4 §2.2 global three-sentence-span dedup: for every 3-sentence span
+    // occurring ≥ 2× anywhere, only the first (doc_id, pos) occurrence
+    // keeps its sentences; spans shuffle as 60-bit hashes, removal lists
+    // broadcast back
+    "q122_c4_spans" -> ((s, dir) =>
+      graft.operators.Dedup.c4SentenceSpans(Pipeline.webdoc(s, dir))),
+
+    // Code-snippet detection signal: fraction of code-like lines (RE2-safe
+    // shared regex), one codegen'd projection
+    "q123_code_lines" -> ((s, dir) =>
+      graft.operators.TextStats.withCodeSignal(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_lines"), col("n_code_lines"),
+          col("code_line_frac"), col("is_code"))),
+
+    // Tokenizer fertility per language: BPE-ish tokens per 100 chars as a
+    // ratio of exact integer sums — the byte→token budget conversion table
+    "q124_fertility" -> ((s, dir) =>
+      graft.operators.TextStats.fertilityByLang(Pipeline.webdoc(s, dir))),
+
+    // DSIR importance resampling: the deterministic hash-gate selection
+    // step over q105's log-weights (rate = clamp(0.5 + 0.25·logw))
+    "q125_dsir_sample" -> ((s, dir) =>
+      graft.operators.TrainPrep.dsirResample(
+        graft.operators.TrainPrep.dsirWeights(Pipeline.webdoc(s, dir),
+          col("source").isin("src0", "src1", "src2", "src3")), "dsir1")),
+
+    // C4 §2.2 line-level heuristic filter: keep lines ending in terminal
+    // punctuation with ≥ 3 words; drop docs with < 3 surviving lines —
+    // pure scan-stage projection, the first filter of the C4 stack
+    "q126_c4_lines" -> ((s, dir) =>
+      graft.operators.TextStats.c4LineFilter(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_lines"), col("n_kept_lines"),
+          col("clean_text"), col("keep_doc"))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2216,6 +2257,109 @@ object SparkEntry {
            | SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
            |   round(CAST(sum(pos * (cumneg * 2 + neg)) AS DOUBLE)
            |     / (CAST(sum(pos) AS DOUBLE) * sum(neg) * 2.0), 6) AS auc FROM cw""".stripMargin),
+    "q121_quantiles" ->
+      // the sketch's sample IS the k smallest (h, v) pairs — row_number
+      // over (h, v) ≤ k reproduces it exactly even when saturated; the
+      // lower-discrete rank rule floor(q·(m−1)) mirrors BottomKQuantile
+      (webdocCte +
+        s""", vv AS (SELECT host, ${h60("doc_id || ':qsk1'")} AS h,
+           |         CAST(length(text) AS BIGINT) AS v FROM webdoc)
+           |, rr AS (SELECT host, v, row_number() OVER (PARTITION BY host ORDER BY h, v) AS rk,
+           |         count(*) OVER (PARTITION BY host) AS n FROM vv)
+           |, ss AS (SELECT host, n AS n_docs, CAST(count(*) AS BIGINT) AS sample_m,
+           |         list_sort(list(v)) AS vs
+           |         FROM rr WHERE rk <= 256 GROUP BY host, n)
+           | SELECT host, n_docs, sample_m,
+           |   vs[CAST(floor(0.5 * (sample_m - 1)) AS INT) + 1] AS p50_chars,
+           |   vs[CAST(floor(0.9 * (sample_m - 1)) AS INT) + 1] AS p90_chars FROM ss""".stripMargin),
+    "q122_c4_spans" ->
+      // same split rule (terminal punct + single space → U+0001 marker,
+      // RE2 backref \1 = Java $1), spans hashed with a U+0002 separator;
+      // winner = rank-1 (doc_id, pos) per duplicated hash, covered
+      // sentence indices built relationally like q83's cov
+      (webdocCte +
+        s""", sn AS (SELECT doc_id, url, string_split(
+           |      regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS ss FROM webdoc)
+           |, sp AS (SELECT doc_id, unnest(CASE WHEN len(ss) >= 3
+           |    THEN list_transform(range(0, len(ss) - 3 + 1),
+           |         i -> struct_pack(pos := i, h := ${h60("ss[i+1] || chr(2) || ss[i+2] || chr(2) || ss[i+3]")}))
+           |    ELSE []::STRUCT(pos BIGINT, h BIGINT)[] END) AS s FROM sn)
+           |, occ AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sp)
+           |, rk AS (SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS cnt,
+           |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk FROM occ)
+           |, cov AS (SELECT DISTINCT doc_id, pos + k AS j
+           |          FROM rk, range(0, 3) t(k) WHERE cnt >= 2 AND rnk > 1)
+           |, sx AS (SELECT doc_id, unnest(ss) AS s,
+           |         generate_subscripts(ss, 1) - 1 AS j FROM sn)
+           |, kept AS (SELECT sx.doc_id, sx.s, sx.j FROM sx WHERE NOT EXISTS
+           |    (SELECT 1 FROM cov WHERE cov.doc_id = sx.doc_id AND cov.j = sx.j))
+           |, ct AS (SELECT doc_id, string_agg(s, ' ' ORDER BY j) AS clean_text
+           |         FROM kept GROUP BY doc_id)
+           |, nr AS (SELECT doc_id, count(*) AS n_removed_sents FROM cov GROUP BY doc_id)
+           | SELECT sn.doc_id, sn.url, CAST(len(sn.ss) AS INT) AS n_sents,
+           |   CAST(coalesce(nr.n_removed_sents, 0) AS INT) AS n_removed_sents,
+           |   coalesce(ct.clean_text, '') AS clean_text
+           | FROM sn LEFT JOIN ct USING (doc_id) LEFT JOIN nr USING (doc_id)""".stripMargin),
+    "q123_code_lines" ->
+      // the SAME CodeLineRe constant feeds rlike and regexp_matches —
+      // RE2-safe by construction (no lookarounds), so the two engines
+      // compile the identical pattern
+      (webdocCte +
+        s""", lns AS (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM webdoc)
+           |, cc AS (SELECT doc_id, url, CAST(len(ls) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(ls, l -> regexp_matches(l,
+           |      '${graft.operators.TextStats.CodeLineRe}'))) AS BIGINT) AS n_code_lines
+           |  FROM lns)
+           | SELECT doc_id, url, n_lines, n_code_lines,
+           |   round(n_code_lines * 1.0 / n_lines, 6) AS code_line_frac,
+           |   (round(n_code_lines * 1.0 / n_lines, 6) > 0.3) AS is_code FROM cc""".stripMargin),
+    "q124_fertility" ->
+      // ratio of exact integer sums, one double division at the end —
+      // the q16 token regex, mirrored verbatim
+      (webdocCte +
+        """, tk AS (SELECT lang,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt,
+          |    CAST(length(text) AS BIGINT) AS nc FROM webdoc)
+          | SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens, sum(nc) AS n_chars,
+          |   round(CAST(sum(nt) AS DOUBLE) * 100.0 / sum(nc), 6) AS tokens_per_100c
+          | FROM tk GROUP BY lang""".stripMargin),
+    "q125_dsir_sample" ->
+      // q105's weight chain verbatim, then the clamped linear rate and
+      // the q86-style deterministic hash gate — every post-round step is
+      // a correctly-rounded IEEE op on identical operands
+      (webdocCte + shingleCte +
+        s""", wx AS (SELECT w.doc_id, w.url, d.source, unnest(w.words) AS wd
+           |        FROM wsw w JOIN webdoc d USING (doc_id))
+           |, wh AS (SELECT doc_id, url, source IN ('src0','src1','src2','src3') AS t,
+           |         ${h60("wd")} AS h FROM wx)
+           |, rc AS (SELECT h, count(*) AS rcnt FROM wh GROUP BY h)
+           |, tc AS (SELECT h, count(*) AS tcnt FROM wh WHERE t GROUP BY h)
+           |, tot AS (SELECT (SELECT sum(rcnt) FROM rc) AS rtot, (SELECT count(*) FROM rc) AS v,
+           |                 (SELECT count(*) FROM wh WHERE t) AS ttot)
+           |, terms AS (SELECT wh.doc_id, wh.url,
+           |    ln((CAST(coalesce(tc.tcnt, 0) + 1 AS DOUBLE) * (tot.rtot + tot.v)) /
+           |       (CAST(rc.rcnt + 1 AS DOUBLE) * (tot.ttot + tot.v))) AS term
+           |   FROM wh JOIN rc USING (h) LEFT JOIN tc USING (h) CROSS JOIN tot)
+           |, wgt AS (SELECT doc_id, url, round(sum(term) / count(*), 6) AS dsir_logw
+           |          FROM terms GROUP BY doc_id, url)
+           |, rs AS (SELECT doc_id, url, dsir_logw,
+           |         greatest(least(0.5 + dsir_logw * 0.25, 0.95), 0.05) AS rate FROM wgt)
+           | SELECT doc_id, url, dsir_logw, rate,
+           |   (CAST(${h60("doc_id || ':dsir1'")} % 1000000 AS DOUBLE) < rate * 1000000.0) AS sampled
+           | FROM rs""".stripMargin),
+    "q126_c4_lines" ->
+      // terminal-punct + ≥3-words line keep rule, doc keep at ≥ 3
+      // surviving lines; '' is SQL's escaped single quote inside the
+      // terminal class
+      (webdocCte +
+        """, lns AS (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM webdoc)
+          |, kp AS (SELECT doc_id, url, CAST(len(ls) AS BIGINT) AS n_lines,
+          |    list_filter(ls, l -> regexp_matches(l, '[.!?"'']$') AND
+          |      len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3) AS kept
+          |  FROM lns)
+          | SELECT doc_id, url, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+          |   (len(kept) >= 3) AS keep_doc FROM kp""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Quantile-sketch summary: true group count, sample size held, and the
+  * lower-discrete p50/p90 of the sample (exact group quantiles while the
+  * sample isn't full, rank error O(1/√k) once it is). */
+case class QuantileSummary(n_rows: Long, sample_m: Long, p50: Long, p90: Long)
+
+/** Bottom-k-by-hash quantile sketch as a typed `Aggregator` (SURVEY
+  * §2.10): per-group approximate quantiles whose result is EXACTLY
+  * reproducible by any other engine — unlike GK/KLL/t-digest, whose
+  * compactions depend on merge order and partitioning.
+  *
+  * The trick: the sample is the k rows with the SMALLEST (hash, value)
+  * pair, where hash = h60 of the row's unique id. The k-smallest elements
+  * of a multiset are independent of arrival order and partitioning (the
+  * same determinism argument as [[KmvSketch]]), the hash makes the sample
+  * uniform over the group, and a uniform-sample quantile has rank error
+  * O(√(ln(1/δ)/k)). The DuckDB oracle reproduces the identical sample
+  * with row_number() OVER (ORDER BY h, v) ≤ k, so the driver's
+  * hash-compare gate works even when the sketch is saturated — the
+  * property KMV only has below k.
+  *
+  * 100 TB shape: one ordinary two-phase aggregation — map-side partials
+  * hold ≤ k (h,v) pairs per group, the exchange carries ≤ 2k longs per
+  * (partition, group). A per-group exact quantile would sort every row of
+  * every group (or window-sort the whole table).
+  *
+  * Buffer layout: Array[Long] = [n, h0, v0, h1, v1, …] with the pairs
+  * sorted lexicographically by (h, v); n is the true row count. */
+class BottomKQuantile(k: Int) extends Aggregator[(Long, Long), Array[Long], QuantileSummary] {
+
+  override def zero: Array[Long] = Array(0L)
+
+  private def pairs(buf: Array[Long]): Int = (buf.length - 1) / 2
+
+  // lexicographic (h, v) compare of pair i in buf vs (h, v)
+  private def cmp(buf: Array[Long], i: Int, h: Long, v: Long): Int = {
+    val bh = buf(1 + 2 * i)
+    if (bh != h) java.lang.Long.compare(bh, h)
+    else java.lang.Long.compare(buf(2 + 2 * i), v)
+  }
+
+  override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+    val (h, v) = in
+    val m = pairs(buf)
+    // binary search for the insertion point among pairs (duplicates kept:
+    // equal (h,v) inserts adjacent — a multiset, like the oracle's rows)
+    var lo = 0; var hi = m
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(buf, mid, h, v) < 0) lo = mid + 1 else hi = mid
+    }
+    if (m >= k && lo >= k) { buf(0) += 1L; buf } // not among the k smallest
+    else {
+      val keep = math.min(m + 1, k)
+      val out = new Array[Long](1 + 2 * keep)
+      out(0) = buf(0) + 1L
+      System.arraycopy(buf, 1, out, 1, 2 * lo)
+      out(1 + 2 * lo) = h
+      out(2 + 2 * lo) = v
+      System.arraycopy(buf, 1 + 2 * lo, out, 3 + 2 * lo, 2 * (keep - lo - 1))
+      out
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val ma = pairs(a); val mb = pairs(b)
+    val keep = math.min(k, ma + mb)
+    val out = new Array[Long](1 + 2 * keep)
+    out(0) = a(0) + b(0)
+    var i = 0; var j = 0; var n = 0
+    while (n < keep) {
+      val takeA = j >= mb ||
+        (i < ma && cmp(a, i, b(1 + 2 * j), b(2 + 2 * j)) <= 0)
+      if (takeA) { out(1 + 2 * n) = a(1 + 2 * i); out(2 + 2 * n) = a(2 + 2 * i); i += 1 }
+      else { out(1 + 2 * n) = b(1 + 2 * j); out(2 + 2 * n) = b(2 + 2 * j); j += 1 }
+      n += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[Long]): QuantileSummary = {
+    val m = pairs(buf)
+    if (m == 0) return QuantileSummary(buf(0), 0L, 0L, 0L)
+    val vs = new Array[Long](m)
+    var i = 0
+    while (i < m) { vs(i) = buf(2 + 2 * i); i += 1 }
+    java.util.Arrays.sort(vs)
+    // lower-discrete quantile: element at floor(q·(m−1)) — the rank rule
+    // the oracle mirrors verbatim
+    def q(f: Double): Long = vs(math.floor(f * (m - 1)).toInt)
+    QuantileSummary(buf(0), m.toLong, q(0.5), q(0.9))
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[QuantileSummary] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[QuantileSummary]()
+}

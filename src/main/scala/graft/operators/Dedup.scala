@@ -648,6 +648,68 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Sentence delimiter inserted by [[c4SentenceSpans]]'s split rule —
+    * "terminal punctuation + single space" becomes "punctuation + U+0001",
+    * so re-joining survivors with a single space is byte-exact. */
+  private val SentMark = "\u0001"
+
+  /** C4's global three-sentence-span dedup (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring more
+    * than once in the data set"): every doc is split into sentences
+    * (terminal [.!?] + space — a rule both engines express without
+    * lookbehind, which RE2 lacks), every consecutive 3-sentence span is
+    * hashed, and for each span hash occurring ≥ 2 times anywhere in the
+    * corpus only the smallest (doc_id, pos) occurrence keeps its
+    * sentences — the covered sentences of every other occurrence are
+    * removed and the doc is re-joined with the single space the split
+    * consumed (byte-exact when nothing is removed; property-tested).
+    * Distinct from firstOccurrenceLines (line granularity — misses
+    * re-wrapped quotes) and excisedSpans (word-window granularity —
+    * removes ALL occurrences including the canonical copy).
+    *
+    * Scale shape (the firstOccurrenceLines discipline): occurrences leave
+    * the row as (doc_id, pos, h60) immediately — no sentence text in any
+    * exchange; winner-per-hash is one narrow aggregation; each doc's
+    * removed-position list is small and minority-membership, so it
+    * broadcasts back onto the corpus where one codegen'd indexed filter
+    * rebuilds the text. One persisted span stream feeds the winner and
+    * probe legs. */
+  def c4SentenceSpans(docs: DataFrame): DataFrame = {
+    val sentsOf: Column => Column = t =>
+      split(regexp_replace(t, "([.!?]) ", "$1" + SentMark), SentMark)
+    val occ = graft.plans.TrackedCache.persist(docs
+      .select(col("doc_id"), sentsOf(col("text")).as("__s"))
+      .select(col("doc_id"),
+        when(size(col("__s")) >= 3,
+          transform(sequence(lit(0), size(col("__s")) - 3), i =>
+            struct(i.as("pos"),
+              graft.functions.Hashing.md5Hash60(concat_ws("\u0002",
+                element_at(col("__s"), i + 1), element_at(col("__s"), i + 2),
+                element_at(col("__s"), i + 3))).as("h"))))
+          .otherwise(array().cast("array<struct<pos:int,h:bigint>>")).as("sp"))
+      .select(col("doc_id"), explode(col("sp")).as("sp"))
+      .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h")))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"),
+        count(lit(1)).as("occs"))
+    val removed = occ.join(winners.filter(col("occs") >= 2), "h")
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("rp"))
+    docs.select(col("doc_id"), col("url"), sentsOf(col("text")).as("__s"))
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+        size(col("__s")).as("n_sents"),
+        when(col("rp").isNull, lit(0))
+          .otherwise(size(filter(col("__s"), (_, j) =>
+            exists(col("rp"), p => j >= p && j <= p + 2))))
+          .as("n_removed_sents"),
+        when(col("rp").isNull, concat_ws(" ", col("__s")))
+          .otherwise(concat_ws(" ", filter(col("__s"), (_, j) =>
+            !exists(col("rp"), p => j >= p && j <= p + 2))))
+          .as("clean_text"))
+  }
+
   /** Cross-snapshot incremental dedup — the "dedup the new crawl against
     * every previous crawl" step (each Common-Crawl snapshot is mostly
     * refetches; processing only genuinely-new content is the single

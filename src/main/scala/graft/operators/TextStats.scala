@@ -215,6 +215,90 @@ object TextStats {
         (col("est_cnt") - col("exact_cnt")).as("overest"))
   }
 
+  /** Per-host document-length quantiles via the [[graft.functions.BottomKQuantile]]
+    * bottom-k-by-hash sketch — the per-group distribution monitor
+    * (a host whose p50 length collapses between crawls started serving
+    * error pages / paywalls). One ordinary two-phase aggregation: map-side
+    * partials hold ≤ k (hash, value) pairs per host, the exchange carries
+    * ≤ 2k longs per (partition, host); an exact per-host quantile would
+    * window-sort every row. Exact below k; a deterministic uniform-sample
+    * quantile (rank error O(1/√k)) once saturated — and, unlike GK/KLL,
+    * the saturated result is still independent of partitioning, so the
+    * DuckDB oracle reproduces it exactly at ANY scale (row_number over
+    * (h, v) ≤ k is the same sample). */
+  def hostLengthQuantiles(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.Hashing
+    val qsk = udaf(new graft.functions.BottomKQuantile(k))
+    docs.select(col("host"),
+        Hashing.md5Hash60(concat(col("doc_id").cast("string"), lit(":qsk1"))).as("h"),
+        length(col("text")).cast("long").as("v"))
+      .groupBy(col("host"))
+      .agg(qsk(col("h"), col("v")).as("s"))
+      .select(col("host"), col("s.n_rows").as("n_docs"),
+        col("s.sample_m").as("sample_m"),
+        col("s.p50").as("p50_chars"), col("s.p90").as("p90_chars"))
+  }
+
+  /** Code-like line regex shared by the Scala projection and the SQL twin
+    * (RE2-safe: no lookarounds). A line reads as code when it is indented
+    * ≥ 4 spaces / a tab, ends in a brace or semicolon, or opens with a
+    * keyword common to the big C-family/Python/JS corpus of pasted
+    * snippets. */
+  val CodeLineRe: String =
+    "(^(    |\\t))|([{};]\\s*$)|(^\\s*(import|def|class|function|var|const|let|return|public|private|if \\(|for \\())"
+
+  /** Code-snippet detection signal (the "this page is a diff/paste/docs
+    * dump" filter most webtext pipelines run before LM training): fraction
+    * of lines matching [[CodeLineRe]], flag at > threshold. Pure codegen'd
+    * projection — one regexp pass per line, no shuffle. */
+  def withCodeSignal(docs: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val lines = Rules.linesOf(col("text"))
+    val codeLines = size(filter(lines, l => l.rlike(CodeLineRe)))
+    docs.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_code_lines", codeLines.cast("long"))
+      .withColumn("code_line_frac",
+        round(codeLines.cast("double") / size(lines), 6))
+      .withColumn("is_code", col("code_line_frac") > threshold)
+  }
+
+  /** C4's line-level heuristic filter (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation AND have ≥ 3 words (the "menus,
+    * error messages, boilerplate navigation" rule); the doc itself is
+    * dropped when fewer than `minLines` lines survive. Pure codegen'd
+    * projection — two HOF passes per row, no shuffle: the cheapest filter
+    * in the C4 stack and the first one a 100 TB run applies, because it
+    * runs in the scan stage and shrinks everything downstream.
+    * Terminal set is C4's: period, exclamation, question mark, or closing
+    * quotation mark. */
+  def c4LineFilter(docs: DataFrame, minLines: Int = 3): DataFrame = {
+    val lines = Rules.linesOf(col("text"))
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"']$") && size(Rules.wordsOf(l)) >= 3)
+    docs.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("__kept", kept)
+      .withColumn("n_kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("clean_text", concat_ws("\n", col("__kept")))
+      .withColumn("keep_doc", col("n_kept_lines") >= minLines)
+      .drop("__kept")
+  }
+
+  /** Tokenizer-fertility report per language: BPE-ish tokens per 100
+    * chars, the number a token-budget planner (q77) needs to convert a
+    * byte budget into a per-language document budget (fertility varies
+    * ~2-4× across scripts, so a byte-uniform budget silently starves
+    * high-fertility languages). Ratio of sums — exact integer sums, ONE
+    * division at the end — not mean-of-ratios, so short docs don't
+    * dominate and the number is engine-exact at 6 dp. Map-side-combinable:
+    * one narrow (lang, 3 longs) aggregation. */
+  def fertilityByLang(docs: DataFrame): DataFrame =
+    withTokenCounts(docs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_re_tokens")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .withColumn("tokens_per_100c",
+        round(col("n_tokens").cast("double") * 100.0 / col("n_chars"), 6))
+
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
     * whole corpus (one shuffle), then a broadcast join back onto the
     * exploded words (the counts table is lexicon-sized). */

@@ -362,6 +362,25 @@ object TrainPrep {
         round(sum(term) / count(lit(1)), 6).as("dsir_logw"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step downstream of
+    * [[dsirWeights]] (the published method scores, then samples
+    * proportionally; q105 publishes the scores, THIS materializes the
+    * subset). Sampling probability is a clamped linear map of the 6-dp
+    * log-weight — rate = clamp(0.5 + 0.25·logw, [0.05, 0.95]), the q86
+    * soft-sampling shape — and the draw is the deterministic hash gate
+    * (h60(doc_id‖salt) mod 10^6 < rate·10^6): RNG-free, reproducible,
+    * and exactly mirrored in SQL. Every arithmetic step after the
+    * already-rounded logw is a correctly-rounded IEEE op on identical
+    * operands, so the keep decision is engine-exact without decimal
+    * machinery. Pure projection over the weights frame — no shuffle of
+    * its own. */
+  def dsirResample(weights: DataFrame, salt: String): DataFrame = {
+    val rate = greatest(least(lit(0.5) + col("dsir_logw") * 0.25, lit(0.95)), lit(0.05))
+    weights.select(col("doc_id"), col("url"), col("dsir_logw"), rate.as("rate"),
+      (pmod(md5Hash60(concat(col("doc_id").cast("string"), lit(":" + salt))), lit(1000000L)).cast("double")
+        < rate * 1000000.0).as("sampled"))
+  }
+
   /** Priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): a
     * fixed-size-k weighted-without-replacement sample with UNBIASED
     * subset-sum estimators — the principled way to keep "a 100k-doc

@@ -111,4 +111,56 @@ class ModelSpec extends SparkSpec {
     assert(dupGroups > 0)
     assert(d.agg(sum("n_copies")).head().getLong(0) == wd.count())
   }
+
+  test("bottom-k quantile sketch: exact below k, partitioning-independent when saturated") {
+    import graft.functions.BottomKQuantile
+    // local reference: exact lower-discrete quantile of the full multiset
+    def lowerQ(vs: Seq[Long], q: Double): Long = {
+      val s = vs.sorted
+      s(math.floor(q * (s.size - 1)).toInt)
+    }
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rnd.nextInt(10000).toLong)
+    val hashed = vals.zipWithIndex.map { case (v, i) =>
+      (graft.functions.Hashing.md5Hash60Jvm(s"$i:qskT"), v)
+    }
+    // below k: the sketch IS the multiset — quantiles exact
+    val big = new BottomKQuantile(1024)
+    val bufB = hashed.foldLeft(big.zero)(big.reduce)
+    val outB = big.finish(bufB)
+    assert(outB.n_rows == 500 && outB.sample_m == 500)
+    assert(outB.p50 == lowerQ(vals, 0.5) && outB.p90 == lowerQ(vals, 0.9))
+    // saturated: any partitioning (fold order / merge tree) gives the SAME
+    // buffer — the determinism the oracle depends on
+    val small = new BottomKQuantile(64)
+    val seq = small.finish(hashed.foldLeft(small.zero)(small.reduce))
+    val merged = small.finish(
+      hashed.grouped(37).map(_.foldLeft(small.zero)(small.reduce))
+        .reduce(small.merge))
+    val reversed = small.finish(hashed.reverse.foldLeft(small.zero)(small.reduce))
+    assert(seq == merged && seq == reversed)
+    assert(seq.n_rows == 500 && seq.sample_m == 64)
+    // rank-error bound for a uniform 64-sample: generous 3σ ≈ 3/(2√k)
+    val err = math.abs(vals.sorted.indexWhere(_ >= seq.p50).toDouble / 500 - 0.5)
+    assert(err < 3.0 / (2 * math.sqrt(64)), s"p50 rank error $err")
+  }
+
+  test("hostLengthQuantiles matches a driver-side recomputation (saturated k)") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    // k = 8 saturates on every host in the fixture — exercises the
+    // sample path the sf0.001 oracle (k = 256) doesn't reach
+    val got = graft.operators.TextStats.hostLengthQuantiles(wd, 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val rows = wd.select(col("host"), col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (h, rs) =>
+      val pairs = rs.map { case (_, id, v) =>
+        (graft.functions.Hashing.md5Hash60Jvm(s"$id:qsk1"), v)
+      }.sorted.take(8)
+      val vs = pairs.map(_._2).sorted
+      def q(f: Double) = vs(math.floor(f * (vs.size - 1)).toInt)
+      h -> (rs.size.toLong, pairs.size.toLong, q(0.5), q(0.9))
+    }
+    assert(got == want)
+  }
 }

@@ -912,4 +912,110 @@ class OperatorSpec extends SparkSpec {
       assert(micros % (15 * 60) == 0)
     }
   }
+
+  test("c4SentenceSpans: canonical copy intact, echo's covered sentences removed") {
+    import spark.implicits._
+    val span = "One common sentence. Two common sentences. Three common sentences."
+    val docs = Seq(
+      (1L, "u1", s"Unique opening here. $span Unique closing here."),
+      (2L, "u2", s"Different start text. $span"), // echo: the 3 span sentences removed
+      (3L, "u3", "No dup here at all. Still nothing shared. Third one is alone.")
+    ).toDF("doc_id", "url", "text")
+    val got = graft.operators.Dedup.c4SentenceSpans(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got(1L) == (5, 0, s"Unique opening here. $span Unique closing here."))
+    assert(got(2L) == (4, 3, "Different start text."))
+    assert(got(3L)._2 == 0 && got(3L)._3 == docs.filter($"doc_id" === 3L).head.getString(2))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("c4SentenceSpans on the corpus: byte-exact rebuild for untouched docs; kept sentences are a subsequence") {
+    import spark.implicits._
+    // the sf0.001 fixture has no repeated 3-sentence spans under the
+    // ". "-split rule, so union in a quoting pair to exercise removal
+    // alongside the whole-corpus byte-exactness sweep
+    val shared = "Quoted first. Quoted second. Quoted third."
+    val wd = Pipeline.webdoc(spark, sfDir).select("doc_id", "url", "text")
+      .union(Seq(
+        (900000001L, "ux1", s"Original lead. $shared Original tail."),
+        (900000002L, "ux2", s"Quoting lead. $shared")).toDF("doc_id", "url", "text"))
+    val out = graft.operators.Dedup.c4SentenceSpans(wd)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    val orig = wd.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    assert(out(900000001L)._2 == 0 && out(900000002L)._2 == 3)
+    assert(out(900000002L)._3 == "Quoting lead.")
+    def sents(t: String): Seq[String] =
+      t.replaceAll("([.!?]) ", "$1\u0001").split("\u0001", -1).toSeq
+    def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+      var i = 0
+      sup.foreach { s => if (i < sub.length && sub(i) == s) i += 1 }
+      i == sub.length
+    }
+    out.foreach { case (id, (nSents, nRemoved, clean)) =>
+      val os = sents(orig(id))
+      assert(nSents == os.size)
+      if (nRemoved == 0) // single-space rejoin is byte-exact on the split rule
+        assert(clean == orig(id), s"doc $id not byte-identical")
+      else {
+        val cs = if (clean.isEmpty) Seq.empty else sents(clean)
+        assert(isSubseq(cs, os) || clean.split(" ", -1).length <= os.mkString(" ").split(" ", -1).length)
+        assert(nRemoved > 0 && nRemoved <= nSents)
+      }
+    }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("code signal: flags code-heavy docs, not prose") {
+    import spark.implicits._
+    val code = "def main(args):\n    x = compute(args);\n    return x\n}"
+    val prose = "This is a normal paragraph. It has sentences. Nothing odd."
+    val docs = Seq((1L, "u1", code), (2L, "u2", prose)).toDF("doc_id", "url", "text")
+    val got = graft.operators.TextStats.withCodeSignal(docs)
+      .select("doc_id", "code_line_frac", "is_code").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1L)._1 >= 0.75 && got(1L)._2)
+    assert(got(2L)._1 == 0.0 && !got(2L)._2)
+  }
+
+  test("c4LineFilter: terminal-punct + min-words line rule, doc keep at 3 lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1", "A real sentence ends here.\nMenu\nAnother proper sentence here!\nIs this kept too?\nnope no punct"),
+      (2L, "u2", "Short.\nAlso short!\nBuy now")
+    ).toDF("doc_id", "url", "text")
+    val got = graft.operators.TextStats.c4LineFilter(docs)
+      .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "keep_doc").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    // doc 1: "Menu" (1 word), "nope no punct" (no terminal) dropped
+    assert(got(1L) == (5L, 3L,
+      "A real sentence ends here.\nAnother proper sentence here!\nIs this kept too?", true))
+    // doc 2: "Short." and "Also short!" fail the 3-word floor, "Buy now" the punct rule
+    assert(got(2L) == (3L, 0L, "", false))
+  }
+
+  test("dsirResample: keep rate tracks the weight, draw is deterministic") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val w = graft.operators.TrainPrep.dsirWeights(wd,
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1", "src2", "src3"))
+    val rs = graft.operators.TrainPrep.dsirResample(w, "dsir1").cache()
+    try {
+      val a = rs.orderBy("doc_id").collect().map(_.toString).toSeq
+      val b = graft.operators.TrainPrep.dsirResample(w, "dsir1")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+      assert(a == b) // RNG-free
+      // rates stay inside the clamp, and every draw equals the exact
+      // driver-side hash gate (no statistics — the gate is deterministic)
+      val rows = rs.select("doc_id", "rate", "sampled").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      assert(rows.forall { case (_, r, _) => r >= 0.05 && r <= 0.95 })
+      rows.foreach { case (id, rate, sampled) =>
+        val h = graft.functions.Hashing.md5Hash60Jvm(s"$id:dsir1")
+        val want = (h % 1000000L).toDouble < rate * 1000000.0
+        assert(sampled == want, s"doc $id: gate mismatch (rate $rate)")
+      }
+    } finally rs.unpersist()
+    graft.plans.TrackedCache.releaseAll()
+  }
 }

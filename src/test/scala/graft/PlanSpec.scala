@@ -172,6 +172,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q122: c4 span exchanges carry hashed positions only; removal lists broadcast back") {
+    // same contract as q83/q84 at sentence granularity: occurrences leave
+    // the row as (doc_id, pos, h60) — no sentence text or sentence array
+    // (__s) in any exchange — and the per-doc removal list returns as a
+    // broadcast, so the corpus never repartitions for the rebuild
+    val plan = staticPlan(SparkEntry.queries("q122_c4_spans")(spark, sfDir))
+    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffleCols.nonEmpty, "expected the winner/removal exchanges")
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "__s" || c == "clean_text"),
+        "exchange carries sentence text: " + cols.mkString(","))
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q121: quantile sketch is ONE two-phase agg — partial buffers before the host exchange") {
+    // the Aggregator's map-side partials mean the only exchange carries
+    // per-(partition, host) sketch buffers, never (host, length) rows —
+    // the count(DISTINCT)-style per-row shuffle would be the scale bug
+    val plan = staticPlan(SparkEntry.queries("q121_quantiles")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 1, s"expected exactly the host exchange, got ${shuffles.length}")
+    val partialAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+        if a.aggregateExpressions.exists(_.mode.toString.contains("Partial")) => a
+    }
+    assert(partialAggs.nonEmpty, "expected a map-side partial aggregation below the exchange")
+  }
+
   test("q88: top-n-gram repetition is exchange-free and stays in codegen") {
     // per-row native expression ⇒ scan-bound, embarrassingly parallel
     val plan = staticPlan(SparkEntry.queries("q88_top_ngram")(spark, sfDir))
