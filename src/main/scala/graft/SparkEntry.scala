@@ -944,6 +944,26 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("n_lines"), col("n_kept_lines"),
           col("clean_text"), col("keep_doc"))),
 
+    // Refetch-drift report: the fixture is a single crawl, so a second
+    // crawl is constructed deterministically (every 5th doc's content
+    // changes, the rest are pure refetches, ts + 30 days) — the
+    // static-vs-churning signal an incremental crawler reads
+    "q127_refetch_drift" -> ((s, dir) => {
+      val c1 = Pipeline.webdoc(s, dir).select(col("url"), col("warc_ts"), col("text"))
+      val c2 = c1.select(col("url"),
+        expr("timestampadd(DAY, 30, warc_ts)").as("warc_ts"),
+        when(graft.functions.Hashing.md5Hash60(col("url")) % 5 === 0,
+          concat(col("text"), lit(" Updated content."))).otherwise(col("text")).as("text"))
+      graft.operators.UrlOps.refetchDrift(c1.unionByName(c2))
+    }),
+
+    // Tail-truncation signal: extraction cut off mid-sentence or ending
+    // in a "read more" ellipsis — pure projection
+    "q128_truncation" -> ((s, dir) =>
+      graft.operators.TextStats.withTruncationSignal(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("ends_clean"),
+          col("ends_ellipsis"), col("truncated"))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2360,6 +2380,31 @@ object SparkEntry {
           | SELECT doc_id, url, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
           |   coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
           |   (len(kept) >= 3) AS keep_doc FROM kp""".stripMargin),
+    "q127_refetch_drift" ->
+      // same constructed second crawl (h60(url) % 5 changes content, ts +
+      // 30 days), then the two-phase (url, md5) → url rollup
+      (webdocCte +
+        s""", cr1 AS (SELECT url, warc_ts, text FROM webdoc)
+           |, cr2 AS (SELECT url, warc_ts + INTERVAL 30 DAY AS warc_ts,
+           |    CASE WHEN ${h60("url")} % 5 = 0 THEN text || ' Updated content.'
+           |         ELSE text END AS text FROM webdoc)
+           |, crc AS (SELECT * FROM cr1 UNION ALL SELECT * FROM cr2)
+           |, vh AS (SELECT url, md5(text) AS h, count(*) AS n,
+           |         min(warc_ts) AS ft, max(warc_ts) AS lt
+           |         FROM crc GROUP BY url, h)
+           | SELECT url, CAST(sum(n) AS BIGINT) AS n_fetches,
+           |   CAST(count(*) AS BIGINT) AS n_versions,
+           |   min(ft) AS first_ts, max(lt) AS last_ts,
+           |   (count(*) > 1) AS changed
+           | FROM vh GROUP BY url""".stripMargin),
+    "q128_truncation" ->
+      (webdocCte +
+        """, tt AS (SELECT doc_id, url,
+          |    regexp_matches(rtrim(text), '[.!?"'']$') AS ends_clean,
+          |    regexp_matches(rtrim(text), '\.\.\.$') AS ends_ellipsis
+          |  FROM webdoc)
+          | SELECT doc_id, url, ends_clean, ends_ellipsis,
+          |   (NOT ends_clean OR ends_ellipsis) AS truncated FROM tt""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

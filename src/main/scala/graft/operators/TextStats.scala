@@ -261,6 +261,20 @@ object TextStats {
       .withColumn("is_code", col("code_line_frac") > threshold)
   }
 
+  /** Tail-truncation signal: pages whose extraction was cut off mid-
+    * sentence (paywall teasers, JS-render failures, byte-limit cuts) end
+    * without terminal punctuation — or end in an ellipsis, the "read
+    * more" teaser marker. Both tests run on the whitespace-trimmed tail;
+    * RE2-safe regexes, pure codegen'd projection. */
+  def withTruncationSignal(docs: DataFrame): DataFrame = {
+    val tail = rtrim(col("text"))
+    val clean = tail.rlike("[.!?\"']$")
+    val ellipsis = tail.rlike("\\.\\.\\.$")
+    docs.withColumn("ends_clean", clean)
+      .withColumn("ends_ellipsis", ellipsis)
+      .withColumn("truncated", !clean || ellipsis)
+  }
+
   /** C4's line-level heuristic filter (Raffel et al. 2020 §2.2): keep only
     * lines that end in terminal punctuation AND have ≥ 3 words (the "menus,
     * error messages, boilerplate navigation" rule); the doc itself is

@@ -97,4 +97,29 @@ object UrlOps {
       .join(blockUrls.select(col("url")), Seq("url"), "left_semi")
       .select(col("doc_id"), col("url"))
   }
+
+  /** Refetch-drift report over a multi-crawl corpus: per url, how many
+    * times it was fetched, how many DISTINCT content versions those
+    * fetches produced, and the fetch time span — the "is this page static
+    * or churning" signal that decides whether an incremental crawl should
+    * refetch it at all (a url with n_versions = 1 across crawls is pure
+    * refetch cost; reference analogue: the later-version probe of
+    * data_source.py:234-273, generalized from filename versions to fetch
+    * history). Content identity is the 16-byte binary md5 (the exact-dedup
+    * key discipline — no 60-bit birthday risk on a no-verify path).
+    *
+    * Scale shape: two map-side-combinable aggregations — (url, hash)
+    * partials collapse refetches of identical content inside each task,
+    * then the per-url rollup counts versions without a count(DISTINCT)
+    * expansion; text never reaches either exchange. */
+  def refetchDrift(docs: DataFrame): DataFrame =
+    docs.select(col("url"), col("warc_ts"), unhex(md5(col("text"))).as("__h"))
+      .groupBy(col("url"), col("__h"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("warc_ts")).as("__ft"), max(col("warc_ts")).as("__lt"))
+      .groupBy(col("url"))
+      .agg(sum(col("__n")).as("n_fetches"),
+        count(lit(1)).as("n_versions"),
+        min(col("__ft")).as("first_ts"), max(col("__lt")).as("last_ts"))
+      .withColumn("changed", col("n_versions") > 1)
 }

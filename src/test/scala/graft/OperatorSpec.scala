@@ -979,6 +979,43 @@ class OperatorSpec extends SparkSpec {
     assert(got(2L)._1 == 0.0 && !got(2L)._2)
   }
 
+  test("refetchDrift: version counting collapses identical refetches, flags churn") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val crawls = Seq(
+      ("u/static", t0, "same content"),
+      ("u/static", t1, "same content"),
+      ("u/static", t2, "same content"),
+      ("u/churn", t0, "v1"), ("u/churn", t1, "v2"), ("u/churn", t2, "v2"),
+      ("u/once", t1, "only fetch")
+    ).toDF("url", "warc_ts", "text")
+    val got = graft.operators.UrlOps.refetchDrift(crawls).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5))).toMap
+    assert(got("u/static") == (3L, 1L, t0, t2, false))
+    assert(got("u/churn") == (3L, 2L, t0, t2, true))
+    assert(got("u/once") == (1L, 1L, t1, t1, false))
+  }
+
+  test("truncation signal: mid-sentence and ellipsis tails flagged, clean tails not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1", "A complete document. It ends properly."),
+      (2L, "u2", "This one was cut off mid"),
+      (3L, "u3", "A teaser page. Read more..."),
+      (4L, "u4", "Quoted ending works fine.\"  ")
+    ).toDF("doc_id", "url", "text")
+    val got = graft.operators.TextStats.withTruncationSignal(docs)
+      .select("doc_id", "ends_clean", "ends_ellipsis", "truncated").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(1L) == (true, false, false))
+    assert(got(2L) == (false, false, true))
+    assert(got(3L) == (true, true, true)) // '...' ends in '.' but is a teaser
+    assert(got(4L) == (true, false, false)) // trailing spaces trimmed first
+  }
+
   test("c4LineFilter: terminal-punct + min-words line rule, doc keep at 3 lines") {
     import spark.implicits._
     val docs = Seq(
