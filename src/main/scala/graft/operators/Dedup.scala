@@ -407,10 +407,55 @@ object Dedup {
       .join(broadcast(pairs), Seq("doc_a"))
     val withB = t.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       .join(broadcast(withA), Seq("doc_b"))
-    withB.withColumn("edit_dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .withColumn("edit_frac", round(col("edit_dist").cast("double") /
-        greatest(length(col("ta")), length(col("tb"))), 6))
-      .filter(col("edit_frac") <= maxEditFrac)
+    val la = length(col("ta")); val lb = length(col("tb"))
+    val mx = greatest(la, lb)
+    // Three result-identical cost cuts (BENCH r4: the naive form spent
+    // 185 s/rep at sf0.1 — full O(len²) DP per candidate, clone pairs
+    // included):
+    //  1. |len(a)−len(b)| lower-bounds the edit distance, and round(·,6)
+    //     is monotone, so a pair failing the bound-form of the final
+    //     filter can be rejected before any DP;
+    //  2. exact clones (the bulk of hamming-0 candidates) short-circuit
+    //     to 0 via an O(len) equality — no DP;
+    //  3. the survivors run Spark's THRESHOLDED levenshtein (banded
+    //     Ukkonen, O(len·k) + early exit). The global cap ceil(frac ·
+    //     corpus max len) dominates every per-row bound frac·max(la,lb),
+    //     so any pair the threshold truncates to −1 had dist > its own
+    //     bound and fails the filter anyway — the −1 guard makes that
+    //     rejection explicit. maxLen is a one-row bounded collect (the
+    //     LM-caps discipline; a fixed config constant at 100 TB).
+    val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
+    val thr = math.ceil(maxEditFrac * maxLen).toInt.max(1)
+    // The DP stage would inherit the CORPUS scan's partitioning (this
+    // frame was built by broadcasting pairs INTO the scan) — a small
+    // input can be 1 file = 1 partition, serializing all DP work onto
+    // one core (measured: the whole 45 s of q115 on one thread at
+    // sf0.1). The repartition shuffles only the candidate-pair frame —
+    // pair-bounded by construction, the corpus itself never moves — and
+    // spreads the quadratic work over every core. The partition count is
+    // EXPLICIT (REPARTITION_BY_NUM): a bare repartition(cols) is a
+    // byte-sized AQE coalesce target, and 70k pairs ≈ 70 MB collapses
+    // back to one partition — AQE can't see that each row carries an
+    // O(len·k) DP, only its bytes (measured: stayed serialized at 45 s).
+    // persist barrier BELOW the DP: PushDownPredicates walks the final
+    // edit_frac filter through the defining Projects (re-inlining the
+    // levenshtein, the shingle-family bug) and then below the Exchange —
+    // putting the whole DP back into the serialized pre-shuffle stage
+    // (measured: 45 s with the repartition alone). The cached relation is
+    // a boundary the optimizer can't push expressions through, so the DP
+    // runs exactly once per pair, post-shuffle, on every core. The cache
+    // holds only candidate pairs + their two texts — pair-bounded.
+    val staged = graft.plans.TrackedCache.persist(
+      withB.filter(round(abs(la - lb).cast("double") / mx, 6) <= maxEditFrac)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism * 4,
+          col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("ta"), col("tb")))
+    staged
+      .withColumn("edit_dist",
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb"), thr).cast("long")))
+      .withColumn("edit_frac", round(col("edit_dist").cast("double") / mx, 6))
+      .filter(col("edit_dist") >= 0L && col("edit_frac") <= maxEditFrac)
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         col("edit_dist"), col("edit_frac"))
   }

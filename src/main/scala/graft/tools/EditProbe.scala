@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: q115 candidate-pair composition at a given sf — how many
+  * simhash band candidates exist, how many are exact clones (equality
+  * short-circuit), how many survive the length prefilter, and the text
+  * lengths the thresholded DP actually pays for. */
+object EditProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val wd = graft.Pipeline.webdoc(spark, dir)
+    val pairs = graft.operators.Dedup.simhashPairs(wd, 3).cache()
+    println(s"candidates=${pairs.count()}")
+    val t = wd.select(col("doc_id"), col("text"))
+    val j = t.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .join(broadcast(pairs), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+    val la = length(col("ta")); val lb = length(col("tb"))
+    val stats = j.agg(
+      count(lit(1)).as("n"),
+      sum((col("ta") === col("tb")).cast("long")).as("n_eq"),
+      sum((round(abs(la - lb).cast("double") / greatest(la, lb), 6) > 0.2).cast("long")).as("n_lenrej"),
+      avg(greatest(la, lb)).as("avg_maxlen"),
+      max(greatest(la, lb)).as("max_maxlen")).head()
+    println(s"pairs=${stats.getLong(0)} eq=${stats.getLong(1)} lenrej=${stats.getLong(2)} " +
+      f"avg_maxlen=${stats.getDouble(3)}%.0f max_maxlen=${stats.getInt(4)}")
+    def timed(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"TIMED $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed("pairs_only")(graft.operators.Dedup.simhashPairs(wd, 3).agg(count(lit(1))).head())
+    timed("join_nolev") {
+      j.filter(round(abs(la - lb).cast("double") / greatest(la, lb), 6) <= 0.2)
+        .agg(sum(length(col("ta")) + length(col("tb")))).head()
+    }
+    timed("full_q115")(graft.SparkEntry.queries("q115_edit_verify")(spark, dir)
+      .agg(count(lit(1))).head())
+    timed("full_q115_again")(graft.SparkEntry.queries("q115_edit_verify")(spark, dir)
+      .agg(count(lit(1))).head())
+    timed("raw_dp") {
+      j.filter(round(abs(la - lb).cast("double") / greatest(la, lb), 6) <= 0.2)
+        .select(levenshtein(col("ta"), col("tb"), 153).as("d"))
+        .agg(sum(col("d"))).head()
+    }
+    val q = graft.SparkEntry.queries("q115_edit_verify")(spark, dir)
+    val nLev = q.queryExecution.executedPlan.toString
+      .sliding("levenshtein".length).count(_ == "levenshtein")
+    println(s"LEV_OCCURRENCES_IN_PLAN $nLev")
+    spark.stop()
+  }
+}
