@@ -692,7 +692,8 @@ class OperatorSpec extends SparkSpec {
     graft.operators.Dedup.minhashPairs(wd, 0.5).count()
     graft.operators.Dedup.jaccardPairsCapped(wd, 0.5, 10).count()
     graft.operators.Dedup.repeatedSpans(wd, 10, 5).count()
-    assert(TrackedCache.size >= 3) // each operator registered its table
+    graft.operators.Dedup.simhashEditPairs(wd, 3, 0.2).count() // staged pair cache
+    assert(TrackedCache.size >= 4) // each operator registered its table
     assert(spark.sparkContext.getPersistentRDDs.keySet.size > baseline.size)
     TrackedCache.releaseAll(blocking = true)
     assert(TrackedCache.size == 0)
