@@ -2374,7 +2374,7 @@ object SparkEntry {
       (webdocCte +
         """, lns AS (SELECT doc_id, url, string_split(text, chr(10)) AS ls FROM webdoc)
           |, kp AS (SELECT doc_id, url, CAST(len(ls) AS BIGINT) AS n_lines,
-          |    list_filter(ls, l -> regexp_matches(l, '[.!?"'']$') AND
+          |    list_filter(ls, l -> regexp_matches(rtrim(l, ' ' || chr(9) || chr(13)), '[.!?"'']$') AND
           |      len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3) AS kept
           |  FROM lns)
           | SELECT doc_id, url, n_lines, CAST(len(kept) AS BIGINT) AS n_kept_lines,
@@ -2400,8 +2400,8 @@ object SparkEntry {
     "q128_truncation" ->
       (webdocCte +
         """, tt AS (SELECT doc_id, url,
-          |    regexp_matches(rtrim(text), '[.!?"'']$') AS ends_clean,
-          |    regexp_matches(rtrim(text), '\.\.\.$') AS ends_ellipsis
+          |    regexp_matches(rtrim(text, ' ' || chr(9) || chr(13) || chr(10)), '[.!?"'']$') AS ends_clean,
+          |    regexp_matches(rtrim(text, ' ' || chr(9) || chr(13) || chr(10)), '\.\.\.$') AS ends_ellipsis
           |  FROM webdoc)
           | SELECT doc_id, url, ends_clean, ends_ellipsis,
           |   (NOT ends_clean OR ends_ellipsis) AS truncated FROM tt""".stripMargin),

@@ -418,14 +418,20 @@ object Dedup {
     //  2. exact clones (the bulk of hamming-0 candidates) short-circuit
     //     to 0 via an O(len) equality — no DP;
     //  3. the survivors run Spark's THRESHOLDED levenshtein (banded
-    //     Ukkonen, O(len·k) + early exit). The global cap ceil(frac ·
-    //     corpus max len) dominates every per-row bound frac·max(la,lb),
-    //     so any pair the threshold truncates to −1 had dist > its own
-    //     bound and fails the filter anyway — the −1 guard makes that
-    //     rejection explicit. maxLen is a one-row bounded collect (the
-    //     LM-caps discipline; a fixed config constant at 100 TB).
-    val maxLen = docs.agg(max(length(col("text")))).head().getInt(0)
-    val thr = math.ceil(maxEditFrac * maxLen).toInt.max(1)
+    //     Ukkonen, O(len·k) + early exit). The cap must dominate every
+    //     distance the final filter could ACCEPT: round(d/mx, 6) ≤ frac
+    //     admits d up to (frac + 5·10⁻⁷)·mx, so the cap is computed at
+    //     frac + 5e-7 (+1 for the ceil edge) — at multi-MB documents the
+    //     rounding slack alone exceeds 1 char, and a bare ceil(frac·max)
+    //     would −1-truncate pairs the oracle keeps (review finding). Any
+    //     pair truncated to −1 now provably fails the filter, which the
+    //     −1 guard makes explicit. maxLen is a one-row bounded collect at
+    //     plan-construction time (the prioritySample/LM-caps discipline;
+    //     a fixed config constant at 100 TB); coalesce covers the empty-
+    //     corpus null.
+    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(0)))
+      .head().getInt(0)
+    val thr = math.ceil((maxEditFrac + 5e-7) * maxLen).toInt.max(1) + 1
     // The DP stage would inherit the CORPUS scan's partitioning (this
     // frame was built by broadcasting pairs INTO the scan) — a small
     // input can be 1 file = 1 partition, serializing all DP work onto

@@ -241,11 +241,15 @@ object TextStats {
 
   /** Code-like line regex shared by the Scala projection and the SQL twin
     * (RE2-safe: no lookarounds). A line reads as code when it is indented
-    * ≥ 4 spaces / a tab, ends in a brace or semicolon, or opens with a
-    * keyword common to the big C-family/Python/JS corpus of pasted
-    * snippets. */
+    * ≥ 4 spaces / a tab, ends in a brace or semicolon (`\s*$` eats any
+    * trailing CR, so Java's before-final-terminator `$` and RE2's
+    * end-of-string `$` agree), or opens with a keyword + space common to
+    * the big C-family/Python/JS corpus of pasted snippets. Keywords that
+    * open ordinary English sentences (let/var/return) are deliberately
+    * absent, and each keyword requires its trailing space so 'important'
+    * can't match 'import' (review finding). */
   val CodeLineRe: String =
-    "(^(    |\\t))|([{};]\\s*$)|(^\\s*(import|def|class|function|var|const|let|return|public|private|if \\(|for \\())"
+    "(^(    |\\t))|([{};]\\s*$)|(^\\s*(import |def |class |function |const |public |private |if \\(|for \\())"
 
   /** Code-snippet detection signal (the "this page is a diff/paste/docs
     * dump" filter most webtext pipelines run before LM training): fraction
@@ -267,7 +271,12 @@ object TextStats {
     * more" teaser marker. Both tests run on the whitespace-trimmed tail;
     * RE2-safe regexes, pure codegen'd projection. */
   def withTruncationSignal(docs: DataFrame): DataFrame = {
-    val tail = rtrim(col("text"))
+    // trim the FULL whitespace set: a doc ending ".\n" is clean-tailed —
+    // and with the newline still attached, Java's `$` matches before the
+    // final terminator while RE2's matches only end-of-string, so the
+    // engines would diverge on any corpus with trailing newlines (review
+    // finding; the space-only rtrim() overload kept the \n)
+    val tail = rtrim(col("text"), " \t\r\n")
     val clean = tail.rlike("[.!?\"']$")
     val ellipsis = tail.rlike("\\.\\.\\.$")
     docs.withColumn("ends_clean", clean)
@@ -286,8 +295,13 @@ object TextStats {
     * quotation mark. */
   def c4LineFilter(docs: DataFrame, minLines: Int = 3): DataFrame = {
     val lines = Rules.linesOf(col("text"))
+    // the punct test runs on the \r/\t/space-trimmed line: a CRLF corpus
+    // leaves every split line ending in \r, where Java's `$` (before the
+    // final terminator) and RE2's `$` (end of string) would disagree —
+    // trimming first makes both engines see the same tail (review
+    // finding); kept lines keep their ORIGINAL bytes
     val kept = filter(lines, l =>
-      l.rlike("[.!?\"']$") && size(Rules.wordsOf(l)) >= 3)
+      rtrim(l, " \t\r").rlike("[.!?\"']$") && size(Rules.wordsOf(l)) >= 3)
     docs.withColumn("n_lines", size(lines).cast("long"))
       .withColumn("__kept", kept)
       .withColumn("n_kept_lines", size(col("__kept")).cast("long"))

@@ -978,6 +978,26 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
     assert(got(1L)._1 >= 0.75 && got(1L)._2)
     assert(got(2L)._1 == 0.0 && !got(2L)._2)
+    // prose that merely STARTS with keyword-shaped words must not count
+    // as code: 'important' shares a prefix with 'import', 'let us' and
+    // 'return to' open ordinary sentences (review finding)
+    val prose2 = Seq((3L, "u3",
+      "important notice about your account.\nlet us know what you think.\nreturn to the homepage for more.\nclassmates gathered for the reunion."))
+      .toDF("doc_id", "url", "text")
+    val g3 = graft.operators.TextStats.withCodeSignal(prose2)
+      .select("code_line_frac", "is_code").head()
+    assert(g3.getDouble(0) == 0.0 && !g3.getBoolean(1))
+  }
+
+  test("c4LineFilter: CRLF lines pass the terminal-punct rule after \\r trim") {
+    import spark.implicits._
+    val crlf = "First proper sentence right here.\r\nSecond proper sentence right here!\r\nThird proper sentence right here."
+    val got = graft.operators.TextStats.c4LineFilter(
+        Seq((1L, "u1", crlf)).toDF("doc_id", "url", "text"))
+      .select("n_kept_lines", "keep_doc", "clean_text").head()
+    assert(got.getLong(0) == 3L && got.getBoolean(1))
+    // kept lines keep their ORIGINAL bytes (the \r survives in the text)
+    assert(got.getString(2).contains("here.\r"))
   }
 
   test("refetchDrift: version counting collapses identical refetches, flags churn") {
@@ -1015,6 +1035,16 @@ class OperatorSpec extends SparkSpec {
     assert(got(2L) == (false, false, true))
     assert(got(3L) == (true, true, true)) // '...' ends in '.' but is a teaser
     assert(got(4L) == (true, false, false)) // trailing spaces trimmed first
+    // trailing newlines: the full-whitespace rtrim keeps Java's `$`
+    // (matches before a final terminator) and RE2's `$` (end of string
+    // only) in agreement — and ".\n" IS a clean tail (review finding)
+    val nl = Seq((5L, "u5", "Ends with a newline.\n"), (6L, "u6", "Cut off mid\r\n"))
+      .toDF("doc_id", "url", "text")
+    val gotNl = graft.operators.TextStats.withTruncationSignal(nl)
+      .select("doc_id", "ends_clean", "truncated").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(gotNl(5L) == (true, false))
+    assert(gotNl(6L) == (false, true))
   }
 
   test("c4LineFilter: terminal-punct + min-words line rule, doc keep at 3 lines") {
