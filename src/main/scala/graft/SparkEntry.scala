@@ -964,6 +964,12 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("ends_clean"),
           col("ends_ellipsis"), col("truncated"))),
 
+    // BM25 ranked retrieval: inverted index in one exchange, corpus-induced
+    // query terms (df-ranks 11-18, 2 per query) broadcast back, exact
+    // decimal score sums, top-10 per query
+    "q129_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(Pipeline.webdoc(s, dir))),
+
     // Snapshot drift report (data validation between crawls): per-feature
     // cohort means (decimal-exact) + exact medians, drift flag at 0.03
     "q79_snapshot_drift" -> ((s, dir) =>
@@ -2405,6 +2411,30 @@ object SparkEntry {
           |  FROM webdoc)
           | SELECT doc_id, url, ends_clean, ends_ellipsis,
           |   (NOT ends_clean OR ends_ellipsis) AS truncated FROM tt""".stripMargin),
+    "q129_bm25" ->
+      // same word split as wsw; per-term partials rounded 6 dp and
+      // narrowed to DECIMAL(18,6) pre-sum so the (query, doc) score is
+      // exact; identical parenthesization of the double BM25 expression
+      (webdocCte + shingleCte +
+        """, tfx AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS term FROM wsw)
+          |, tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfx GROUP BY 1, 2, 3)
+          |, dfr AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term)
+          |, st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          |                CAST(sum(len(words)) AS DOUBLE) / count(*) AS avgdl FROM wsw)
+          |, qt AS (SELECT term, dfc,
+          |           CAST((row_number() OVER (ORDER BY dfc DESC, term ASC) - 11) // 2 AS BIGINT) AS query_id,
+          |           row_number() OVER (ORDER BY dfc DESC, term ASC) AS rk
+          |         FROM dfr QUALIFY rk BETWEEN 11 AND 18)
+          |, sc AS (SELECT qt.query_id, tf.doc_id,
+          |    CAST(round(ln(1.0 + (st.n - qt.dfc + 0.5) / (qt.dfc + 0.5)) *
+          |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))), 6)
+          |      AS DECIMAL(18,6)) AS s
+          |  FROM tf JOIN qt USING (term) CROSS JOIN st)
+          |, ag AS (SELECT query_id, doc_id, sum(s) AS sd FROM sc GROUP BY 1, 2)
+          |, rnk AS (SELECT query_id, doc_id, round(CAST(sd AS DOUBLE), 6) AS score,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sd DESC, doc_id) AS BIGINT) AS rank
+          |  FROM ag)
+          | SELECT query_id, doc_id, score, rank FROM rnk WHERE rank <= 10""".stripMargin),
     "q79_snapshot_drift" -> {
       val un = graft.operators.QualityModel.weights.map(_._1).map(f =>
         s"SELECT doc_id < 10000000 AS hist, '$f' AS feature, coalesce(CAST($f AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS v FROM sig")

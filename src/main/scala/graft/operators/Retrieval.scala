@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over the corpus — the lexical-similarity-search
+  * counterpart of the embedding ANN family (Similarity.scala): build the
+  * inverted (doc, term) index in one shuffle, broadcast a small query-term
+  * table against it, and emit exact top-k docs per query.
+  *
+  * Reference analogue: the first-match line scans that rank/locate content
+  * inside a file (main_app.py:308-360) are the reference's only "search";
+  * BM25 is that idea lifted to corpus scale — find the best-matching
+  * documents for a term set instead of the best-matching line in a file.
+  *
+  * Determinism across engines (the DuckDB oracle mirrors every step):
+  * tf/df/dl are exact integers; N and avgdl are one collected literal
+  * (ratio of exact sums); each per-term partial score is computed with an
+  * identically-parenthesized double expression, rounded to 6 dp and
+  * narrowed to DECIMAL(18,6) BEFORE the per-(query, doc) sum, so the sum
+  * is exact and order-free; ranking orders by the exact decimal with a
+  * doc_id tie-break.
+  *
+  * Scale notes: the index build is the canonical single exchange on
+  * (doc_id, term) with map-side partials (dl rides the grouping key — it
+  * is functionally dependent on doc_id, so no second pass/join recovers
+  * it); df is a second narrow (term) aggregation; the query table is
+  * driver-bounded (top-`rankHi` by document frequency via a
+  * TakeOrderedAndProject, never a global sort) and broadcasts, so the
+  * corpus-side probe is shuffle-free; only rows matching a query term
+  * reach the final (query_id, doc_id) aggregation, whose fan-in is
+  * bounded by Σ df(query terms) — the classic postings-list cost.
+  */
+object Retrieval {
+
+  /** Top-`k` docs per query under BM25(k1, b). Queries are induced from
+    * the corpus itself so the operator is self-contained and
+    * scale-covariant: terms at document-frequency ranks
+    * [rankLo, rankLo + nQueries·termsPerQuery) — ties broken
+    * lexicographically — grouped `termsPerQuery` consecutive ranks per
+    * query. Ranks below `rankLo` are skipped: near-ubiquitous terms carry
+    * idf ≈ 0 and rank nothing. */
+  def bm25TopK(docs: DataFrame, k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               rankLo: Int = 11, nQueries: Int = 4, termsPerQuery: Int = 2): DataFrame = {
+    val rankHi = rankLo + nQueries * termsPerQuery - 1
+    val words = Rules.wordsOf(col("text"))
+
+    // (doc_id, dl, term) -> tf: ONE wide exchange; dl is functionally
+    // dependent on doc_id so carrying it in the key is free
+    val tf = docs.select(col("doc_id"), size(words).cast("long").as("dl"),
+        explode(words).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // document frequency per term (tf is already distinct per (doc, term))
+    val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+
+    // corpus constants as literals (one 1-row collect)
+    val stats = docs.agg(count(lit(1)).as("n"), sum(size(words).cast("long")).as("sdl"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+
+    // query terms: df-ranks [rankLo, rankHi]; limit --> TakeOrdered, then
+    // the row_number window runs over <= rankHi rows
+    val qterms = dfTab.orderBy(col("dfc").desc, col("term").asc).limit(rankHi)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("dfc").desc, col("term").asc)))
+      .filter(col("rk") >= rankLo)
+      .withColumn("query_id", expr(s"CAST((rk - $rankLo) DIV $termsPerQuery AS BIGINT)"))
+      .select(col("term"), col("dfc"), col("query_id"))
+
+    // per-(query, doc, term) partial: round 6 dp then DECIMAL so the sum
+    // below is exact and addition-order-free (oracle mirrors verbatim)
+    val idf = log(lit(1.0) + (lit(nDocs.toDouble) - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val partial = tf.join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfNorm, 6).cast("decimal(18,6)").as("s"))
+
+    val agg = partial.groupBy(col("query_id"), col("doc_id")).agg(sum(col("s")).as("sd"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sd").desc, col("doc_id").asc)
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sd").cast("double"), 6).as("score"), col("rank"))
+  }
+}

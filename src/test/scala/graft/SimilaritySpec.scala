@@ -129,6 +129,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9, s"audit $got vs set-arithmetic $expect")
   }
 
+  test("bm25TopK: valid rankings, monotone scores, tf dominance on crafted docs") {
+    import spark.implicits._
+    val out = graft.operators.Retrieval.bm25TopK(Pipeline.webdoc(spark, sfDir))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._4)
+      // ranks contiguous from 1, scores non-increasing, docs distinct
+      assert(byRank.map(_._4).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(g.map(_._2).distinct.length == g.length)
+    }
+    // crafted corpus, fully determined induction: 'aa','ab','ac' have
+    // df=4 (ranks 1-3), 't' has df=2 (rank 4), all pads df=1 — so
+    // rankLo=4 selects exactly 't'. Equal dl, doc 1 has tf=3 vs doc 2's
+    // tf=1: BM25 tf-monotonicity must rank doc 1 first, and docs without
+    // the term must not appear at all
+    val crafted = Seq(
+      (1L, "t t t aa ab ac"),
+      (2L, "t aa ab ac u1 u2"),
+      (3L, "aa ab ac v1 v2 v3"),
+      (4L, "aa ab ac w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val o = graft.operators.Retrieval.bm25TopK(crafted, k = 3, rankLo = 4,
+      nQueries = 1, termsPerQuery = 1)
+    val got = o.collect().map(r => (r.getLong(1), r.getLong(3), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 1L), (2L, 2L)))
+    assert(got.find(_._1 == 1L).get._3 > got.find(_._1 == 2L).get._3)
+    // the broadcast probe: corpus side joins query terms without shuffling
+    val plan = graft.operators.Retrieval.bm25TopK(Pipeline.webdoc(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("centroidOutliers flags ~(1-q) of vectors, exactly the farthest ones") {
     val out = Similarity.centroidOutliers(emb, 0.95)
     val rows = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
