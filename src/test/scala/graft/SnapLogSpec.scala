@@ -136,6 +136,77 @@ class SnapLogSpec extends SparkSpec {
     assert(novel.toSeq == (200L until 205L))
   }
 
+  private def tsDocs(ids: Range, ts: Long) =
+    ids.map(i => (i.toLong, ts, s"v$ts of $i")).toDF("doc_id", "ts", "text")
+
+  test("merge: copy-on-write upsert rewrites only stats-touched files, carries the rest verbatim") {
+    val t = tmpDir("snaplog_merge")
+    // three disjoint-range files (clustered on the stats key, as a
+    // repartitionByRange-written table would be)
+    SnapLog.commit(tsDocs(0 until 100, 1L).coalesce(1), t, Some("doc_id"))
+    SnapLog.commit(tsDocs(100 until 200, 1L).coalesce(1), t, Some("doc_id"))
+    SnapLog.commit(tsDocs(200 until 300, 1L).coalesce(1), t, Some("doc_id"))
+    val before = SnapLog.currentSnapshot(t).get.files
+    assert(before.size == 3)
+    // batch: refetch of 140-149 (newer ts) + brand-new keys 300-304 —
+    // touches the middle file (100-199) and, for the inserts, no file
+    val batch = tsDocs(140 until 150, 2L).unionByName(tsDocs(300 until 305, 2L))
+    val mid = SnapLog.merge(spark, t, batch, Seq("doc_id"), "ts")
+    val after = SnapLog.snapshot(t, mid)
+    assert(after.op == "merge")
+    // untouched files carry over VERBATIM (same manifest path — no rewrite)
+    val untouched = before.filter(f => !(f.min.contains(100L) && f.max.contains(199L)))
+    assert(untouched.forall(f => after.files.exists(_.path == f.path)))
+    // the touched file's path is gone (rewritten under the new snapshot id)
+    assert(!after.files.exists(_.path ==
+      before.find(f => f.min.contains(100L)).get.path))
+    val got = SnapLog.read(spark, t)
+    assert(got.count() == 305)
+    // updated keys carry the batch's text, untouched neighbours the old
+    val texts = got.filter(col("doc_id").isin(140L, 139L, 300L))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(140L) == "v2 of 140" && texts(139L) == "v1 of 139" &&
+      texts(300L) == "v2 of 300")
+  }
+
+  test("merge: orderCol decides the winner; batch wins ties; dup (key,order) rejected") {
+    val t = tmpDir("snaplog_merge_ord")
+    SnapLog.commit(tsDocs(0 until 10, 5L).coalesce(1), t, Some("doc_id"))
+    // stale batch row (ts 3 < 5) loses; tie row (ts 5) goes to the batch
+    val batch = Seq((0L, 3L, "stale"), (1L, 5L, "tie-batch")).toDF("doc_id", "ts", "text")
+    SnapLog.merge(spark, t, batch, Seq("doc_id"), "ts")
+    val texts = SnapLog.read(spark, t).filter(col("doc_id") < 2)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(texts(0L) == "v5 of 0", "older batch row must not clobber a newer table row")
+    assert(texts(1L) == "tie-batch", "order ties go to the batch (refetch supersedes)")
+    assert(SnapLog.read(spark, t).count() == 10)
+    // cardinality violation: two batch rows with the same (key, orderCol)
+    val dup = Seq((2L, 9L, "a"), (2L, 9L, "b")).toDF("doc_id", "ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      SnapLog.merge(spark, t, dup, Seq("doc_id"), "ts")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("merge: processNew delivers the rewritten files (at-least-once at file granularity)") {
+    val t = tmpDir("snaplog_merge_proc")
+    val st = tmpDir("snaplog_merge_state")
+    SnapLog.commit(tsDocs(0 until 50, 1L).coalesce(1), t, Some("doc_id"))
+    SnapLog.commit(tsDocs(50 until 100, 1L).coalesce(1), t, Some("doc_id"))
+    SnapLog.processNew(spark, t, st)((_, df) => df.count(): Unit)
+    // merge updates one key in the second file only
+    SnapLog.merge(spark, t, tsDocs(60 until 61, 2L), Seq("doc_id"), "ts")
+    var batchIds = Set.empty[Long]
+    SnapLog.processNew(spark, t, st) { (_, df) =>
+      batchIds = df.select("doc_id").as[Long].collect().toSet
+    }
+    // the rewritten file's rows re-deliver (50-99), the untouched file's don't
+    assert(batchIds == (50L until 100L).toSet)
+    // and the update is in the delivered batch with the new text
+    assert(SnapLog.read(spark, t).filter(col("doc_id") === 60L)
+      .select("text").as[String].head() == "v2 of 60")
+  }
+
   test("processNew: each committed snapshot exactly once, crash-safe resume, compaction = empty batch") {
     val t = tmpDir("snaplog_proc")
     val st = tmpDir("snaplog_state")
