@@ -53,6 +53,16 @@ object SparkEntry {
         graft.functions.TopNgrams(col("text")).as("tg"))
         .select(col("doc_id"), col("url"), col("tg.top2_frac"),
           col("tg.top3_frac"), col("tg.top4_frac"))),
+
+    // Gopher dup-n-gram repetition: fraction of chars covered by word
+    // n-grams occurring ≥ 2× in the doc, n ∈ 5..10, overlaps counted once
+    // — the diffuse-repetition companion of q88; per-row native
+    // expression, shuffle-free, scan-bound
+    "q130_dup_ngrams" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        graft.functions.DupNgrams(col("text")).as("dg"))
+        .select(Seq(col("doc_id"), col("url")) ++
+          graft.functions.DupNgrams.ns.map(n => col(s"dg.dup${n}_frac")): _*)),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1114,6 +1124,26 @@ object SparkEntry {
           |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t3.mass, 0) * 1.0 / length(w.text), 6) END AS top3_frac,
           |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t4.mass, 0) * 1.0 / length(w.text), 6) END AS top4_frac
           | FROM webdoc w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)""".stripMargin),
+    "q130_dup_ngrams" ->
+      // per-n: positional grams, window-count duplicates, unnest each dup
+      // occurrence's word span, DISTINCT word indexes (overlaps once),
+      // mass = sum of covered word lengths — same coverage semantics as
+      // the kernel; every value an integer ratio so round(,6) agrees
+      (webdocCte + shingleCte + graft.functions.DupNgrams.ns.map { n =>
+        val gram = (0 until n).map(j => s"words[i+$j]").mkString(" || ' ' || ")
+        s""", gg$n AS (SELECT doc_id, i, $gram AS g
+           |          FROM (SELECT doc_id, words, unnest(range(1, len(words) - $n + 2)) AS i FROM wsw WHERE len(words) >= $n))
+           |, dd$n AS (SELECT doc_id, i FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id, g) AS c FROM gg$n) WHERE c >= 2)
+           |, cc$n AS (SELECT DISTINCT doc_id, widx FROM (SELECT doc_id, unnest(range(i, i + $n)) AS widx FROM dd$n))
+           |, mm$n AS (SELECT c.doc_id, sum(length(w.words[CAST(c.widx AS INT)])) AS mass
+           |          FROM cc$n c JOIN wsw w USING (doc_id) GROUP BY 1)""".stripMargin
+      }.mkString +
+        " SELECT w.doc_id, w.url," +
+        graft.functions.DupNgrams.ns.map { n =>
+          s" CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(mm$n.mass, 0) * 1.0 / length(w.text), 6) END AS dup${n}_frac"
+        }.mkString(",") +
+        " FROM webdoc w" +
+        graft.functions.DupNgrams.ns.map(n => s" LEFT JOIN mm$n USING (doc_id)").mkString),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

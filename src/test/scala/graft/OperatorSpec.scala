@@ -568,6 +568,53 @@ class OperatorSpec extends SparkSpec {
       assert(prior > 0.0 && prior < 1.0) }
   }
 
+  test("DupNgrams: matches an independent set-based replication + edge cases") {
+    import spark.implicits._
+    // independent replication: sliding windows → positions of grams seen
+    // ≥ 2× → covered word-index SET (overlaps once) → covered char mass
+    def expect(text: String): Seq[Double] = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val denom = text.codePointCount(0, text.length).toDouble
+      graft.functions.DupNgrams.ns.map { n =>
+        if (denom == 0.0 || words.length < n) 0.0
+        else {
+          val grams = words.sliding(n).map(_.mkString(" ")).toIndexedSeq
+          val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+          val covered = grams.zipWithIndex.collect {
+            case (g, i) if dup(g) => i until (i + n)
+          }.flatten.toSet
+          val mass = covered.toSeq.map(i =>
+            words(i).codePointCount(0, words(i).length)).sum
+          math.floor(mass / denom * 1e6 + 0.5) / 1e6
+        }
+      }
+    }
+    val five = "alpha beta gamma delta epsilon"
+    val crafted = Seq(
+      "",                                 // empty → all zero
+      "one two three four",               // < 5 words → all zero
+      s"$five zed $five",                 // clean 5-gram repeat
+      s"$five $five",                     // overlapping repeats cover all
+      s"$five $five zeta eta theta iota kappa lambda mu nu xi omicron",
+      ("w " * 30).trim,                   // one word repeated 30×
+      s"tab\t$five\nnewline  $five ok")
+    val out = crafted.toDF("text")
+      .select(graft.functions.DupNgrams(col("text")).as("dg"))
+      .select(graft.functions.DupNgrams.ns.map(n => col(s"dg.dup${n}_frac")): _*)
+      .collect().map(r => (0 until 6).map(r.getDouble))
+    crafted.zip(out).foreach { case (t, got) =>
+      assert(got == expect(t), s"text '$t': $got != ${expect(t)}") }
+    // corpus differential on the real fixture (mod-37 repeats give signal)
+    val docs = Pipeline.webdoc(spark, sfDir).select("text").as[String].collect()
+    val fix = docs.toSeq.toDF("text")
+      .select(graft.functions.DupNgrams(col("text")).as("dg"))
+      .select(graft.functions.DupNgrams.ns.map(n => col(s"dg.dup${n}_frac")): _*)
+      .collect().map(r => (0 until 6).map(r.getDouble))
+    docs.zip(fix).foreach { case (t, got) =>
+      assert(got == expect(t), s"fixture doc mismatch: $got != ${expect(t)}") }
+    assert(fix.exists(_.head > 0.0), "signal degenerate: no doc has dup5 > 0")
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by
