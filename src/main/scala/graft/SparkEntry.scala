@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.oracle.OracleDdl._
 
@@ -63,6 +63,40 @@ object SparkEntry {
         graft.functions.DupNgrams(col("text")).as("dg"))
         .select(Seq(col("doc_id"), col("url")) ++
           graft.functions.DupNgrams.ns.map(n => col(s"dg.dup${n}_frac")): _*)),
+
+    // Gopher duplicate line/paragraph fractions — count-based AND
+    // char-mass-based (Rae et al. 2021 §A1.1 rows 1-4); completes the
+    // repetition-signal family (q88 top-grams, q130 dup-grams). Dup mass =
+    // occurrences beyond the first (1 - distinct/total and the char
+    // analogue). Pure Catalyst HOFs over split arrays: per-row,
+    // exchange-free, scan-bound at 10^12 docs. Docs %3==0 get the q58
+    // share-bar line injection and %5==0 a duplicated promo paragraph so
+    // both signals are non-degenerate on the fixture
+    "q131_dup_lines" -> ((s, dir) => {
+      def sumLen(a: Column): Column =
+        aggregate(a, lit(0L), (acc, x) => acc + length(x))
+      def cntFrac(a: Column): Column =
+        round((size(a) - size(array_distinct(a))) * lit(1.0) / size(a), 6)
+      def chrFrac(a: Column): Column = {
+        val tot = sumLen(a)
+        when(tot === 0L, lit(0.0))
+          .otherwise(round((tot - sumLen(array_distinct(a))) * lit(1.0) / tot, 6))
+      }
+      Pipeline.webdoc(s, dir)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nshare this page\nshare this page\nsubscribe now\nshare this page")))
+          .otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n\nJoin our newsletter today.\n\nJoin our newsletter today.")))
+          .otherwise(col("text")))
+        .withColumn("lines", split(col("text"), "\n", -1))
+        .withColumn("paras", split(col("text"), "\n\n", -1))
+        .select(col("doc_id"), col("url"),
+          cntFrac(col("lines")).as("dup_line_frac"),
+          chrFrac(col("lines")).as("dup_line_char_frac"),
+          cntFrac(col("paras")).as("dup_para_frac"),
+          chrFrac(col("paras")).as("dup_para_char_frac"))
+    }),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1144,6 +1178,30 @@ object SparkEntry {
         }.mkString(",") +
         " FROM webdoc w" +
         graft.functions.DupNgrams.ns.map(n => s" LEFT JOIN mm$n USING (doc_id)").mkString),
+    "q131_dup_lines" ->
+      // same injections, then list-level math: dup mass = total - one
+      // occurrence per distinct element; every value an integer ratio so
+      // round(,6) agrees cross-engine
+      (webdocCte +
+        """, wd2 AS (SELECT doc_id, url,
+          |    CASE WHEN doc_id % 3 = 0 THEN text || chr(10) || 'share this page' || chr(10) || 'share this page' || chr(10) || 'subscribe now' || chr(10) || 'share this page' ELSE text END AS t1 FROM webdoc)
+          |, wd3 AS (SELECT doc_id, url,
+          |    CASE WHEN doc_id % 5 = 0 THEN t1 || chr(10) || chr(10) || 'Join our newsletter today.' || chr(10) || chr(10) || 'Join our newsletter today.' ELSE t1 END AS text FROM wd2)
+          |, arrs AS (SELECT doc_id, url,
+          |    string_split(text, chr(10)) AS ls,
+          |    string_split(text, chr(10) || chr(10)) AS ps FROM wd3)
+          |, m AS (SELECT doc_id, url, ls, ps,
+          |    list_sum(list_transform(ls, x -> length(x))) AS lt,
+          |    list_sum(list_transform(list_distinct(ls), x -> length(x))) AS ld,
+          |    list_sum(list_transform(ps, x -> length(x))) AS pt,
+          |    list_sum(list_transform(list_distinct(ps), x -> length(x))) AS pd
+          |  FROM arrs)
+          | SELECT doc_id, url,
+          |   round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) AS dup_line_frac,
+          |   CASE WHEN lt = 0 THEN 0.0 ELSE round((lt - ld) * 1.0 / lt, 6) END AS dup_line_char_frac,
+          |   round((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 6) AS dup_para_frac,
+          |   CASE WHEN pt = 0 THEN 0.0 ELSE round((pt - pd) * 1.0 / pt, 6) END AS dup_para_char_frac
+          | FROM m""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

@@ -615,6 +615,37 @@ class OperatorSpec extends SparkSpec {
     assert(fix.exists(_.head > 0.0), "signal degenerate: no doc has dup5 > 0")
   }
 
+  test("q131: dup line/para fractions match an independent replication; signals live") {
+    import spark.implicits._
+    // independent replication of the count- and char-mass duplicate
+    // fractions over literal '\n' / '\n\n' splits
+    def expect(text: String): Seq[Double] = {
+      def fracs(parts: Array[String]): Seq[Double] = {
+        val n = parts.length
+        val cnt = math.floor((n - parts.distinct.length) * 1.0 / n * 1e6 + 0.5) / 1e6
+        val tot = parts.map(_.length.toLong).sum
+        val dup = tot - parts.distinct.map(_.length.toLong).sum
+        val chr = if (tot == 0L) 0.0 else math.floor(dup * 1.0 / tot * 1e6 + 0.5) / 1e6
+        Seq(cnt, chr)
+      }
+      fracs(text.split("\n", -1)) ++ fracs(text.split("\n\n", -1))
+    }
+    val out = SparkEntry.queries("q131_dup_lines")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (2 to 5).map(r.getDouble)))
+    // recompute each doc's injected text exactly as the query does
+    val base = Pipeline.webdoc(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    out.foreach { case (id, got) =>
+      var t = base(id)
+      if (id % 3 == 0) t += "\nshare this page\nshare this page\nsubscribe now\nshare this page"
+      if (id % 5 == 0) t += "\n\nJoin our newsletter today.\n\nJoin our newsletter today."
+      assert(got == expect(t), s"doc $id: $got != ${expect(t)}")
+    }
+    assert(out.exists(_._2(0) > 0.0) && assertable(out.map(_._2(2))),
+      "degenerate: no dup-line or dup-para signal on the fixture")
+  }
+  private def assertable(v: Seq[Double]): Boolean = v.exists(_ > 0.0)
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by

@@ -224,6 +224,15 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(2000))
   }
 
+  test("q131: dup-line/paragraph fractions are exchange-free and stay in codegen") {
+    val plan = staticPlan(SparkEntry.queries("q131_dup_lines")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(2000))
+  }
+
   test("q89: host-prior exchanges never carry text — narrow stats and narrow probe") {
     // the stats agg is map-side-combinable and the join probe projects
     // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
