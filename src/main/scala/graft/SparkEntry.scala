@@ -97,6 +97,30 @@ object SparkEntry {
           cntFrac(col("paras")).as("dup_para_frac"),
           chrFrac(col("paras")).as("dup_para_char_frac"))
     }),
+
+    // Flesch reading-ease + FK grade — exact integer-ratio readability
+    // (word-salad scores very low ease; keyword-stuffing absurd grade);
+    // pure codegen'd projection, exchange-free
+    "q132_readability" -> ((s, dir) =>
+      graft.operators.TextStats.withReadability(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("n_words"), col("n_sentences"),
+          col("n_syllables"), col("flesch"), col("fk_grade"))),
+
+    // Aho–Corasick 504-term lexicon scan — O(chars) per doc regardless of
+    // lexicon size (regex alternation / per-term scans are O(terms·chars));
+    // native expression over a JVM-built automaton, exchange-free. Docs
+    // %4==0 get deterministic synthetic-blocklist hits
+    "q133_lexicon_ac" -> ((s, dir) =>
+      Pipeline.webdoc(s, dir).withColumn("text",
+        when(col("doc_id") % 4 === 0, concat(col("text"),
+          lit(" badterm"), (col("doc_id") % 500).cast("string"),
+          lit(" badterm"), (col("doc_id") % 500).cast("string"),
+          lit(" badterm"), ((col("doc_id") * 3) % 500).cast("string")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), col("url"),
+          graft.functions.LexiconScan(col("text")).as("lx"))
+        .select(col("doc_id"), col("url"), col("lx.n_terms_hit"),
+          col("lx.total_hits"), col("lx.top_term"), col("lx.top_hits"))),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1202,6 +1226,51 @@ object SparkEntry {
           |   round((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 6) AS dup_para_frac,
           |   CASE WHEN pt = 0 THEN 0.0 ELSE round((pt - pd) * 1.0 / pt, 6) END AS dup_para_char_frac
           | FROM m""".stripMargin),
+    "q132_readability" ->
+      // one exact integer ratio per score (constants ×1000 in the
+      // numerator, den = 1000·s·w) — never a sum of separately-rounded
+      // doubles, so round(,6) agrees cross-engine
+      (webdocCte +
+        """, w AS (SELECT doc_id, url, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words FROM webdoc)
+          |, c AS (SELECT doc_id, url,
+          |    CAST(len(words) AS BIGINT) AS n_words,
+          |    greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sentences,
+          |    CAST(coalesce(list_sum(list_transform(words,
+          |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT) AS n_syllables
+          |  FROM w)
+          | SELECT doc_id, url, n_words, n_sentences, n_syllables,
+          |   CASE WHEN n_words > 0 THEN round((206835 * n_sentences * n_words - 1015 * n_words * n_words
+          |     - 84600 * n_syllables * n_sentences) * 1.0 / (1000 * n_sentences * n_words), 6) END AS flesch,
+          |   CASE WHEN n_words > 0 THEN round((390 * n_words * n_words + 11800 * n_syllables * n_sentences
+          |     - 15590 * n_sentences * n_words) * 1.0 / (1000 * n_sentences * n_words), 6) END AS fk_grade
+          | FROM c""".stripMargin),
+    "q133_lexicon_ac" ->
+      // per-term non-overlapping leftmost counts via replace-length
+      // arithmetic — exactly the automaton's semantics; top term by
+      // (hits desc, term asc), a total order
+      (webdocCte +
+        """, wd2 AS (SELECT doc_id, url, CASE WHEN doc_id % 4 = 0
+          |    THEN text || ' badterm' || CAST(doc_id % 500 AS VARCHAR)
+          |              || ' badterm' || CAST(doc_id % 500 AS VARCHAR)
+          |              || ' badterm' || CAST((doc_id * 3) % 500 AS VARCHAR)
+          |    ELSE text END AS text FROM webdoc)
+          |, tl AS (SELECT 'badterm' || CAST(r.range AS VARCHAR) AS term FROM range(0, 500) r
+          |         UNION ALL SELECT unnest(['frak', 'gorram', 'smeg', 'felgercarb']))
+          |, hits AS (SELECT w.doc_id, t.term,
+          |    CAST((length(w.text) - length(replace(w.text, t.term, ''))) / length(t.term) AS BIGINT) AS h
+          |  FROM wd2 w CROSS JOIN tl t)
+          |, agg AS (SELECT doc_id,
+          |    CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+          |    CAST(sum(h) AS BIGINT) AS total_hits
+          |  FROM hits GROUP BY 1)
+          |, top AS (SELECT doc_id, term AS top_term, h AS top_hits FROM (
+          |    SELECT doc_id, term, h,
+          |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, term) AS rn
+          |    FROM hits WHERE h > 0) WHERE rn = 1)
+          | SELECT w.doc_id, w.url, a.n_terms_hit, a.total_hits,
+          |   t.top_term, coalesce(t.top_hits, 0) AS top_hits
+          | FROM wd2 w JOIN agg a USING (doc_id) LEFT JOIN top t USING (doc_id)""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern lexicon scan (Aho & Corasick 1975) — the
+  * scale mechanism behind large-blocklist scrubbing. [[graft.operators.Scrub]]'s
+  * 4-term regex alternation is the right tool at 4 terms; a production
+  * toxicity/PII-name lexicon is 10³–10⁵ terms, where both a regex
+  * alternation (backtracking over alternatives per position) and a
+  * per-term scan (|terms| passes over the text) are O(terms · chars).
+  * The automaton is O(chars + matches) per document REGARDLESS of
+  * lexicon size: goto/fail/output links built once per JVM from the
+  * deterministic term list (production would broadcast the compiled
+  * automaton exactly like LangId's model — a few MB for 10⁵ terms).
+  *
+  * Per-term counts use non-overlapping leftmost semantics — identical to
+  * a successive indexOf/replace loop, so the DuckDB oracle's
+  * (len(text) − len(replace(text, t, ''))) / len(t) is exact. Terms that
+  * are substrings of other terms (badterm1 ⊂ badterm12) are counted
+  * independently, as the oracle does. Outputs: number of distinct terms
+  * hit, total occurrences, and the top term by (count desc, term asc) —
+  * a total order, engine-independent.
+  *
+  * Reference anchor: the reference filters each record against
+  * configured value lists in its per-file loop (vlass2caom2
+  * main_app.py:118-150); here the same per-record position at
+  * web-lexicon scale.
+  */
+case class LexiconScan(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LexiconScan.schema
+  override def prettyName: String = "lexicon_scan"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LexiconScan.compute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LexiconScan$$.MODULE$$.compute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconScan =
+    copy(child = newChild)
+}
+
+object LexiconScan {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_terms_hit", LongType, nullable = false),
+    StructField("total_hits", LongType, nullable = false),
+    StructField("top_term", StringType, nullable = true),
+    StructField("top_hits", LongType, nullable = false)))
+
+  /** Deterministic lexicon: the Scrub placeholder terms + 500 synthetic
+    * blocklist terms (mirrored by the oracle's range(0,500) generator).
+    * Production swaps this for the real 10³–10⁵-term list — the
+    * automaton build below is unchanged. */
+  val terms: IndexedSeq[String] =
+    ((0 until 500).map(k => s"badterm$k") ++
+      IndexedSeq("frak", "gorram", "smeg", "felgercarb")).toIndexedSeq
+
+  /** Term ids in lexicographic term order, for deterministic tie-breaks. */
+  private val lexOrder: Array[Int] =
+    terms.indices.sortBy(terms(_)).toArray
+
+  /** Aho–Corasick automaton over UTF-16 chars (terms are ASCII; a char in
+    * a surrogate pair can never equal an ASCII char, so code-unit stepping
+    * is exact). Flat arrays, built once per JVM. */
+  private final class Automaton(patterns: IndexedSeq[String]) {
+    private val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    private val outBuf = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+    // phase 1: trie
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = Character.valueOf(p.charAt(i))
+        val nxt = gotoMaps(s).get(c)
+        if (nxt == null) {
+          gotoMaps += new java.util.HashMap[Character, Integer]()
+          outBuf += Nil
+          gotoMaps(s).put(c, gotoMaps.size - 1)
+          s = gotoMaps.size - 1
+        } else s = nxt.intValue()
+        i += 1
+      }
+      outBuf(s) = id :: outBuf(s)
+    }
+
+    val fail = new Array[Int](gotoMaps.size)
+    val out: Array[Array[Int]] = outBuf.map(_.toArray).toArray
+
+    // phase 2: BFS fail links; merge output sets down the fail chain
+    {
+      val queue = new java.util.ArrayDeque[Integer]()
+      gotoMaps(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
+      while (!queue.isEmpty) {
+        val r = queue.poll().intValue()
+        gotoMaps(r).forEach { (c, s) =>
+          queue.add(s)
+          var f = fail(r)
+          while (f != 0 && gotoMaps(f).get(c) == null) f = fail(f)
+          val fn = gotoMaps(f).get(c)
+          fail(s) = if (fn != null && fn.intValue() != s.intValue()) fn.intValue() else 0
+          if (out(fail(s)).nonEmpty) out(s) = out(s) ++ out(fail(s))
+        }
+      }
+    }
+
+    def step(state: Int, c: Char): Int = {
+      var s = state
+      val ch = Character.valueOf(c)
+      var nxt = gotoMaps(s).get(ch)
+      while (nxt == null && s != 0) { s = fail(s); nxt = gotoMaps(s).get(ch) }
+      if (nxt == null) 0 else nxt.intValue()
+    }
+  }
+
+  private lazy val ac = new Automaton(terms)
+  private val termLen: Array[Int] = terms.map(_.length).toArray
+
+  def compute(s: String): InternalRow = {
+    val counts = new Array[Long](terms.length)
+    val nextAllowed = new Array[Int](terms.length)
+    var state = 0
+    var i = 0
+    while (i < s.length) {
+      state = ac.step(state, s.charAt(i))
+      val os = ac.out(state)
+      var k = 0
+      while (k < os.length) {
+        val id = os(k)
+        val start = i + 1 - termLen(id)
+        if (start >= nextAllowed(id)) {
+          counts(id) += 1L
+          nextAllowed(id) = i + 1
+        }
+        k += 1
+      }
+      i += 1
+    }
+    var nHit = 0L
+    var total = 0L
+    var topId = -1
+    var j = 0
+    while (j < lexOrder.length) {
+      val id = lexOrder(j)
+      val c = counts(id)
+      if (c > 0L) {
+        nHit += 1L
+        total += c
+        if (topId < 0 || c > counts(topId)) topId = id
+      }
+      j += 1
+    }
+    InternalRow(nHit, total,
+      if (topId < 0) null else UTF8String.fromString(terms(topId)),
+      if (topId < 0) 0L else counts(topId))
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(LexiconScan(GraftBridge.expression(c)))
+}

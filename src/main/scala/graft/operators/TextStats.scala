@@ -327,6 +327,39 @@ object TextStats {
       .withColumn("tokens_per_100c",
         round(col("n_tokens").cast("double") * 100.0 / col("n_chars"), 6))
 
+  /** Flesch reading-ease + Flesch–Kincaid grade per doc — the classic
+    * readability pair quality-filter stacks use to catch word-salad (very
+    * low ease) and keyword-stuffing/listicle spam (absurd grade):
+    *
+    *   ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *   grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+    *
+    * computed as ONE exact integer ratio each (constants ×1000 into the
+    * numerator over den = 1000·s·w) so the 6-dp round is engine-exact —
+    * never as a sum of three separately-rounded doubles. Sentences =
+    * max(1, count of [.!?]); syllables = per-word max(1, vowel-group
+    * count) — the standard public heuristic (Flesch 1948; Kincaid 1975).
+    * Pure codegen'd projection: one regexp pass for sentences, one HOF
+    * pass for syllables, zero exchanges — scan-bound at 10^12 docs. */
+  def withReadability(docs: DataFrame): DataFrame = {
+    val words = Rules.wordsOf(col("text"))
+    val w = size(words).cast("long")
+    val sTerm = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]")).cast("long"))
+    val sy = aggregate(words, lit(0L), (acc, x) =>
+      acc + greatest(lit(1L), regexp_count(x, lit("[aeiouyAEIOUY]+")).cast("long")))
+    val d = docs.withColumn("n_words", w)
+      .withColumn("n_sentences", sTerm)
+      .withColumn("n_syllables", sy)
+    val (nw, ns, nsy) = (col("n_words"), col("n_sentences"), col("n_syllables"))
+    val den = lit(1000L) * ns * nw
+    d.withColumn("flesch",
+        when(nw > 0L, round((lit(206835L) * ns * nw - lit(1015L) * nw * nw -
+          lit(84600L) * nsy * ns).cast("double") / den, 6)))
+      .withColumn("fk_grade",
+        when(nw > 0L, round((lit(390L) * nw * nw + lit(11800L) * nsy * ns -
+          lit(15590L) * ns * nw).cast("double") / den, 6)))
+  }
+
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
     * whole corpus (one shuffle), then a broadcast join back onto the
     * exploded words (the counts table is lexicon-sized). */

@@ -646,6 +646,102 @@ class OperatorSpec extends SparkSpec {
   }
   private def assertable(v: Seq[Double]): Boolean = v.exists(_ > 0.0)
 
+  test("q132: readability matches an independent replication; known-text sanity") {
+    import spark.implicits._
+    def expect(text: String): (Long, Long, Long, Option[Double], Option[Double]) = {
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val w = words.length.toLong
+      val s = math.max(1L, "[.!?]".r.findAllIn(text).length.toLong)
+      val sy = words.map(x => math.max(1L, "[aeiouyAEIOUY]+".r.findAllIn(x).length.toLong)).sum
+      def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+      if (w == 0) (w, s, sy, None, None)
+      else (w, s, sy,
+        Some(r6((206835L * s * w - 1015L * w * w - 84600L * sy * s).toDouble / (1000L * s * w))),
+        Some(r6((390L * w * w + 11800L * sy * s - 15590L * s * w).toDouble / (1000L * s * w))))
+    }
+    val crafted = Seq(
+      "",                                        // empty → counts 0, scores null
+      "The cat sat on the mat.",                 // easy prose → high ease
+      "Intergovernmental organizational methodologies necessitate comprehensive " +
+        "implementations notwithstanding bureaucratic considerations.", // dense → low/negative ease
+      "xkcd qwrtz brrr",                         // zero-vowel words → min-1 syllables
+      "One. Two! Three? Four.")
+    val out = crafted.toDF("text")
+      .transform(graft.operators.TextStats.withReadability)
+      .select($"n_words", $"n_sentences", $"n_syllables", $"flesch", $"fk_grade")
+      .collect()
+    crafted.zip(out).foreach { case (t, r) =>
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+      assert(got == expect(t), s"text '$t': $got != ${expect(t)}")
+    }
+    // easy prose must out-score the bureaucratic wall
+    val ease = out.map(r => if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+    assert(ease(1) > 70.0 && ease(2) < 10.0 && ease(1) > ease(2))
+    // full-fixture differential against the same replication
+    val fix = Pipeline.webdoc(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    val got = SparkEntry.queries("q132_readability")(spark, sfDir)
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables", $"flesch", $"fk_grade")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    fix.foreach { case (id, t) =>
+      assert(got(id) == expect(t), s"fixture doc $id diverges") }
+  }
+
+  test("LexiconScan: automaton matches an indexOf-loop replication on adversarial cases") {
+    import spark.implicits._
+    val terms = graft.functions.LexiconScan.terms
+    // independent replication: per-term leftmost non-overlapping indexOf loop
+    def expect(text: String): (Long, Long, Option[String], Long) = {
+      val counts = terms.map { t =>
+        var from = 0; var c = 0L
+        var idx = text.indexOf(t, from)
+        while (idx >= 0) { c += 1; from = idx + t.length; idx = text.indexOf(t, from) }
+        t -> c
+      }.filter(_._2 > 0)
+      if (counts.isEmpty) (0L, 0L, None, 0L)
+      else {
+        val top = counts.sortBy { case (t, c) => (-c, t) }.head
+        (counts.size.toLong, counts.map(_._2).sum, Some(top._1), top._2)
+      }
+    }
+    val crafted = Seq(
+      "",
+      "clean text with no hits at all",
+      "badterm1",                                   // exact = whole string
+      "badterm12",                                  // hits badterm1 AND badterm12
+      "badterm123 is not a term but badterm12 is",  // 123 > 499 range? no: badterm123 IS a term (0..499)
+      "frakfrakfrak gorram",                        // adjacent repeats
+      "xbadterm49 badterm499 badterm49",            // prefix nesting 49 ⊂ 499
+      "smeg at start and end felgercarb",
+      ("badterm7 " * 10).trim)
+    crafted.foreach { t =>
+      val r = Seq(t).toDF("text")
+        .select(graft.functions.LexiconScan(col("text")).as("lx"))
+        .select($"lx.n_terms_hit", $"lx.total_hits", $"lx.top_term", $"lx.top_hits")
+        .head()
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getString(2)), r.getLong(3))
+      assert(got == expect(t), s"text '$t': $got != ${expect(t)}")
+    }
+    // full q133 differential: recompute each injected doc independently
+    val base = Pipeline.webdoc(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val out = SparkEntry.queries("q133_lexicon_ac")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getString(4)), r.getLong(5))))
+    out.foreach { case (id, got) =>
+      var t = base(id)
+      if (id % 4 == 0) t += s" badterm${id % 500} badterm${id % 500} badterm${(id * 3) % 500}"
+      assert(got == expect(t), s"doc $id: $got != ${expect(t)}")
+    }
+    assert(out.count(_._2._1 > 0) > out.length / 5, "injection signal missing")
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by

@@ -233,6 +233,24 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(2000))
   }
 
+  test("q132: readability is exchange-free and stays in codegen") {
+    val plan = staticPlan(SparkEntry.queries("q132_readability")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(2000))
+  }
+
+  test("q133: lexicon automaton scan is exchange-free and stays in codegen") {
+    val plan = staticPlan(SparkEntry.queries("q133_lexicon_ac")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(2000))
+  }
+
   test("q89: host-prior exchanges never carry text — narrow stats and narrow probe") {
     // the stats agg is map-side-combinable and the join probe projects
     // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
