@@ -121,6 +121,30 @@ object SparkEntry {
           graft.functions.LexiconScan(col("text")).as("lx"))
         .select(col("doc_id"), col("url"), col("lx.n_terms_hit"),
           col("lx.total_hits"), col("lx.top_term"), col("lx.top_hits"))),
+
+    // jusText/trafilatura-style extraction-quality signals straight off
+    // the html binary: tag count, text-to-markup density, paragraph
+    // count, title — a pure codegen'd projection (decode + regexp_count),
+    // the pre-extraction filter a 100 TB crawl runs in the scan stage
+    "q134_markup" -> ((s, dir) => {
+      val h = decode(col("html"), "UTF-8")
+      Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        length(h).cast("long").as("html_chars"),
+        length(col("text")).cast("long").as("text_chars"),
+        regexp_count(h, lit("<[^>]*>")).cast("long").as("n_tags"),
+        regexp_count(h, lit("<p>")).cast("long").as("n_paras"),
+        regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
+        round(length(col("text")) * lit(1.0) / length(h), 6).as("text_density"))
+    }),
+
+    // CCNet-style language-confidence margin: top1−top2 cosine gap from
+    // the broadcast langid model — near-zero margin = mixed-language /
+    // transliterated pages a hard argmax silently mislabels
+    "q135_lang_margin" -> ((s, dir) =>
+      graft.functions.LangId.withMargin(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("url"), col("lang_pred"), col("lang_score"),
+          col("second_lang"), col("second_score"), col("margin"),
+          (col("margin") >= 0.05).as("confident"))),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1271,6 +1295,32 @@ object SparkEntry {
           | SELECT w.doc_id, w.url, a.n_terms_hit, a.total_hits,
           |   t.top_term, coalesce(t.top_hits, 0) AS top_hits
           | FROM wd2 w JOIN agg a USING (doc_id) LEFT JOIN top t USING (doc_id)""".stripMargin),
+    "q134_markup" ->
+      (webdocCte +
+        """ SELECT doc_id, url,
+          |   CAST(length(html_str) AS BIGINT) AS html_chars,
+          |   CAST(length(text) AS BIGINT) AS text_chars,
+          |   CAST(len(regexp_extract_all(html_str, '<[^>]*>')) AS BIGINT) AS n_tags,
+          |   CAST(len(regexp_extract_all(html_str, '<p>')) AS BIGINT) AS n_paras,
+          |   regexp_extract(html_str, '<title>([^<]*)</title>', 1) AS title,
+          |   round(length(text) * 1.0 / length(html_str), 6) AS text_density
+          | FROM webdoc""".stripMargin),
+    "q135_lang_margin" ->
+      // the q30 ranked CTE already totals-orders (score desc, lang asc);
+      // margin = difference of the two 6-dp-quantized scores
+      (webdocCte + graft.oracle.OracleDdl.langidCtes +
+        """ SELECT w.doc_id, w.url,
+          |   coalesce(r1.lang, 'de') AS lang_pred,
+          |   coalesce(floor(r1.s * 1e6 + 0.5) / 1e6, 0.0) AS lang_score,
+          |   coalesce(r2.lang, 'en') AS second_lang,
+          |   coalesce(floor(r2.s * 1e6 + 0.5) / 1e6, 0.0) AS second_score,
+          |   coalesce(floor(r1.s * 1e6 + 0.5) / 1e6, 0.0)
+          |     - coalesce(floor(r2.s * 1e6 + 0.5) / 1e6, 0.0) AS margin,
+          |   (coalesce(floor(r1.s * 1e6 + 0.5) / 1e6, 0.0)
+          |     - coalesce(floor(r2.s * 1e6 + 0.5) / 1e6, 0.0)) >= 0.05 AS confident
+          | FROM webdoc w
+          | LEFT JOIN ranked r1 ON w.doc_id = r1.doc_id AND r1.rn = 1
+          | LEFT JOIN ranked r2 ON w.doc_id = r2.doc_id AND r2.rn = 2""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

@@ -120,6 +120,66 @@ object LangId extends Serializable {
     (best, Round6.r6(bestScore))
   }
 
+  /** Top-2 variant of [[predictInto]]: same buffer reuse, same per-lang
+    * dot loop (so the raw doubles are bit-identical to the oracle's
+    * idx-ascending fold), returning (bestIdx, bestRaw, secondIdx,
+    * secondRaw) under the total order (score desc, lang asc) — exactly
+    * the oracle's row_number ranking. */
+  def predictTop2Into(text: String, profiles: Array[Array[Double]],
+                      buf: Array[Double]): (Int, Double, Int, Double) = {
+    java.util.Arrays.fill(buf, 0.0)
+    val t = " " + text.toLowerCase + " "
+    var i = 0
+    while (i + 3 <= t.length) { buf(hashGram(t, i)) += 1.0; i += 1 }
+    var ss = 0.0; var j = 0
+    while (j < Dim) { ss += buf(j) * buf(j); j += 1 }
+    val nrm = math.sqrt(ss)
+    var i1 = -1; var s1 = Double.NegativeInfinity
+    var i2 = -1; var s2 = Double.NegativeInfinity
+    var li = 0
+    while (li < profiles.length) {
+      val p = profiles(li)
+      var dot = 0.0; var k = 0
+      while (k < Dim) { dot += buf(k) * p(k); k += 1 }
+      val s = if (nrm == 0.0) 0.0 else dot / nrm
+      if (s > s1) { s2 = s1; i2 = i1; s1 = s; i1 = li }
+      else if (s > s2) { s2 = s; i2 = li }
+      li += 1
+    }
+    (i1, s1, i2, s2)
+  }
+
+  /** CCNet-style confidence margin: lang_pred/lang_score plus the
+    * runner-up language and the top1−top2 score gap. Near-zero margin =
+    * mixed-language or transliterated pages — the ones a hard argmax
+    * silently mislabels; production filters keep margin ≥ τ. Same
+    * broadcast-model mapPartitions shape as [[apply]]; margin is the
+    * difference of the two 6-dp-quantized scores (deterministic both
+    * engines — same doubles, same subtraction). */
+  def withMargin(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = modelBroadcast(spark)
+    val inSchema = docs.schema
+    val textIdx = inSchema.fieldIndex("text")
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("lang_pred", StringType), StructField("lang_score", DoubleType),
+      StructField("second_lang", StringType), StructField("second_score", DoubleType),
+      StructField("margin", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { iter =>
+      val m = bc.value
+      val profiles = Langs.map(m).toArray
+      val buf = new Array[Double](Dim)
+      iter.map { r =>
+        val text = r.getString(textIdx)
+        val (i1, s1r, i2, s2r) =
+          predictTop2Into(if (text == null) "" else text, profiles, buf)
+        val s1 = Round6.r6(s1r); val s2 = Round6.r6(s2r)
+        Row.fromSeq(r.toSeq ++ Seq(Langs(i1), s1, Langs(i2), s2, s1 - s2))
+      }
+    }(enc)
+  }
+
   /** Predict (language, cosine score) for one text. Deterministic:
     * fixed Langs order, ties break toward the earlier language. Same
     * arithmetic as predictInto (dot of raw counts, divided by the norm). */

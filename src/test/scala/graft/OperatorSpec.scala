@@ -742,6 +742,46 @@ class OperatorSpec extends SparkSpec {
     assert(out.count(_._2._1 > 0) > out.length / 5, "injection signal missing")
   }
 
+  test("q134/q135: markup signals sane; langid margin consistent with predict()") {
+    import spark.implicits._
+    val mk = SparkEntry.queries("q134_markup")(spark, sfDir).collect()
+    mk.foreach { r =>
+      val (id, htmlChars, textChars, nTags, nParas, title, density) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6), r.getDouble(7))
+      assert(title == s"Doc $id")
+      assert(htmlChars > textChars && density > 0.0 && density < 1.0)
+      // fixed scaffold = 17 tags; each extra paragraph adds </p><p>
+      assert(nTags == 17 + 2 * (nParas - 1) && nParas >= 1)
+    }
+    // margin: replicate from the single-prediction API over the same text
+    val texts = Pipeline.webdoc(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toMap
+    val out = SparkEntry.queries("q135_lang_margin")(spark, sfDir).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (i1, s1, i2, s2) = graft.functions.LangId.predictTop2Into(texts(id),
+        graft.functions.LangId.Langs.map(graft.functions.LangId.model).toArray,
+        new Array[Double](graft.functions.LangId.Dim))
+      val (q1, q2) = (graft.functions.Round6.r6(s1), graft.functions.Round6.r6(s2))
+      assert(r.getString(2) == graft.functions.LangId.Langs(i1))
+      assert(r.getDouble(3) == q1 && r.getString(4) == graft.functions.LangId.Langs(i2))
+      assert(r.getDouble(5) == q2 && r.getDouble(6) == q1 - q2)
+      assert(r.getBoolean(7) == (q1 - q2 >= 0.05))
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(3) >= r.getDouble(5))
+    }
+    // a pure-English page separates; a 50/50 es/en mash-up has thin margin
+    val profiles = graft.functions.LangId.Langs.map(graft.functions.LangId.model).toArray
+    val buf = new Array[Double](graft.functions.LangId.Dim)
+    def marginOf(t: String): Double = {
+      val (_, a, _, b) = graft.functions.LangId.predictTop2Into(t, profiles, buf)
+      graft.functions.Round6.r6(a) - graft.functions.Round6.r6(b)
+    }
+    val en = "the quick brown fox jumps over the lazy dog and the children watch from the garden again"
+    val mixed = "the quick brown fox salta sobre el perro perezoso while los niños miran from the garden"
+    assert(marginOf(en) > marginOf(mixed), s"${marginOf(en)} !> ${marginOf(mixed)}")
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by

@@ -251,6 +251,15 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(2000))
   }
 
+  test("q134: markup-density signals are exchange-free and stay in codegen") {
+    val plan = staticPlan(SparkEntry.queries("q134_markup")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty, plan.toString.take(2000))
+  }
+
   test("q89: host-prior exchanges never carry text — narrow stats and narrow probe") {
     // the stats agg is map-side-combinable and the join probe projects
     // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
