@@ -145,6 +145,43 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("lang_pred"), col("lang_score"),
           col("second_lang"), col("second_score"), col("margin"),
           (col("margin") >= 0.05).as("confident"))),
+
+    // Per-host keep stats through the SALTED two-phase aggregation (the
+    // north star's "salted repartitioning for skewed hosts"): the ~30%
+    // hot host spreads over 16 salt subkeys in phase 1, so no single
+    // task ever reduces the whole host; phase 2 sums ≤16 partial rows
+    // per host. Result provably equals the direct GROUP BY (the oracle)
+    "q136_salted_host_stats" -> ((s, dir) =>
+      graft.plans.Salting.twoPhaseAgg(Pipeline.scored(s, dir), col("host"), 16,
+        Seq("n_docs" -> count(lit(1)),
+          "n_keep" -> sum(col("keep").cast("long")),
+          "n_chars" -> sum(length(col("text")).cast("long"))))
+        .select(col("k").as("host"), col("n_docs"), col("n_keep"), col("n_chars"))),
+
+    // Per-(lang, source) keep-rate DRIFT between crawl halves (epoch =
+    // (doc_id div 20) % 2 — doc_id mod 20 IS the source, so raw parity
+    // would be source-determined): two-proportion z-test — the
+    // statistical QA monitor that separates real filter drift from
+    // small-sample noise, which a raw rate diff can't.
+    // One narrow map-side-combinable aggregation; z is an exact-integer-
+    // derived double quantized with the floor recipe (engine-exact)
+    "q137_drift_z" -> ((s, dir) => {
+      val d = Pipeline.scored(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(when(expr("(doc_id div 20) % 2") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(expr("(doc_id div 20) % 2") === 0 && col("keep"), 1L).otherwise(0L)).as("k1"),
+          sum(when(expr("(doc_id div 20) % 2") =!= 0, 1L).otherwise(0L)).as("n2"),
+          sum(when(expr("(doc_id div 20) % 2") =!= 0 && col("keep"), 1L).otherwise(0L)).as("k2"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      val p = (col("k1") + col("k2")) * lit(1.0) / (col("n1") + col("n2"))
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+      val zRaw = (col("k1") * lit(1.0) / col("n1") - col("k2") * lit(1.0) / col("n2")) / se
+      val z = when(se === 0.0, lit(0.0))
+        .otherwise(floor(zRaw * lit(1e6) + lit(0.5)) / lit(1e6))
+      d.select(col("lang"), col("source"), col("n1"), col("k1"), col("n2"),
+        col("k2"), z.as("z"), (abs(z) > 2.0).as("shifted"))
+    }),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1321,6 +1358,33 @@ object SparkEntry {
           | FROM webdoc w
           | LEFT JOIN ranked r1 ON w.doc_id = r1.doc_id AND r1.rn = 1
           | LEFT JOIN ranked r2 ON w.doc_id = r2.doc_id AND r2.rn = 2""".stripMargin),
+    "q136_salted_host_stats" ->
+      // the salted two-phase plan must EQUAL the direct group-by
+      (webdocCte + signalsCte + verdictCte +
+        """ SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          |   CAST(sum(length(text)) AS BIGINT) AS n_chars
+          | FROM verdict2 GROUP BY host""".stripMargin),
+    "q137_drift_z" ->
+      // identical arithmetic DAG term-for-term (p, se, z) so the raw
+      // doubles match bit-for-bit before the floor quantization
+      (webdocCte + signalsCte + verdictCte +
+        """, c AS (SELECT lang, source,
+          |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN (doc_id // 20) % 2 = 0 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+          |    CAST(sum(CASE WHEN (doc_id // 20) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |    CAST(sum(CASE WHEN (doc_id // 20) % 2 <> 0 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS k2
+          |  FROM verdict2 GROUP BY lang, source)
+          |, m AS (SELECT lang, source, n1, k1, n2, k2,
+          |    (k1 + k2) * 1.0 / (n1 + n2) AS p,
+          |    sqrt(((k1 + k2) * 1.0 / (n1 + n2)) * (1.0 - (k1 + k2) * 1.0 / (n1 + n2))
+          |         * (1.0 / n1 + 1.0 / n2)) AS se
+          |  FROM c WHERE n1 > 0 AND n2 > 0)
+          |, zt AS (SELECT lang, source, n1, k1, n2, k2,
+          |    CASE WHEN se = 0 THEN 0.0
+          |         ELSE floor((k1 * 1.0 / n1 - k2 * 1.0 / n2) / se * 1e6 + 0.5) / 1e6 END AS z
+          |  FROM m)
+          | SELECT lang, source, n1, k1, n2, k2, z, (abs(z) > 2.0) AS shifted FROM zt""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

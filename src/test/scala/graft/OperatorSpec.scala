@@ -782,6 +782,31 @@ class OperatorSpec extends SparkSpec {
     assert(marginOf(en) > marginOf(mixed), s"${marginOf(en)} !> ${marginOf(mixed)}")
   }
 
+  test("q136/q137: salted stats equal direct; drift z matches scalar replication") {
+    import spark.implicits._
+    // q136: the salted two-phase result must equal a direct group-by
+    val direct = Pipeline.scored(spark, sfDir).groupBy($"host")
+      .agg(count(lit(1)).as("n_docs"), sum($"keep".cast("long")).as("n_keep"),
+        sum(length($"text").cast("long")).as("n_chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val salted = SparkEntry.queries("q136_salted_host_stats")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(salted == direct)
+    // q137: replicate the two-proportion z from the raw cohort counts
+    val out = SparkEntry.queries("q137_drift_z")(spark, sfDir).collect()
+    assert(out.length > 50 && out.exists(r => math.abs(r.getDouble(6)) > 1.0),
+      s"degenerate drift table: ${out.length} rows")
+    out.foreach { r =>
+      val (n1, k1, n2, k2) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val p = (k1 + k2) * 1.0 / (n1 + n2)
+      val se = math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))
+      val z = if (se == 0.0) 0.0
+        else math.floor((k1 * 1.0 / n1 - k2 * 1.0 / n2) / se * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(6) == z && r.getBoolean(7) == (math.abs(z) > 2.0),
+        s"${r.getString(0)}/${r.getString(1)}: ${r.getDouble(6)} != $z")
+    }
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by

@@ -260,6 +260,25 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, plan.toString.take(2000))
   }
 
+  test("q136: salted agg shuffles on (host, salt) first, then ≤salts rows per host") {
+    val plan = staticPlan(SparkEntry.queries("q136_salted_host_stats")(spark, sfDir))
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 2, plan.toString.take(2000))
+    // phase-1 exchange spreads the hot host over salt subkeys (2 partition
+    // expressions: host + the extracted salt grouping expr); phase-2
+    // re-keys by host alone and carries only the ≤16 partial rows
+    val arities = exchanges.map(_.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.size
+      case _ => -1
+    }).sorted
+    assert(arities == Seq(1, 2), exchanges.map(_.outputPartitioning).mkString("\n"))
+    // both phases are partial-then-final hash aggregates (map-side combine)
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.size >= 4, plan.toString.take(2000))
+  }
+
   test("q89: host-prior exchanges never carry text — narrow stats and narrow probe") {
     // the stats agg is map-side-combinable and the join probe projects
     // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
