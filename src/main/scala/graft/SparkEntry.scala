@@ -134,7 +134,9 @@ object SparkEntry {
         regexp_count(h, lit("<[^>]*>")).cast("long").as("n_tags"),
         regexp_count(h, lit("<p>")).cast("long").as("n_paras"),
         regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
-        round(length(col("text")) * lit(1.0) / length(h), 6).as("text_density"))
+        when(length(h) === 0, lit(0.0))
+          .otherwise(round(length(col("text")) * lit(1.0) / length(h), 6))
+          .as("text_density"))
     }),
 
     // CCNet-style language-confidence margin: top1−top2 cosine gap from
@@ -1340,7 +1342,8 @@ object SparkEntry {
           |   CAST(len(regexp_extract_all(html_str, '<[^>]*>')) AS BIGINT) AS n_tags,
           |   CAST(len(regexp_extract_all(html_str, '<p>')) AS BIGINT) AS n_paras,
           |   regexp_extract(html_str, '<title>([^<]*)</title>', 1) AS title,
-          |   round(length(text) * 1.0 / length(html_str), 6) AS text_density
+          |   CASE WHEN length(html_str) = 0 THEN 0.0
+          |        ELSE round(length(text) * 1.0 / length(html_str), 6) END AS text_density
           | FROM webdoc""".stripMargin),
     "q135_lang_margin" ->
       // the q30 ranked CTE already totals-orders (score desc, lang asc);

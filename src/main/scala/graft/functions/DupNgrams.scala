@@ -60,23 +60,11 @@ object DupNgrams {
   val schema: StructType = StructType(
     ns.map(n => StructField(s"dup${n}_frac", DoubleType, nullable = false)))
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   def compute(s: String): InternalRow = {
     val len = s.length
-    val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    var wStart = -1
-    while (i < len) {
-      if (isWs(s.charAt(i))) {
-        if (wStart >= 0) { words += s.substring(wStart, i); wStart = -1 }
-      } else if (wStart < 0) wStart = i
-      i += 1
-    }
-    if (wStart >= 0) words += s.substring(wStart, len)
-    val wa = words.toArray
+    val wa = Words.tokenize(s)
     val nw = wa.length
+    var i = 0
     val wLens = new Array[Int](nw)
     i = 0
     while (i < nw) { wLens(i) = wa(i).codePointCount(0, wa(i).length); i += 1 }

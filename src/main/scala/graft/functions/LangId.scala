@@ -99,25 +99,11 @@ object LangId extends Serializable {
     * Returns (langIndex, score). GC pressure was the 32-thread scaling
     * killer: 2×32 KB fresh arrays per doc saturated the collector. */
   def predictInto(text: String, profiles: Array[Array[Double]], buf: Array[Double]): (Int, Double) = {
-    java.util.Arrays.fill(buf, 0.0)
-    val t = " " + text.toLowerCase + " "
-    var i = 0
-    while (i + 3 <= t.length) { buf(hashGram(t, i)) += 1.0; i += 1 }
-    var ss = 0.0; var j = 0
-    while (j < Dim) { ss += buf(j) * buf(j); j += 1 }
-    val nrm = math.sqrt(ss)
-    var best = 0
-    var bestScore = -1.0
-    var li = 0
-    while (li < profiles.length) {
-      val p = profiles(li)
-      var dot = 0.0; var k = 0
-      while (k < Dim) { dot += buf(k) * p(k); k += 1 }
-      val s = if (nrm == 0.0) 0.0 else dot / nrm
-      if (s > bestScore) { bestScore = s; best = li }
-      li += 1
-    }
-    (best, Round6.r6(bestScore))
+    // the top-1 projection of the top-2 scorer: ONE scoring loop in the
+    // codebase, so q30 and q135 can't drift (review finding) — the extra
+    // runner-up bookkeeping is O(langs), noise next to the Dim-wide dots
+    val (i1, s1, _, _) = predictTop2Into(text, profiles, buf)
+    (i1, Round6.r6(s1))
   }
 
   /** Top-2 variant of [[predictInto]]: same buffer reuse, same per-lang

@@ -50,8 +50,7 @@ object NormalizeText {
   def apply(c: Column): Column =
     GraftBridge.column(NormalizeText(GraftBridge.expression(c)))
 
-  private def isWs(ch: Char): Boolean = // java-regex \s (ASCII)
-    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+  private def isWs(ch: Char): Boolean = Words.isWs(ch)
 
   /** NFC → ROOT lowercase → collapse \s+ runs to ' ' → trim. One shared
     * JVM implementation so interpreted eval and codegen cannot drift. */

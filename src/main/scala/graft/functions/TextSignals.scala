@@ -70,8 +70,7 @@ object TextSignals {
 
   private val stopWords = graft.operators.Rules.StopWords.toSet
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWs(c: Char): Boolean = Words.isWs(c)
 
   /** The shared 6-dp rounding convention — see [[Round6]] for the
     * tie-behavior caveat. */

@@ -56,9 +56,6 @@ object TopNgrams {
     StructField("top3_frac", DoubleType, nullable = false),
     StructField("top4_frac", DoubleType, nullable = false)))
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
   /** frac for one n: HashMap count of space-joined n-grams, top by
     * (count, then smallest gram). Returns count * gramCodePoints. */
   private def topMass(words: Array[String], n: Int): Double = {
@@ -94,19 +91,8 @@ object TopNgrams {
   }
 
   def compute(s: String): InternalRow = {
-    val n = s.length
-    val words = new scala.collection.mutable.ArrayBuffer[String](64)
-    var i = 0
-    var wStart = -1
-    while (i < n) {
-      if (isWs(s.charAt(i))) {
-        if (wStart >= 0) { words += s.substring(wStart, i); wStart = -1 }
-      } else if (wStart < 0) wStart = i
-      i += 1
-    }
-    if (wStart >= 0) words += s.substring(wStart, n)
-    val wa = words.toArray
-    val denom = s.codePointCount(0, n).toDouble
+    val wa = Words.tokenize(s)
+    val denom = s.codePointCount(0, s.length).toDouble
     def frac(k: Int): Double =
       if (denom == 0.0) 0.0 else Round6.r6(topMass(wa, k) / denom)
     InternalRow(frac(2), frac(3), frac(4))

@@ -1,0 +1,32 @@
+package graft.functions
+
+/** THE word-tokenization contract shared by every native expression and
+  * mirrored by the oracle side's `regexp_split_to_array(text, '\s+')` +
+  * drop-empties convention: whitespace is exactly Java regex `\s` =
+  * `[ \t\n\x0B\f\r]` (ASCII — matches RE2 for this corpus). One
+  * definition, so a future change (e.g. Unicode whitespace) cannot
+  * silently diverge one expression's word split from another's on the
+  * same text (review finding: this used to live as four private copies).
+  */
+object Words {
+
+  /** Java-regex `\s` (ASCII). */
+  def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace split with empties dropped — the `wsw` CTE's words. */
+  def tokenize(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    val n = s.length
+    var i = 0
+    var wStart = -1
+    while (i < n) {
+      if (isWs(s.charAt(i))) {
+        if (wStart >= 0) { out += s.substring(wStart, i); wStart = -1 }
+      } else if (wStart < 0) wStart = i
+      i += 1
+    }
+    if (wStart >= 0) out += s.substring(wStart, n)
+    out.toArray
+  }
+}

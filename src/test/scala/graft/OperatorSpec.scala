@@ -622,9 +622,10 @@ class OperatorSpec extends SparkSpec {
     def expect(text: String): Seq[Double] = {
       def fracs(parts: Array[String]): Seq[Double] = {
         val n = parts.length
+        def cps(s: String): Long = s.codePointCount(0, s.length).toLong
         val cnt = math.floor((n - parts.distinct.length) * 1.0 / n * 1e6 + 0.5) / 1e6
-        val tot = parts.map(_.length.toLong).sum
-        val dup = tot - parts.distinct.map(_.length.toLong).sum
+        val tot = parts.map(cps).sum
+        val dup = tot - parts.distinct.map(cps).sum
         val chr = if (tot == 0L) 0.0 else math.floor(dup * 1.0 / tot * 1e6 + 0.5) / 1e6
         Seq(cnt, chr)
       }
