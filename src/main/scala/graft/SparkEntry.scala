@@ -184,6 +184,21 @@ object SparkEntry {
       d.select(col("lang"), col("source"), col("n1"), col("k1"), col("n2"),
         col("k2"), z.as("z"), (abs(z) > 2.0).as("shifted"))
     }),
+
+    // Per-shard OUTPUT MANIFEST over the deliverable (kept + scrubbed):
+    // doc/char counts plus an order-independent 60-bit content checksum
+    // (bit_xor of h60(doc_id:scrubbed_text)) — the integrity row that
+    // proves a resumed/rerun shard produced byte-identical output without
+    // re-reading it. One narrow map-side-combinable aggregation
+    "q138_output_manifest" -> ((s, dir) =>
+      Pipeline.scored(s, dir).filter(col("keep"))
+        .select(col("shard"),
+          length(col("scrubbed_text")).cast("long").as("len"),
+          graft.functions.Hashing.md5Hash60(concat(col("doc_id").cast("string"),
+            lit(":"), col("scrubbed_text"))).as("h"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
+          expr("bit_xor(h)").as("checksum"))),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1388,6 +1403,12 @@ object SparkEntry {
           |         ELSE floor((k1 * 1.0 / n1 - k2 * 1.0 / n2) / se * 1e6 + 0.5) / 1e6 END AS z
           |  FROM m)
           | SELECT lang, source, n1, k1, n2, k2, z, (abs(z) > 2.0) AS shifted FROM zt""".stripMargin),
+    "q138_output_manifest" ->
+      (pipelineCte +
+        s""" SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |   CAST(sum(length(scrubbed_text)) AS BIGINT) AS n_chars,
+           |   bit_xor(${graft.oracle.OracleDdl.h60("doc_id || ':' || scrubbed_text")}) AS checksum
+           | FROM scrub WHERE keep GROUP BY shard""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

@@ -808,6 +808,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q138: output manifest checksum matches a JVM-side recomputation; detects mutation") {
+    import spark.implicits._
+    val kept = Pipeline.scored(spark, sfDir).filter($"keep")
+      .select($"shard", $"doc_id", $"scrubbed_text")
+      .as[(Long, Long, String)].collect()
+    val expected = kept.groupBy(_._1).map { case (shard, rows) =>
+      shard -> (rows.length.toLong,
+        rows.map(_._3.length.toLong).sum,
+        rows.map(r => graft.functions.Hashing.md5Hash60Jvm(s"${r._2}:${r._3}"))
+          .reduce(_ ^ _))
+    }
+    val got = SparkEntry.queries("q138_output_manifest")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // the checksum is sensitive to any single-doc mutation within a shard
+    val (shard, rows) = (kept.groupBy(_._1).head._1, kept.filter(_._1 == kept.head._1))
+    val mutated = rows.map(r => graft.functions.Hashing.md5Hash60Jvm(s"${r._2}:${r._3}X"))
+      .reduce(_ ^ _)
+    assert(mutated != expected(kept.head._1)._3, s"shard $shard checksum blind to mutation")
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by
