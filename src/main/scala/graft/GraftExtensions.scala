@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_sig", 1, exprs => graft.functions.MinHashSig(exprs.head))
     reg("simhash60", 1, exprs => graft.functions.SimHash60(exprs.head))
     reg("dot_product", 2, exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
+    reg("top_ngrams", 1, exprs => graft.functions.TopNgrams(exprs.head))
+    reg("dup_ngrams", 1, exprs => graft.functions.DupNgrams(exprs.head))
+    reg("normalize_text", 1, exprs => graft.functions.NormalizeText(exprs.head))
+    reg("lexicon_scan", 1, exprs => graft.functions.LexiconScan(exprs.head))
   }
 }

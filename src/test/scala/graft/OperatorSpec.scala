@@ -143,11 +143,17 @@ class OperatorSpec extends SparkSpec {
         """SELECT poly_hash(text) AS h, text_signals(text).n_words AS nw,
           |scrub_all(text).scrubbed_text AS st, size(word_shingles(text)) AS ns,
           |simhash60(text) AS sh,
-          |dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp
+          |dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS dp,
+          |top_ngrams(text).top2_frac AS t2,
+          |dup_ngrams(text).dup5_frac AS d5,
+          |normalize_text(text) AS nt,
+          |lexicon_scan(text).total_hits AS lx
           |FROM wd_ext""".stripMargin).collect()
       assert(r.length == 5)
       assert(r.forall(_.getLong(1) > 0))
       assert(r.forall(_.getDouble(5) == 32.0))
+      assert(r.forall(r2 => r2.getDouble(6) >= 0.0 && r2.getDouble(7) >= 0.0 &&
+        r2.getString(8) != null && r2.getLong(9) >= 0L))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(main)
       org.apache.spark.sql.SparkSession.setDefaultSession(main)
