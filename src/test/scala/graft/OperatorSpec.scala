@@ -835,6 +835,26 @@ class OperatorSpec extends SparkSpec {
     assert(mutated != expected(kept.head._1)._3, s"shard $shard checksum blind to mutation")
   }
 
+  test("Words.tokenize equals the regex split contract on fuzzed whitespace mixes") {
+    // deterministic LCG fuzz: every whitespace class, empty runs, edges
+    var seed = 0x5DEECE66DL
+    def next(n: Int): Int = { seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n }
+    val ws = " \t\n\u000B\f\r"
+    val alpha = "abcXYZ09!@."
+    (0 until 500).foreach { _ =>
+      val len = next(40)
+      val s = (0 until len).map { _ =>
+        if (next(3) == 0) ws(next(ws.length)) else alpha(next(alpha.length))
+      }.mkString
+      val expected = s.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(graft.functions.Words.tokenize(s).toSeq == expected, s"'$s'")
+    }
+    assert(graft.functions.Words.tokenize("").isEmpty)
+    assert(graft.functions.Words.tokenize(" \t\n ").isEmpty)
+    assert(graft.functions.Words.tokenize("one").toSeq == Seq("one"))
+  }
+
   test("TopNgrams: matches an independent sliding-window replication + edge cases") {
     import spark.implicits._
     // independent replication: groupBy over sliding windows, max by
