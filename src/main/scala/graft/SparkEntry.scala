@@ -199,6 +199,64 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("n_chars"),
           expr("bit_xor(h)").as("checksum"))),
+
+    // SALTED JOIN (the third skew remedy, next to q136's salted agg):
+    // per-host stats join back to every doc through a (host, salt)
+    // shuffled-hash join — the ~30% hot host's fact rows spread over 16
+    // tasks instead of one, and the dim side replicates ×16, which at
+    // 100 TB (host dim ~10⁸ rows — too big to broadcast, tiny vs the
+    // corpus) is the skew-proof-by-construction alternative to AQE's
+    // runtime skew heuristic. Oracle = the plain unsalted join
+    "q139_salted_join" -> ((s, dir) => {
+      val docs = Pipeline.scored(s, dir)
+        .select(col("doc_id"), col("url"), col("host"), col("keep"))
+      val dim = docs.groupBy(col("host"))
+        .agg(count(lit(1)).as("host_docs"),
+          sum(col("keep").cast("long")).as("host_keep"))
+      graft.plans.Salting.saltedJoin(docs, dim, "host", 16)
+        .select(col("doc_id"), col("host"), col("keep"),
+          col("host_docs"), col("host_keep"))
+    }),
+
+    // Language-ID EVALUATION vs the gold `lang` column (the fixture's
+    // ground truth): per-language tp/fp/fn + precision/recall/F1 — the
+    // held-out-accuracy report every production langid deployment ships
+    // next to its predictions (CCNet §3.1 audits fastText the same way).
+    // ONE map-side-combinable corpus aggregation to a ≤25-row confusion
+    // table; every join below it is on that tiny table. F1 is computed
+    // directly from integer counts (2tp/(2tp+fp+fn)) — never from the
+    // already-rounded precision/recall — so 6-dp rounding is engine-exact
+    "q140_lang_eval" -> ((s, dir) => {
+      val pred = graft.functions.LangId(Pipeline.webdoc(s, dir))
+        .select(col("lang").as("gold"), col("lang_pred").as("pred"))
+      val m = pred.groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+      val langs = m.select(col("gold").as("lang"))
+        .union(m.select(col("pred"))).distinct()
+      val tp = m.filter(col("gold") === col("pred"))
+        .select(col("gold").as("lang"), col("n").as("tp"))
+      val fp = m.filter(col("gold") =!= col("pred"))
+        .groupBy(col("pred").as("lang")).agg(sum(col("n")).as("fp"))
+      val fn = m.filter(col("gold") =!= col("pred"))
+        .groupBy(col("gold").as("lang")).agg(sum(col("n")).as("fn"))
+      langs.join(tp, Seq("lang"), "left").join(fp, Seq("lang"), "left")
+        .join(fn, Seq("lang"), "left")
+        .select(col("lang"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          coalesce(col("fn"), lit(0L)).as("fn"))
+        .select(col("lang"), (col("tp") + col("fn")).as("n_gold"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0L, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .as("precision"),
+          when(col("tp") + col("fn") === 0L, lit(0.0))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .as("recall"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(0.0))
+            .otherwise(round(lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
+            .as("f1"))
+    }),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1409,6 +1467,35 @@ object SparkEntry {
            |   CAST(sum(length(scrubbed_text)) AS BIGINT) AS n_chars,
            |   bit_xor(${graft.oracle.OracleDdl.h60("doc_id || ':' || scrubbed_text")}) AS checksum
            | FROM scrub WHERE keep GROUP BY shard""".stripMargin),
+    "q139_salted_join" ->
+      // the salted (host, salt) shuffled-hash join must EQUAL the plain
+      // unsalted host join — salt is an internal spreading key only
+      (webdocCte + signalsCte + verdictCte +
+        """, dim AS (SELECT host, CAST(count(*) AS BIGINT) AS host_docs,
+          |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS host_keep
+          |  FROM verdict2 GROUP BY host)
+          | SELECT v.doc_id, v.host, v.keep, d.host_docs, d.host_keep
+          | FROM verdict2 v JOIN dim d ON v.host = d.host""".stripMargin),
+    "q140_lang_eval" ->
+      // confusion counts from the bit-identical langid chain; F1 from
+      // integer counts directly (2tp/(2tp+fp+fn)), round(,6) both engines
+      (webdocCte + graft.oracle.OracleDdl.langidCtes +
+        """, predt AS (SELECT w.lang AS gold, coalesce(r.lang, 'de') AS pred
+          |    FROM webdoc w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1)
+          |, m AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS n FROM predt GROUP BY 1, 2)
+          |, lgs AS (SELECT DISTINCT gold AS lang FROM m UNION SELECT DISTINCT pred FROM m)
+          |, tpt AS (SELECT gold AS lang, CAST(sum(n) AS BIGINT) AS tp FROM m WHERE gold = pred GROUP BY 1)
+          |, fpt AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS fp FROM m WHERE gold <> pred GROUP BY 1)
+          |, fnt AS (SELECT gold AS lang, CAST(sum(n) AS BIGINT) AS fn FROM m WHERE gold <> pred GROUP BY 1)
+          |, c AS (SELECT l.lang, coalesce(t.tp, 0) AS tp, coalesce(f.fp, 0) AS fp, coalesce(g.fn, 0) AS fn
+          |    FROM lgs l LEFT JOIN tpt t ON l.lang = t.lang
+          |    LEFT JOIN fpt f ON l.lang = f.lang LEFT JOIN fnt g ON l.lang = g.lang)
+          | SELECT lang, CAST(tp + fn AS BIGINT) AS n_gold,
+          |   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+          |   CASE WHEN tp + fp = 0 THEN 0.0 ELSE round(tp * 1.0 / (tp + fp), 6) END AS precision,
+          |   CASE WHEN tp + fn = 0 THEN 0.0 ELSE round(tp * 1.0 / (tp + fn), 6) END AS recall,
+          |   CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+          | FROM c""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
         " SELECT doc_id, url, drop_reasons, keep FROM verdict2"),

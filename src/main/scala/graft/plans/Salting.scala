@@ -40,4 +40,33 @@ object Salting {
       .agg(sum(col(aggs.head._1)).as(aggs.head._1),
         aggs.tail.map { case (n, _) => sum(col(n)).as(n) }: _*)
   }
+
+  /** Skew-safe equi-join of a fact table to a per-key dimension: the fact
+    * side salts each row (`saltExpr`, default a row-level hash), the dim
+    * side replicates every row ×`salts`, and the join key becomes
+    * (key, salt) — a hot key's fact rows spread over `salts` tasks instead
+    * of funnelling through one.
+    *
+    * This is remedy #3 next to the scaladoc above: for dimensions too
+    * large to broadcast at 100 TB (per-host stats over a web corpus run to
+    * ~10⁸ rows) yet tiny next to the fact side, the salted join is
+    * skew-proof BY CONSTRUCTION where AQE's skew splitting is a runtime
+    * heuristic that only fires above its partition-size thresholds. The
+    * `SHUFFLE_HASH` hint on the replicated dim keeps the fixture-scale
+    * plan identical to the 100 TB plan (where the dim exceeds the
+    * broadcast threshold on its own): hash-join building on the small
+    * replicated side, streaming the salted fact side — no sort, no
+    * broadcast of a corpus-derived table.
+    *
+    * Output = fact columns + dim's non-key columns (the salt is internal).
+    * Inner join; `dim` must be unique per `key` (it is a per-key rollup).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltExpr: Column = null): DataFrame = {
+    val se = if (saltExpr == null) saltCol(salts) else saltExpr
+    val f = fact.withColumn("_salt", se.cast("int"))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d.hint("SHUFFLE_HASH"), Seq(key, "_salt")).drop("_salt")
+  }
 }

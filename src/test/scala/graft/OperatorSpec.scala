@@ -1373,4 +1373,52 @@ class OperatorSpec extends SparkSpec {
     } finally rs.unpersist()
     graft.plans.TrackedCache.releaseAll()
   }
+
+  test("saltedJoin equals the plain join on a crafted 90%-hot-key frame") {
+    import spark.implicits._
+    // 900 of 1000 rows on one key — the shape that melts an unsalted join
+    val fact = (0L until 1000L)
+      .map(i => (i, if (i < 900) "hot" else s"cold-${i % 7}", s"u$i"))
+      .toDF("id", "k", "url")
+    val dim = fact.groupBy($"k").agg(count(lit(1)).as("k_n"))
+    val salted = graft.plans.Salting.saltedJoin(fact, dim, "k", 8)
+      .select($"id", $"k", $"k_n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val plain = fact.join(dim, Seq("k"))
+      .select($"id", $"k", $"k_n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(salted.length == 1000 && (salted sameElements plain))
+  }
+
+  test("q140: per-lang tp/fp/fn recompute from raw predictions; counts are consistent") {
+    val preds = graft.functions.LangId(Pipeline.webdoc(spark, sfDir))
+      .select("lang", "lang_pred")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val langs = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    val expected = langs.map { l =>
+      val tp = preds.count { case (g, p) => g == l && p == l }.toLong
+      val fp = preds.count { case (g, p) => g != l && p == l }.toLong
+      val fn = preds.count { case (g, p) => g == l && p != l }.toLong
+      l -> (tp, fp, fn)
+    }.toMap
+    val got = SparkEntry.queries("q140_lang_eval")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (l, (tp, fp, fn, f1)) =>
+      assert((tp, fp, fn) == expected(l), s"$l: ($tp,$fp,$fn) != ${expected(l)}")
+      val wantF1 = if (2 * tp + fp + fn == 0) 0.0
+        else BigDecimal(2.0 * tp / (2 * tp + fp + fn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(f1 == wantF1, s"$l: f1 $f1 != $wantF1")
+    }
+    // structural invariant: every doc lands in exactly one gold row —
+    // Σ n_gold = corpus size, and micro fp ≡ micro fn (each misprediction
+    // is one lang's fp and another's fn). The fixture's gold `lang` is a
+    // synthetic label independent of the text's actual language, so the
+    // report's VALUE here is exposing that mismatch, not a high F1.
+    val outRows = SparkEntry.queries("q140_lang_eval")(spark, sfDir).collect()
+    assert(outRows.map(_.getLong(1)).sum == preds.length.toLong)
+    assert(got.values.map(_._2).sum == got.values.map(_._3).sum)
+  }
 }

@@ -483,6 +483,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q139: salted join is a shuffled-hash join on (host, salt) — the dim never broadcasts") {
+    val plan = staticPlan(SparkEntry.queries("q139_salted_join")(spark, sfDir))
+    val s = plan.toString
+    assert(s.contains("ShuffledHashJoin"), s.take(3000))
+    // a BroadcastHashJoin would mean the hint lost and the fixture plan
+    // diverged from the 100 TB plan (where the host dim can't broadcast)
+    assert(!s.contains("BroadcastHashJoin"), s.take(3000))
+    // the join's exchanges key on BOTH host and the salt — that pair is
+    // the skew guarantee (hot host spread over `salts` tasks)
+    val joinExchangeArities = plan.collect { case e: ShuffleExchangeExec => e }
+      .map(_.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.size
+        case _ => -1
+      })
+    assert(joinExchangeArities.count(_ == 2) >= 2,
+      s"expected both join legs keyed (host, salt): $joinExchangeArities\n" + s.take(2000))
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
