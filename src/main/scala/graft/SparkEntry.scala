@@ -257,6 +257,26 @@ object SparkEntry {
               (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
             .as("f1"))
     }),
+
+    // Connected components via alternating large-star/small-star — the
+    // O(log n)-round distributed clustering path (q48's contract, q48's
+    // oracle; only the strategy differs: no driver union-find, no
+    // diameter-bounded label propagation)
+    "q141_cc_star" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponentsStar(
+        graft.operators.Dedup.minhashPairs(Pipeline.webdoc(s, dir), 0.5)
+          .select(col("doc_a"), col("doc_b")))),
+
+    // BPE tokenizer training, the pair-statistics step: adjacent char
+    // pairs over the (word, count) VOCABULARY (corpus-size-independent
+    // after one word-count pass), overlapping occurrences counted —
+    // Sennrich get_stats. Top-40 under a total order
+    "q142_bpe_pairs" -> ((s, dir) => {
+      val voc = graft.functions.Bpe.vocab(Pipeline.webdoc(s, dir))
+        .withColumn("symbols", array_remove(split(col("word"), ""), ""))
+      graft.functions.Bpe.pairStats(voc, col("symbols"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym")).limit(40)
+    }),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1244,6 +1264,26 @@ object SparkEntry {
   private def mlIcept = s"CAST('${graft.operators.QualityModel.intercept}' AS DECIMAL(18,6))"
   private def mlThr = s"CAST('${graft.operators.QualityModel.threshold}' AS DECIMAL(8,4))"
 
+  /** Shared by q48 (hybrid driver-union-find path) and q141 (large-star/
+    * small-star path): LSH candidate pairs verified at jaccard ≥ 0.5, then
+    * the transitive closure labels every member with its component minimum
+    * — a recursive CTE, so the oracle is independent of BOTH clustering
+    * strategies. */
+  private lazy val dupClustersOracle: String =
+    "WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
+      """, pairs AS MATERIALIZED (
+        |   SELECT doc_a, doc_b FROM (
+        |     SELECT doc_a, doc_b,
+        |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+        |   WHERE jaccard >= 0.5)
+        |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
+        |, reach(id, r) AS (
+        |   SELECT DISTINCT src, src FROM sym
+        |   UNION
+        |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
+        | SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
       (webdocCte +
@@ -1872,20 +1912,24 @@ object SparkEntry {
           |    CAST(regexp_extract(f_name, '\.v([0-9]+)\.dat$', 1) AS BIGINT) AS ver FROM listing)
           | SELECT f_name, stem, ver FROM parsed a
           | WHERE NOT EXISTS (SELECT 1 FROM parsed b WHERE b.stem = a.stem AND b.ver > a.ver)""".stripMargin),
-    "q48_dup_clusters" ->
-      ("WITH RECURSIVE " + (webdocCte + shingleCte + minhashCte).stripPrefix("WITH ") +
-        """, pairs AS MATERIALIZED (
-          |   SELECT doc_a, doc_b FROM (
-          |     SELECT doc_a, doc_b,
-          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-          |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
-          |   WHERE jaccard >= 0.5)
-          |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
-          |, reach(id, r) AS (
-          |   SELECT DISTINCT src, src FROM sym
-          |   UNION
-          |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
-          | SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+    "q48_dup_clusters" -> dupClustersOracle,
+    // identical contract to q48 (cluster = min reachable doc_id), computed
+    // by the large-star/small-star path instead of driver union-find —
+    // the oracle can't tell the strategies apart, which is the point
+    "q141_cc_star" -> dupClustersOracle,
+    "q142_bpe_pairs" ->
+      // BPE get_stats over the (word, count) vocabulary: adjacent char
+      // pairs, overlapping occurrences counted (Sennrich semantics);
+      // top-40 under the total order (cnt desc, lsym, rsym)
+      (webdocCte + shingleCte +
+        """, vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+          |    FROM (SELECT unnest(words) AS w FROM wsw) GROUP BY w)
+          |, pr AS (SELECT wc, unnest(list_transform(range(1, length(w)),
+          |      i -> struct_pack(lsym := substr(w, i, 1), rsym := substr(w, i + 1, 1)))) AS p
+          |    FROM vocab WHERE length(w) >= 2)
+          |, pc AS (SELECT p.lsym AS lsym, p.rsym AS rsym, CAST(sum(wc) AS BIGINT) AS cnt
+          |    FROM pr GROUP BY 1, 2)
+          | SELECT lsym, rsym, cnt FROM pc ORDER BY cnt DESC, lsym, rsym LIMIT 40""".stripMargin),
     "q49_sample" ->
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — a public
+  * algorithm), reshaped for a distributed corpus. The reference pipeline
+  * ships documents to a tokenizer downstream (its analogue of per-file
+  * metadata extraction, vlass2caom2/main_app.py); a training-data engine
+  * needs the TRAINING side: pair statistics and merge application over
+  * the whole corpus.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - everything runs over the VOCABULARY — (distinct word, count) — not
+  *    the corpus: one word-count aggregation (map-side combinable, the
+  *    only corpus-sized pass), then every BPE iteration costs
+  *    O(|vocab|), which is millions of rows, not trillions;
+  *  - pair counting and merge application are native higher-order array
+  *    functions (transform / aggregate folds) — codegen'd, no UDFs;
+  *  - each iteration's argmax is a 1-row TakeOrderedAndProject collect —
+  *    the model artifact, not a data collect.
+  */
+object Bpe {
+
+  /** (word, wc) vocabulary — the pre-aggregation that makes BPE training
+    * corpus-size-independent (Sennrich trains on the word-count dict, not
+    * the token stream). Words by the shared [[Words]]/`wsw` contract. */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.operators.Rules.wordsOf(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** Adjacent symbol-pair statistics over a symbols column, weighted by
+    * the word count — Sennrich's get_stats: EVERY adjacent occurrence
+    * counts (overlapping included); only merge application is
+    * non-overlapping. Output (lsym, rsym, cnt). */
+  def pairStats(voc: DataFrame, symbols: Column): DataFrame =
+    voc.filter(size(symbols) >= 2)
+      .select(col("wc"), explode(transform(
+        sequence(lit(0), size(symbols) - 2),
+        i => struct(element_at(symbols, i + 1).as("lsym"),
+          element_at(symbols, i + 2).as("rsym")))).as("p"))
+      .groupBy(col("p").getField("lsym").as("lsym"),
+        col("p").getField("rsym").as("rsym"))
+      .agg(sum(col("wc")).as("cnt"))
+
+  /** Apply ONE merge (lsym, rsym) → lsym||rsym to a symbols array,
+    * left-to-right non-overlapping — the exact semantics of the reference
+    * merge loop — as a native aggregate() fold (no UDF): the fold state
+    * carries the emitted prefix plus one pending symbol, so a run like
+    * [a, a, a] under merge (a, a) yields [aa, a], and [x, a, b, a, b]
+    * under (a, b) yields [x, ab, ab]. */
+  def mergeOne(symbols: Column, lsym: String, rsym: String): Column = {
+    val merged = lsym + rsym
+    aggregate(
+      symbols,
+      struct(typedLit(Array.empty[String]).as("out"), lit(null).cast("string").as("pend")),
+      (acc, s) =>
+        when(acc.getField("pend").isNull,
+          struct(acc.getField("out").as("out"), s.as("pend")))
+          .when(acc.getField("pend") === lit(lsym) && s === lit(rsym),
+            struct(concat(acc.getField("out"), array(lit(merged))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"),
+              s.as("pend"))),
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
+  /** Train `k` BPE merges over the corpus: per iteration, the single most
+    * frequent adjacent pair (ties broken (cnt desc, lsym, rsym) — total
+    * order, deterministic across engines and partitionings) is collected
+    * (1 row — the model artifact) and applied to the vocabulary's symbol
+    * arrays. Returns (iter, lsym, rsym, cnt) per learned merge. Stops
+    * early when no pair remains (all words fused to single symbols). */
+  def merges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    var voc = vocab(docs)
+      // array_remove guards the Java-split trailing-"" quirk on limit −1
+      .withColumn("symbols", array_remove(split(col("word"), ""), ""))
+      .select(col("wc"), col("symbols"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= k && !exhausted) {
+      val top = pairStats(voc, col("symbols"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((it, l, r, c))
+        voc = voc.withColumn("symbols", mergeOne(col("symbols"), l, r))
+          .localCheckpoint()
+        it += 1
+      }
+    }
+    out.toSeq
+  }
+}

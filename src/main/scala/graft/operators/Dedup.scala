@@ -479,11 +479,10 @@ object Dedup {
     *    a deliberate, BOUNDED collect: the distributed loop costs
     *    diameter × (join + agg) jobs, pure scheduler overhead next to a
     *    millisecond union-find (measured 6.9 s → ~0.1 s on 409 edges);
-    *  - above the limit: iterative min-label propagation, one shuffle
-    *    join + min-agg per round, localCheckpoint each round so the plan
-    *    doesn't deepen; rounds = graph diameter (shallow for dup
-    *    clusters). Both paths produce identical labels (differential-
-    *    tested). */
+    *  - above the limit: alternating large-star/small-star contraction
+    *    ([[connectedComponentsStar]]) — O(log n) rounds regardless of
+    *    graph diameter. Both paths produce identical labels
+    *    (differential-tested). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
                           driverEdgeLimit: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
@@ -509,35 +508,86 @@ object Dedup {
         val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
         import spark.implicits._
         rows.toDF("doc_id", "cluster_id")
-      } else {
-        val sym = e2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(e2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        var labels = sym.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id"))
-          .localCheckpoint()
-        var iter = 0
-        var converged = false
-        while (!converged && iter < maxIter) {
-          val neigh = sym.join(labels, col("src") === col("id"))
-            .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-          val next = labels.join(neigh, col("id") === col("dst"), "left")
-            .select(col("id"), col("label").as("old_label"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-            .localCheckpoint()
-          val changed = next.filter(col("label") < col("old_label")).count()
-          labels = next.select(col("id"), col("label"))
-          iter += 1
-          converged = changed == 0
-        }
-        // silent partial propagation would emit WRONG cluster ids for any
-        // component with diameter > maxIter — fail loudly instead
-        if (!converged) throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIter rounds " +
-            "(a component has diameter > maxIter); raise maxIter")
-        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      }
+      } else connectedComponentsStar(e2, maxIter)
     e2.unpersist()
     result
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 — a
+    * public algorithm): each round is two (groupBy-min + join) passes
+    * over the EDGE set, which contracts toward a star forest — every
+    * node pointing directly at its component's minimum id — in O(log n)
+    * rounds REGARDLESS of graph diameter. That property is why this is
+    * the distributed path: the min-label loop it replaced needed
+    * diameter rounds, and a refetch-duplicate chain across snapshots can
+    * have diameter in the millions at web scale. Every step shuffles
+    * only (long, long) edge pairs; nothing is collected to the driver.
+    *
+    *  - large-star: each node u links every STRICTLY LARGER neighbor to
+    *    m(u) = min(N(u) ∪ u) — long chains fold onto small ids;
+    *  - small-star: edges oriented big→small; each node links its
+    *    smaller neighbors (and itself) to its minimum neighbor — stars
+    *    flatten to depth 1.
+    *
+    * Convergence: a (count, bit_xor(xxhash64(a,b))) fingerprint per
+    * round; two identical consecutive fingerprints mean a fixed point up
+    * to a vanishing 64-bit-collision probability, and the star-forest
+    * invariant is then re-checked EXACTLY (one parent per child, no node
+    * both child and parent), so a fingerprint collision can only fail
+    * loudly — never emit wrong labels. localCheckpoint each round keeps
+    * the plan from deepening. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame =
+    ccStarWithRounds(edges, maxIter)._1
+
+  private[graft] def ccStarWithRounds(edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    var e = edges
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    def fingerprint(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = (-1L, 0L)
+    var iter = 0
+    var done = fingerprint(e)._1 == 0L
+    while (!done && iter < maxIter) {
+      // large-star: (v, m(u)) for every neighbor v > u
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val lmin = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(lmin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: orient big→small, link small neighbors + self to min
+      val dir = large.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val smin = dir.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = dir.join(smin, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(smin.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      val nfp = fingerprint(small)
+      done = nfp == fp
+      fp = nfp
+      e = small
+      iter += 1
+    }
+    // exact star-forest verification: each child has ONE parent and no
+    // node is both child and parent — fail loudly, never emit wrong ids
+    val multiParent = e.groupBy(col("a")).agg(countDistinct(col("b")).as("np"))
+      .filter(col("np") > 1).limit(1).count()
+    val chained = e.select(col("a")).intersect(e.select(col("b"))).limit(1).count()
+    if (!done || multiParent > 0 || chained > 0) throw new IllegalStateException(
+      s"connectedComponentsStar did not reach a star forest in $maxIter rounds " +
+        s"(done=$done multiParent=$multiParent chained=$chained); raise maxIter")
+    val labels = e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .unionByName(e.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
+    (labels, iter)
   }
 
   /** Near-dup clusters: MinHash-LSH pairs → connected components →

@@ -1421,4 +1421,62 @@ class OperatorSpec extends SparkSpec {
     assert(outRows.map(_.getLong(1)).sum == preds.length.toLong)
     assert(got.values.map(_._2).sum == got.values.map(_._3).sum)
   }
+
+  test("Bpe.mergeOne: left-to-right non-overlapping fold semantics (the Sennrich merge loop)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),
+      (2L, Seq("x", "a", "b", "a", "b")),
+      (3L, Seq("b", "a")),
+      (4L, Seq("a")),
+      (5L, Seq("a", "b", "b", "a", "b"))).toDF("id", "symbols")
+    val gotAB = df.select($"id", graft.functions.Bpe.mergeOne($"symbols", "a", "b").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(gotAB(1L) == List("a", "a", "a"))
+    assert(gotAB(2L) == List("x", "ab", "ab"))
+    assert(gotAB(3L) == List("b", "a"))
+    assert(gotAB(4L) == List("a"))
+    assert(gotAB(5L) == List("ab", "b", "ab"))
+    val gotAA = df.select($"id", graft.functions.Bpe.mergeOne($"symbols", "a", "a").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // a run of three under (a,a): first two fuse, the survivor stays
+    assert(gotAA(1L) == List("aa", "a"))
+    assert(gotAA(4L) == List("a"))
+  }
+
+  test("Bpe.merges: distributed training equals an independent plain-Scala BPE on the fixture") {
+    val texts = Pipeline.webdoc(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    // independent replication: word-count dict, then k argmax+merge steps
+    val vocab = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(t => graft.functions.Words.tokenize(t)
+      .foreach(w => vocab.update(w, vocab.getOrElse(w, 0L) + 1L)))
+    var syms: Map[Vector[String], Long] = vocab.toSeq
+      .map { case (w, c) => w.map(_.toString).toVector -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (it <- 1 to 5) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) { val k = (s(i), s(i + 1)); pc.update(k, pc.getOrElse(k, 0L) + c); i += 1 }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        want += ((it, l, r, c))
+        syms = syms.toSeq.map { case (s, cnt) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { out += l + r; i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          out.toVector -> cnt
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    val got = graft.functions.Bpe.merges(Pipeline.webdoc(spark, sfDir), 5)
+    assert(got == want.toSeq)
+    assert(got.length == 5)
+  }
 }

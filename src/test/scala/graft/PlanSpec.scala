@@ -502,6 +502,20 @@ class PlanSpec extends SparkSpec {
       s"expected both join legs keyed (host, salt): $joinExchangeArities\n" + s.take(2000))
   }
 
+  test("q142: BPE pair stats are map-side-combined and the top-k never total-sorts") {
+    val plan = staticPlan(SparkEntry.queries("q142_bpe_pairs")(spark, sfDir))
+    val s = plan.toString
+    // argmax over pair counts must be TakeOrderedAndProject (bounded
+    // per-partition heaps), never a rangepartitioning total sort — at
+    // web scale the pair-count table is |alphabet|²-ish but the vocab
+    // feeding it is millions of rows
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+    assert(!s.contains("rangepartitioning"), s.take(2000))
+    // both aggregations (word counts, pair counts) partial before their
+    // exchanges — the corpus collapses map-side
+    assert(s.contains("partial_count") && s.contains("partial_sum"), s.take(2000))
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))

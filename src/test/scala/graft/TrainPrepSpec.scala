@@ -311,4 +311,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(loose.keySet == Set(("a.com", "b.com"), ("a.com", "c.com"), ("b.com", "c.com")))
     assert(loose(("a.com", "c.com")) == 0.333333)
   }
+
+  test("connectedComponentsStar: a 200-edge chain converges in O(log) rounds, not diameter rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-…-200: diameter 200. The replaced min-label loop
+    // needed ~200 rounds here; large-star folds the chain exponentially
+    val edges = (0L until 200L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val (labelsDf, rounds) = Dedup.ccStarWithRounds(edges, maxIter = 30)
+    val got = labelsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == (0L to 200L).toSet)
+    assert(got.values.forall(_ == 0L))
+    assert(rounds <= 15, s"star contraction took $rounds rounds on a 200-chain")
+  }
+
+  test("connectedComponentsStar equals driver union-find on a random multi-component graph") {
+    import spark.implicits._
+    // deterministic LCG edge stream over 300 node ids (several components
+    // + untouched ids); both strategies must emit identical labels
+    val es = (1 to 220).map { i =>
+      ((i * 48271L) % 300, ((i * 16807L) + 7) % 300)
+    }.filter(p => p._1 != p._2)
+    val edges = es.toDF("doc_a", "doc_b")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaStar = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaStar == viaDriver)
+    assert(viaStar.nonEmpty)
+  }
 }
