@@ -277,6 +277,25 @@ object SparkEntry {
       graft.functions.Bpe.pairStats(voc, col("symbols"))
         .orderBy(col("cnt").desc, col("lsym"), col("rsym")).limit(40)
     }),
+
+    // BPE tokenizer APPLICATION: per-doc token counts under the fixed
+    // public merge table — the real sequential fold over the vocabulary,
+    // one broadcast join back to the (doc, word) stream (Bpe.encodeStats)
+    "q143_bpe_encode" -> ((s, dir) =>
+      graft.functions.Bpe.encodeStats(Pipeline.webdoc(s, dir),
+        graft.functions.Bpe.FixedMerges)),
+
+    // Content-defined chunking dedup: rolling-hash boundaries (one O(n)
+    // in-row fold), cross-doc duplicate chunks by 60-bit content hash —
+    // shift-resistant where the fixed-stride span family isn't
+    "q144_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Cdc.dupChunkStats(Pipeline.webdoc(s, dir))),
+
+    // HyperLogLog distinct-shingle estimate per host — the fixed-size
+    // (64 registers) counterpart to q96's KMV; exact-integer register
+    // sum published so the estimate is one engine-identical division
+    "q145_host_hll" -> ((s, dir) =>
+      graft.operators.Dedup.hostHll(Pipeline.webdoc(s, dir))),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1930,6 +1949,82 @@ object SparkEntry {
           |, pc AS (SELECT p.lsym AS lsym, p.rsym AS rsym, CAST(sum(wc) AS BIGINT) AS cnt
           |    FROM pr GROUP BY 1, 2)
           | SELECT lsym, rsym, cnt FROM pc ORDER BY cnt DESC, lsym, rsym LIMIT 40""".stripMargin),
+    "q143_bpe_encode" ->
+      // closed-form replication of the sequential fold, valid because the
+      // fixed merge table is structurally disjoint (Bpe.FixedMerges
+      // scaladoc): (t,h)/(i,n)/(e,r) merge at every raw adjacent
+      // occurrence (lsym ≠ rsym ⇒ no self-overlap, no shared symbols);
+      // (th,e) merges exactly at "the" not followed by 'r' (the earlier
+      // (e,r) merge consumes that 'e') = count('the') − count('ther').
+      // Non-overlapping substring count via length(replace()) arithmetic
+      (webdocCte + shingleCte +
+        """, wtok AS (SELECT w, CAST(length(w)
+          |     - (length(w) - length(replace(w, 'th', ''))) // 2
+          |     - (length(w) - length(replace(w, 'in', ''))) // 2
+          |     - (length(w) - length(replace(w, 'er', ''))) // 2
+          |     - ((length(w) - length(replace(w, 'the', ''))) // 3
+          |        - (length(w) - length(replace(w, 'ther', ''))) // 4)
+          |    AS BIGINT) AS toks
+          |   FROM (SELECT DISTINCT unnest(words) AS w FROM wsw))
+          |, dtok AS (SELECT doc_id, unnest(words) AS word FROM wsw)
+          |, per AS (SELECT d.doc_id, CAST(sum(t.toks) AS BIGINT) AS n_tokens
+          |   FROM dtok d JOIN wtok t ON d.word = t.w GROUP BY d.doc_id)
+          | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
+          |   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+          |   CASE WHEN len(w.words) > 0
+          |        THEN round(coalesce(p.n_tokens, 0) * 1.0 / len(w.words), 6) END AS fertility
+          | FROM wsw w LEFT JOIN per p USING (doc_id)""".stripMargin),
+    "q144_cdc_chunks" ->
+      // positional replication of the in-row fold: boundary flag per
+      // word position (the h60 3-word trailing window), chunk id = count
+      // of boundaries strictly before the position (window sum), chunks
+      // re-joined by position order — then the same h-keyed dup logic
+      (webdocCte + shingleCte +
+        s""", cpos AS (SELECT doc_id, url, words,
+           |    unnest(generate_series(1, len(words))) AS i FROM wsw WHERE len(words) > 0)
+           |, cflag AS (SELECT doc_id, i, words[i] AS w,
+           |    CASE WHEN i >= 3 AND (${h60("coalesce(words[i-2], '') || ' ' || coalesce(words[i-1], '') || ' ' || words[i]")} % 8) = 0
+           |         THEN 1 ELSE 0 END AS bp
+           |  FROM cpos)
+           |, cid AS (SELECT doc_id, i, w,
+           |    coalesce(sum(bp) OVER (PARTITION BY doc_id ORDER BY i
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+           |  FROM cflag)
+           |, chk AS (SELECT doc_id, cidx, string_agg(w, ' ' ORDER BY i) AS chunk,
+           |    CAST(count(*) AS BIGINT) AS wc
+           |  FROM cid GROUP BY doc_id, cidx)
+           |, chh AS (SELECT doc_id, ${h60("chunk")} AS h, wc FROM chk)
+           |, dup AS (SELECT h FROM chh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+           |, per AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |    CAST(sum(CASE WHEN d.h IS NOT NULL THEN c.wc ELSE 0 END) AS BIGINT) AS dup_chunk_words
+           |  FROM chh c LEFT JOIN dup d ON c.h = d.h GROUP BY c.doc_id)
+           | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
+           |   CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |   CAST(coalesce(p.dup_chunk_words, 0) AS BIGINT) AS dup_chunk_words,
+           |   CASE WHEN len(w.words) > 0
+           |        THEN round(coalesce(p.dup_chunk_words, 0) * 1.0 / len(w.words), 6) END AS dup_frac
+           | FROM wsw w LEFT JOIN per p USING (doc_id)""".stripMargin),
+    "q145_host_hll" ->
+      // register-exact HLL replication: bucket = top 6 bits of h60, rank
+      // via bin() bit-length (identical semantics both engines), exact
+      // BIGINT register sum, ONE double division rounded at 6 dp
+      (webdocCte + shingleCte +
+        s""", it AS (SELECT host, ${h60("s")} AS h FROM (
+           |    SELECT w.host AS host, unnest(x.sh) AS s
+           |    FROM wsh x JOIN webdoc w ON x.doc_id = w.doc_id))
+           |, regs AS (SELECT host, bucket, max(rnk) AS m FROM (
+           |    SELECT host, h >> 54 AS bucket,
+           |      CASE WHEN (h & 18014398509481983) = 0 THEN 55
+           |           ELSE 55 - length(bin(h & 18014398509481983)) END AS rnk
+           |    FROM it) GROUP BY host, bucket)
+           |, agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(CAST(sum(1::BIGINT << (55 - m)) AS HUGEINT)
+           |         + CAST(64 - count(*) AS HUGEINT) * 36028797018963968::HUGEINT AS BIGINT) AS s_sum
+           |  FROM regs GROUP BY host)
+           | SELECT host, n_buckets, s_sum,
+           |   round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+           |         / CAST(s_sum AS DOUBLE), 6) AS hll_est
+           | FROM agg""".stripMargin),
     "q49_sample" ->
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc

@@ -68,6 +68,55 @@ object Bpe {
         .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
   }
 
+  /** The fixed public merge table for the oracle-gated encode (q143). The
+    * pairs are chosen STRUCTURALLY DISJOINT so a closed-form substring
+    * count replicates the sequential fold exactly (the general fold is
+    * differential-tested against a plain-Scala BPE in OperatorSpec):
+    *  - (t,h), (i,n), (e,r) share no symbol and none can self-overlap
+    *    (lsym ≠ rsym), so every raw adjacent occurrence merges;
+    *  - (th,e) applies exactly at raw "the" occurrences whose 'e' was not
+    *    already consumed by the EARLIER (e,r) merge — i.e. "the" not
+    *    followed by 'r' — giving count("the") − count("ther"). */
+  val FixedMerges: Seq[(String, String)] =
+    Seq("t" -> "h", "i" -> "n", "e" -> "r", "th" -> "e")
+
+  /** Per-word token counts after applying `merges` sequentially with the
+    * REAL left-to-right fold ([[mergeOne]]) — computed once over the
+    * vocabulary, never per occurrence. */
+  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val voc = vocab(docs)
+      .withColumn("symbols", array_remove(split(col("word"), ""), ""))
+    val tokenized = merges.foldLeft(voc) { case (df, (l, r)) =>
+      df.withColumn("symbols", mergeOne(col("symbols"), l, r))
+    }
+    tokenized.select(col("word"), size(col("symbols")).cast("long").as("toks"))
+  }
+
+  /** Corpus encode stats: per-doc token counts under a trained/fixed merge
+    * table — the tokenizer-application step of a training pipeline (what
+    * token budgets and packing consume). Scale shape: the merge folds run
+    * over the VOCABULARY (corpus-size-independent); per-doc totals come
+    * from one word-keyed join of the (doc, word) stream against the tiny
+    * (word, toks) table — broadcast here; at a vocabulary that outgrows
+    * the broadcast budget the same join shuffles narrow (word, long)
+    * pairs, never text. fertility = tokens per word, one integer ratio
+    * rounded at 6 dp. */
+  def encodeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val wtok = tokenCounts(docs, merges)
+    val dw = docs
+      .withColumn("words", graft.operators.Rules.wordsOf(col("text")))
+      .select(col("doc_id"), col("url"),
+        size(col("words")).cast("long").as("n_words"),
+        explode_outer(col("words")).as("word"))
+    dw.join(broadcast(wtok), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("url"), col("n_words"))
+      .agg(coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
+      .select(col("doc_id"), col("url"), col("n_words"), col("n_tokens"),
+        when(col("n_words") > 0,
+          round(col("n_tokens").cast("double") / col("n_words"), 6))
+          .as("fertility"))
+  }
+
   /** Train `k` BPE merges over the corpus: per iteration, the single most
     * frequent adjacent pair (ties broken (cnt desc, lsym, rsym) — total
     * order, deterministic across engines and partitionings) is collected

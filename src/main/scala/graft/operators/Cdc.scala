@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing.md5Hash60
+
+/** Content-defined chunking (CDC) dedup — the shift-resistant chunking
+  * family (LBFS / FastCDC lineage; public algorithms). Chunk boundaries
+  * land where a rolling content hash hits a modulus, so inserting a line
+  * near the top of a page moves ONE boundary instead of re-aligning every
+  * downstream span — the failure mode of the fixed width/stride span
+  * family (q74/q83) on prepended boilerplate. The reference pipeline's
+  * analogous step is its per-chunk metadata walk (vlass2caom2/
+  * main_app.py:118-150 iterates record chunks); here the chunking itself
+  * is content-derived.
+  *
+  * Boundary rule: after word position i (1-based, i ≥ [[Window]]) when
+  * h60(words[i−2] ⧺ ' ' ⧺ words[i−1] ⧺ ' ' ⧺ words[i]) % [[Divisor]] == 0
+  * — the trailing window IS the repo's 3-word shingle contract, so the
+  * DuckDB oracle reuses the established h60 replication verbatim.
+  *
+  * Scale shape (100 TB): chunking is one O(n)-per-doc native fold inside
+  * the row — no explode of positions, no window function, no shuffle.
+  * Chunk text leaves the row as its 60-bit hash: the duplicate-detection
+  * aggregation and the join back both shuffle (h, doc_id, wc) longs only.
+  * Expected chunk length is [[Divisor]] words, so the chunk stream is
+  * ~n/8 rows of ~24 B — smaller than the corpus by the mean chunk size.
+  */
+object Cdc {
+
+  /** Rolling window width in words (= the 3-word shingle contract). */
+  val Window = 3
+
+  /** Boundary modulus — expected chunk length in words. */
+  val Divisor = 8L
+
+  /** Per-doc CDC chunk strings via one O(n) aggregate fold (state =
+    * emitted chunks + current buffer). Boundary flags are computed
+    * positionally first, then zipped with the words so the fold is a
+    * single pass. Words are the [[Rules.wordsOf]] contract (no empties,
+    * no spaces inside a word), so the space-joined chunk round-trips. */
+  def chunksOf(words: Column): Column = {
+    val n = size(words)
+    val flags = transform(sequence(lit(1), greatest(n, lit(1))), i =>
+      (i >= Window) && (md5Hash60(concat_ws(" ",
+        element_at(words, i - 2), element_at(words, i - 1),
+        element_at(words, i))) % Divisor === 0))
+    val pairs = zip_with(words, flags, (w, f) =>
+      struct(w.as("w"), f.as("f")))
+    val folded = aggregate(
+      pairs,
+      struct(typedLit(Array.empty[String]).as("out"), lit("").as("cur")),
+      (acc, p) => {
+        val nc = when(acc.getField("cur") === "", p.getField("w"))
+          .otherwise(concat(acc.getField("cur"), lit(" "), p.getField("w")))
+        when(p.getField("f"),
+          struct(concat(acc.getField("out"), array(nc)).as("out"),
+            lit("").as("cur")))
+          .otherwise(struct(acc.getField("out").as("out"), nc.as("cur")))
+      },
+      acc => when(acc.getField("cur") === "", acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("cur")))))
+    // sequence(1, 0) would DESCEND — guard the empty doc explicitly
+    when(n === 0, typedLit(Array.empty[String])).otherwise(folded)
+  }
+
+  /** Cross-doc duplicate-chunk profile: per doc, how many of its words sit
+    * in chunks that appear (by content) in ≥ 2 distinct docs. Output
+    * (doc_id, url, n_words, n_chunks, dup_chunk_words, dup_frac). */
+  def dupChunkStats(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("words", Rules.wordsOf(col("text")))
+      .select(col("doc_id"), col("url"),
+        size(col("words")).cast("long").as("n_words"),
+        chunksOf(col("words")).as("chunks"))
+    // chunk text collapses to (doc_id, h60, word-count) before anything
+    // shuffles; persisted because the stream feeds BOTH the duplicate
+    // aggregation and the per-doc rollup (one chunking pass, not two)
+    val ch = graft.plans.TrackedCache.persist(
+      base.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+        .select(col("doc_id"), md5Hash60(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("wc")))
+    val dup = ch.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(true).as("is_dup"))
+    val per = ch.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_dup"), col("wc")).otherwise(0L)).as("dup_chunk_words"))
+    base.select(col("doc_id"), col("url"), col("n_words"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"), col("n_words"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunk_words"), lit(0L)).as("dup_chunk_words"),
+        when(col("n_words") > 0,
+          round(coalesce(col("dup_chunk_words"), lit(0L)).cast("double")
+            / col("n_words"), 6)).as("dup_frac"))
+  }
+}

@@ -1049,4 +1049,41 @@ object Dedup {
         round(abs(col("est_distinct") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 6)
           .as("rel_err"))
   }
+
+  /** Per-host HyperLogLog distinct-shingle estimate (Flajolet et al. 2007
+    * — a public algorithm) — the fixed-size counterpart to [[hostKmv]]:
+    * the sketch is m = 64 one-byte registers per host REGARDLESS of
+    * cardinality (KMV keeps k longs), the natural monitor shape when the
+    * host count itself is huge. Two map-side-combinable aggregations:
+    * (host, bucket) max-rank partials collapse each partition to ≤ 64
+    * rows per host before the exchange, then a per-host fold; nothing
+    * corpus-sized shuffles.
+    *
+    * Cross-engine exactness: item hash is the shared h60; bucket = top 6
+    * bits, rank = 55 − bit_length(low 54 bits) via `bin()` (identical in
+    * both engines; the rest = 0 edge pinned to rank 55). The register sum
+    * Σ 2^(55−M) is an exact BIGINT (≤ 64·2^55 < 2^63), so the published
+    * estimate α·m²·2^55 / S is ONE double division of engine-identical
+    * operands, rounded at 6 dp. α_64 = 0.709 (the standard constant for
+    * m = 64); no small-range correction — S is published so a consumer
+    * can apply any correction downstream. */
+  def hostHll(docs: DataFrame): DataFrame = {
+    val restMask = (1L << 54) - 1
+    val regs = withShingles(docs)
+      .select(col("host"), explode(col("sh")).as("s"))
+      .select(col("host"), md5Hash60(col("s")).as("h"))
+      .select(col("host"), shiftright(col("h"), 54).as("bucket"),
+        (col("h").bitwiseAND(lit(restMask))).as("rest"))
+      .select(col("host"), col("bucket"),
+        when(col("rest") === 0L, lit(55L))
+          .otherwise(lit(55L) - length(bin(col("rest"))).cast("long")).as("rnk"))
+      .groupBy(col("host"), col("bucket")).agg(max(col("rnk")).as("m"))
+    regs.groupBy(col("host"))
+      .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - m AS INT))"))
+        + (lit(64L) - count(lit(1))) * lit(1L << 55)).as("s_sum"),
+        count(lit(1)).cast("long").as("n_buckets"))
+      .select(col("host"), col("n_buckets"), col("s_sum"),
+        round(lit(0.709) * lit(4096.0) * lit(36028797018963968.0)
+          / col("s_sum").cast("double"), 6).as("hll_est"))
+  }
 }

@@ -1479,4 +1479,105 @@ class OperatorSpec extends SparkSpec {
     assert(got == want.toSeq)
     assert(got.length == 5)
   }
+
+  test("q143 encodeStats: distributed encode equals an independent plain-Scala fold per doc") {
+    def fold(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      for ((l, r) <- graft.functions.Bpe.FixedMerges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    // the second-order merge exercises merge-1 output as merge-4 input
+    assert(fold("the") == 1 && fold("ther") == 2 && fold("thinker") == 4)
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.map { case (id, t) =>
+      val ws = graft.functions.Words.tokenize(t)
+      id -> (ws.length.toLong, ws.iterator.map(w => fold(w).toLong).sum)
+    }.toMap
+    val got = graft.functions.Bpe.encodeStats(
+      Pipeline.webdoc(spark, sfDir), graft.functions.Bpe.FixedMerges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == want)
+    // the merges actually bind on the fixture: tokens strictly below chars
+    assert(got.values.map(_._2).sum <
+      docs.iterator.map(d => graft.functions.Words.tokenize(d._2).iterator.map(_.length.toLong).sum).sum)
+  }
+
+  test("q144 CDC: distributed chunk fold equals an independent chunker; boundaries are shift-resistant") {
+    import graft.functions.Hashing.md5Hash60Jvm
+    def chunksOf(ws: Array[String]): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      for (i <- 1 to ws.length) {
+        if (cur.nonEmpty) cur += ' '
+        cur ++= ws(i - 1)
+        if (i >= 3 && md5Hash60Jvm(ws(i - 3) + " " + ws(i - 2) + " " + ws(i - 1)) % 8 == 0) {
+          out += cur.toString; cur.clear()
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toVector
+    }
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.Words.tokenize(r.getString(1)))
+    val chunks = docs.map { case (id, ws) => id -> chunksOf(ws) }
+    val docsPerChunk = chunks.flatMap { case (id, cs) => cs.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val want = chunks.map { case (id, cs) =>
+      id -> (cs.length.toLong,
+        cs.iterator.filter(c => docsPerChunk(c) >= 2).map(_.split(' ').length.toLong).sum)
+    }.toMap
+    val got = graft.operators.Cdc.dupChunkStats(Pipeline.webdoc(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    graft.plans.TrackedCache.releaseAll()
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0L), "fixture has clone docs — some dup chunks expected")
+    // shift resistance — the property fixed-stride spans lack: prepending
+    // ONE word to the longest doc leaves every boundary beyond the first
+    // affected window in place, so the chunk sets differ only near the head
+    val ws = docs.maxBy(_._2.length)._2
+    val a = chunksOf(ws).toSet
+    val b = chunksOf("PREPENDED" +: ws).toSet
+    assert(a.size >= 5, "need a multi-chunk doc for the shift test")
+    assert(a.intersect(b).size >= a.size - 3,
+      s"CDC not shift-resistant: ${a.size} chunks, only ${a.intersect(b).size} survive a 1-word prepend")
+  }
+
+  test("q145 hostHll: registers and estimate equal an independent HLL; error within sketch bounds") {
+    import graft.functions.Hashing.md5Hash60Jvm
+    val docs = Pipeline.webdoc(spark, sfDir).select("host", "text").collect()
+      .map(r => (r.getString(0), graft.functions.Words.tokenize(r.getString(1))))
+    val items = docs.flatMap { case (h, ws) =>
+      if (ws.length < 3) Nil
+      else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).distinct.map(h -> _)
+    }
+    val want = items.groupBy(_._1).map { case (h, xs) =>
+      val regs = new Array[Int](64)
+      xs.foreach { case (_, s) =>
+        val v = md5Hash60Jvm(s)
+        val b = (v >>> 54).toInt
+        val rest = v & ((1L << 54) - 1)
+        val rnk = if (rest == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rnk > regs(b)) regs(b) = rnk
+      }
+      h -> (regs.count(_ > 0).toLong, regs.iterator.map(m => 1L << (55 - m)).sum)
+    }
+    val got = graft.operators.Dedup.hostHll(Pipeline.webdoc(spark, sfDir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(r => r._1 -> (r._2, r._3)).toMap == want)
+    // calibration on the densest host: HLL σ = 1.04/√64 ≈ 13%; allow 3σ
+    val exact = items.groupBy(_._1).map { case (h, xs) => h -> xs.map(_._2).distinct.size }
+    val (bigHost, nExact) = exact.maxBy(_._2)
+    val est = got.find(_._1 == bigHost).get._4
+    assert(math.abs(est - nExact) / nExact < 0.4,
+      s"HLL est $est vs exact $nExact on $bigHost out of sketch error bounds")
+  }
 }

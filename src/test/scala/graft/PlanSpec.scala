@@ -516,6 +516,33 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("partial_count") && s.contains("partial_sum"), s.take(2000))
   }
 
+  test("q144: CDC exchanges carry chunk hashes and counts — never chunk strings or word arrays") {
+    // the CDC contract at 100 TB: chunking happens inside the row (one
+    // native fold, no position explode), and everything that shuffles is
+    // the (h60, doc_id, wc) long stream + the final narrow doc rollup
+    val plan = staticPlan(SparkEntry.queries("q144_cdc_chunks")(spark, sfDir))
+    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffleCols.nonEmpty, "expected exchanges for the dup aggregation")
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "chunk" || c == "chunks" || c == "words" || c == "text"),
+        "CDC shuffles chunk text: " + cols.mkString(","))
+    }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q145: HLL registers collapse map-side — partial max before the exchange, no raw-hash shuffle") {
+    val plan = staticPlan(SparkEntry.queries("q145_host_hll")(spark, sfDir))
+    val s = plan.toString
+    // (host, bucket) partial max is the whole point of the sketch: each
+    // partition contributes ≤ 64 rows per host to the exchange
+    assert(s.contains("partial_max"), s.take(2000))
+    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    shuffleCols.foreach { cols =>
+      assert(!cols.contains("h") && !cols.contains("s") && !cols.contains("sh"),
+        "HLL shuffles raw item hashes: " + cols.mkString(","))
+    }
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
