@@ -296,6 +296,23 @@ object SparkEntry {
     // sum published so the estimate is one engine-identical division
     "q145_host_hll" -> ((s, dir) =>
       graft.operators.Dedup.hostHll(Pipeline.webdoc(s, dir))),
+
+    // GPT-style context-window layout: per-shard token stream cut every
+    // 256 tokens, docs split across boundaries (every window exactly
+    // full — the complement of q66's no-split greedy packing)
+    "q146_context_windows" -> ((s, dir) =>
+      graft.operators.TrainPrep.contextWindows(Pipeline.webdoc(s, dir), 256L)),
+
+    // Shingle-IDF novelty: mean ln(N/df) over the doc's distinct
+    // 3-shingles — the corpus-boilerplate/originality signal; decimal-
+    // exact per-doc sums (q129 discipline)
+    "q147_novelty_idf" -> ((s, dir) =>
+      graft.operators.TrainPrep.noveltyIdf(Pipeline.webdoc(s, dir))),
+
+    // Reproducible dataloader order: salted-hash permutation per shard,
+    // no RNG, no global sort — re-salt to reshuffle between epochs
+    "q148_train_order" -> ((s, dir) =>
+      graft.operators.TrainPrep.trainOrder(Pipeline.webdoc(s, dir), "ep1")),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -2025,6 +2042,47 @@ object SparkEntry {
            |   round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
            |         / CAST(s_sum AS DOUBLE), 6) AS hll_est
            | FROM agg""".stripMargin),
+    "q146_context_windows" ->
+      // per-shard exclusive running token sum, then each doc unnests into
+      // the window range it overlaps — floor division on exact integers
+      (webdocCte + shingleCte +
+        s""", nt AS (SELECT w.doc_id, w.shard, CAST(len(s.words) AS BIGINT) AS n,
+           |    ${h60("w.url || ':cw1'")} AS h
+           |  FROM webdoc w JOIN wsw s USING (doc_id) WHERE len(s.words) > 0)
+           |, st AS (SELECT doc_id, shard, n,
+           |    CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+           |  FROM nt)
+           |, ex AS (SELECT doc_id, shard, n, strt,
+           |    unnest(range(strt // 256, (strt + n - 1) // 256 + 1)) AS window_id
+           |  FROM st)
+           | SELECT shard, CAST(window_id AS BIGINT) AS window_id, doc_id,
+           |   n AS n_words,
+           |   CAST(greatest(window_id * 256, strt) - strt AS BIGINT) AS tok_lo,
+           |   CAST(least((window_id + 1) * 256, strt + n) - strt AS BIGINT) AS tok_hi
+           | FROM ex""".stripMargin),
+    "q147_novelty_idf" ->
+      // per-shingle ln(N/df) rounded 6 dp then DECIMAL(18,6) before the
+      // per-doc sum (exact), one published division — q129's discipline
+      (webdocCte + shingleCte +
+        s""", shx AS (SELECT doc_id, ${h60("s")} AS h
+           |    FROM (SELECT doc_id, unnest(sh) AS s FROM wsh))
+           |, dfx AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM shx GROUP BY h)
+           |, nx AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM shx)
+           |, idfx AS (SELECT s.doc_id, CAST(round(ln(nx.n_docs / d.df), 6) AS DECIMAL(18,6)) AS idf
+           |    FROM shx s JOIN dfx d USING (h) CROSS JOIN nx)
+           |, per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, sum(idf) AS sidf
+           |    FROM idfx GROUP BY doc_id)
+           | SELECT p.doc_id, w.url, p.n_shingles,
+           |   round(CAST(p.sidf AS DOUBLE) / p.n_shingles, 6) AS mean_idf
+           | FROM per p JOIN webdoc w USING (doc_id)""".stripMargin),
+    "q148_train_order" ->
+      (webdocCte +
+        s""", ord AS (SELECT doc_id, url, shard, ${h60("url || ':ep1'")} AS h FROM webdoc)
+           | SELECT shard,
+           |   CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+           |   doc_id, url
+           | FROM ord""".stripMargin),
     "q49_sample" ->
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc

@@ -416,4 +416,84 @@ object TrainPrep {
         round(col("q"), 6).as("priority"),
         round(greatest(col("w").cast("double"), lit(tau)), 6).as("est_w"))
   }
+
+  /** GPT-style context-window assignment: the corpus is laid out as ONE
+    * token stream per shard (deterministic order: salted url hash, doc_id
+    * tiebreak) and cut every `windowTokens` tokens, docs SPLITTING across
+    * window boundaries — the complement of [[packChunks]], which never
+    * splits a chunk and so leaves per-pack slack; here every window is
+    * exactly full, the standard pretraining layout. Emits one row per
+    * (doc, window) overlap with the doc-relative token span [tok_lo,
+    * tok_hi).
+    *
+    * Scale shape: one exchange on shard, then a per-shard running sum —
+    * the sequential scan is per shard, so parallelism = shard count
+    * (choose shards ≈ cores × small k upstream; shardAssign is the
+    * skew-immune producer). Nothing but (ids, counts) moves. */
+  def contextWindows(docs: DataFrame, windowTokens: Long,
+                     salt: String = "cw1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("url"), col("shard"),
+        size(Rules.wordsOf(col("text"))).cast("long").as("n_words"),
+        md5Hash60(concat(col("url"), lit(":" + salt))).as("__h"))
+      .filter(col("n_words") > 0)
+      .withColumn("start", coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_words"), col("start"),
+        // long/long is a DOUBLE divide in Spark — cast back for the
+        // floor division (operands nonnegative and < 2^53, so exact)
+        explode(sequence((col("start") / windowTokens).cast("long"),
+          ((col("start") + col("n_words") - 1) / windowTokens).cast("long")))
+          .as("window_id"))
+      .select(col("shard"), col("window_id"), col("doc_id"), col("n_words"),
+        (greatest(col("window_id") * windowTokens, col("start")) - col("start")).as("tok_lo"),
+        (least((col("window_id") + 1) * windowTokens, col("start") + col("n_words"))
+          - col("start")).as("tok_hi"))
+  }
+
+  /** Shingle-IDF novelty score — "how much of this doc is corpus
+    * boilerplate": mean inverse document frequency of the doc's distinct
+    * 3-word shingles (RefinedWeb-style originality signal; low mean =
+    * templated page). Cross-engine exact by the q129 discipline: each
+    * shingle's ln(N/df) is rounded at 6 dp and narrowed to DECIMAL(18,6)
+    * BEFORE the per-doc sum (exact), then ONE division published at 6 dp.
+    * Shuffle shape: shingles leave the row as h60 longs; df agg + narrow
+    * h-join + doc agg — the q57 TF-IDF family's plan. */
+  def noveltyIdf(docs: DataFrame): DataFrame = {
+    val sh = Dedup.withShingles(docs)
+      .select(col("doc_id"), col("url"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("url"), md5Hash60(col("s")).as("h"))
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val n = sh.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    sh.join(df, Seq("h"))
+      .crossJoin(n)
+      .select(col("doc_id"), col("url"),
+        round(log(col("n_docs") / col("df")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("idf"))
+      .groupBy(col("doc_id"), col("url"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("idf")).as("sidf"))
+      .select(col("doc_id"), col("url"), col("n_shingles"),
+        round(col("sidf").cast("double") / col("n_shingles"), 6).as("mean_idf"))
+  }
+
+  /** Reproducible training order: a deterministic pseudo-random
+    * permutation within each shard — position = rank of the salted url
+    * hash (doc_id tiebreak). The dataloader contract: same corpus + same
+    * salt ⇒ the same order on any cluster size, no RNG, no global sort
+    * (one exchange on shard, per-shard sort only). Re-salting reshuffles
+    * between epochs without touching the data. */
+  def trainOrder(docs: DataFrame, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("url"), col("shard"),
+        md5Hash60(concat(col("url"), lit(":" + salt))).as("__h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("url"))
+  }
 }

@@ -543,6 +543,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q146/q148: per-shard layout plans — ONE hash exchange on shard, no global sort") {
+    // the dataloader-layout contract: corpus order is per-shard (window
+    // partitionBy shard + in-partition sort), never a rangepartitioning
+    // total sort — at 100 TB a global sort is the plan killer
+    Seq("q146_context_windows", "q148_train_order").foreach { q =>
+      val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
+      val s = plan.toString
+      assert(!s.contains("rangepartitioning"), q + "\n" + s.take(2000))
+      val exchanges = plan.collect { case x: ShuffleExchangeExec => x }
+      assert(exchanges.size == 1, s"$q: expected exactly one exchange, got ${exchanges.size}")
+      assert(s.contains("hashpartitioning(shard"), q + "\n" + s.take(2000))
+    }
+  }
+
+  test("q147: novelty exchanges carry h60 longs and ids — never shingle strings or text") {
+    val plan = staticPlan(SparkEntry.queries("q147_novelty_idf")(spark, sfDir))
+    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    assert(shuffleCols.nonEmpty)
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "s" || c == "sh" || c == "text" || c == "words"),
+        "novelty shuffles shingle text: " + cols.mkString(","))
+    }
+  }
+
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))

@@ -339,4 +339,81 @@ class TrainPrepSpec extends SparkSpec {
     assert(viaStar == viaDriver)
     assert(viaStar.nonEmpty)
   }
+
+  test("contextWindows: windows tile each shard's token stream exactly; doc spans partition the doc") {
+    val rows = TrainPrep.contextWindows(Pipeline.webdoc(spark, sfDir), 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // shard, window, doc, n_words, lo, hi
+    assert(rows.nonEmpty)
+    // every window except the last of its shard carries exactly 256 tokens
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((shard, w), xs) =>
+      val width = xs.map(x => x._6 - x._5).sum
+      val lastW = rows.filter(_._1 == shard).map(_._2).max
+      if (w < lastW) assert(width == 256L, s"shard $shard window $w holds $width tokens")
+      else assert(width <= 256L)
+    }
+    // per doc: spans are contiguous, start at 0, end at n_words — the doc
+    // is split across window boundaries with nothing lost or duplicated
+    rows.groupBy(_._3).foreach { case (doc, xs) =>
+      val spans = xs.sortBy(_._2).map(x => (x._5, x._6))
+      assert(spans.head._1 == 0L, s"doc $doc first span ${spans.head}")
+      assert(spans.last._2 == xs.head._4, s"doc $doc last span ${spans.last} vs n=${xs.head._4}")
+      spans.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) => assert(hi == lo, s"doc $doc gap at $hi/$lo")
+        case _ =>
+      }
+    }
+    // at least one doc actually splits (spans > 1) — the operator's point
+    assert(rows.groupBy(_._3).exists(_._2.length > 1))
+  }
+
+  test("noveltyIdf: independent replication; textually identical docs score identically") {
+    import graft.functions.Hashing.md5Hash60Jvm
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingles = docs.map { case (id, t) =>
+      val ws = graft.functions.Words.tokenize(t)
+      id -> (if (ws.length < 3) Vector.empty[Long]
+             else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))
+               .distinct.map(md5Hash60Jvm).toVector)
+    }.filter(_._2.nonEmpty)
+    val df = shingles.flatMap(_._2).groupBy(identity).map { case (h, xs) => h -> xs.size }
+    val n = shingles.length.toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = shingles.map { case (id, hs) =>
+      val s = hs.map(h => BigDecimal(r6(math.log(n / df(h)))).setScale(6)).sum
+      id -> (hs.length.toLong, r6(s.toDouble / hs.length))
+    }.toMap
+    val got = TrainPrep.noveltyIdf(Pipeline.webdoc(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (k, m)) =>
+      assert(k == want(id)._1, s"doc $id n_shingles $k vs ${want(id)._1}")
+      assert(math.abs(m - want(id)._2) <= 1e-6, s"doc $id mean_idf $m vs ${want(id)._2}")
+    }
+    // identical texts ⇒ identical shingle sets ⇒ identical novelty
+    val byText = docs.groupBy(_._2).values.filter(_.length >= 2)
+    assert(byText.nonEmpty, "fixture has exact clones")
+    byText.foreach { g =>
+      val vals = g.map(_._1).flatMap(got.get).map(_._2).distinct
+      assert(vals.length <= 1, s"clones diverge: $g -> $vals")
+    }
+  }
+
+  test("trainOrder: a per-shard permutation, deterministic under the same salt, reshuffled by a new salt") {
+    def run(salt: String) = TrainPrep.trainOrder(Pipeline.webdoc(spark, sfDir), salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run("ep1")
+    a.groupBy(_._1).foreach { case (shard, xs) =>
+      assert(xs.map(_._2).sorted.toSeq == (1L to xs.length).map(identity),
+        s"shard $shard positions are not a 1..n permutation")
+    }
+    assert(run("ep1").sorted.toSeq == a.sorted.toSeq)
+    val b = run("ep2")
+    val orderA = a.sortBy(x => (x._1, x._2)).map(_._3).toSeq
+    val orderB = b.sortBy(x => (x._1, x._2)).map(_._3).toSeq
+    assert(orderA.toSet == orderB.toSet && orderA != orderB,
+      "re-salting must permute the same docs into a different order")
+  }
 }
