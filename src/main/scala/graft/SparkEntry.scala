@@ -313,6 +313,26 @@ object SparkEntry {
     // no RNG, no global sort — re-salt to reshuffle between epochs
     "q148_train_order" -> ((s, dir) =>
       graft.operators.TrainPrep.trainOrder(Pipeline.webdoc(s, dir), "ep1")),
+
+    // Record-mutating CDC dedup: global first-occurrence chunk dedup,
+    // docs rebuilt from surviving chunks (the q83 contract at CDC
+    // granularity — removal lists broadcast, corpus never shuffles)
+    "q149_cdc_excise" -> ((s, dir) =>
+      graft.operators.Cdc.excisedChunks(Pipeline.webdoc(s, dir))),
+
+    // Pure containment join (no equi key) via interval bucketization —
+    // the shape Spark would otherwise plan as a nested-loop cartesian;
+    // exact integer microseconds so both engines agree at the bounds
+    "q150_interval_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      val pts = e.select(col("event_id").as("point_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      val iv = e.filter(col("event_id") % 131 === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp")) + (col("event_id") % 7 + 1) * 3600000000L).as("hi"))
+      graft.operators.IntervalJoin.pointInInterval(pts, iv, 3600000000L)
+    }),
     "q04_verdict" -> ((s, dir) =>
       Pipeline.scored(s, dir)
         .select(col("doc_id"), col("url"), col("drop_reasons"), col("keep"))),
@@ -1320,6 +1340,28 @@ object SparkEntry {
         |   SELECT s.dst, reach.r FROM reach JOIN sym s ON reach.id = s.src)
         | SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** CDC chunking chain shared by q144 (dup stats) and q149 (excision):
+    * positional replication of Cdc.chunksOf — boundary flag per word
+    * position, chunk id = boundaries strictly before it, chunks rebuilt
+    * by position order. Yields CTE `chk(doc_id, cidx, chunk, wc)`.
+    * The coalesce guards exist because DuckDB evaluates BOTH sides of a
+    * vectorized AND: words[i-2] is NULL at i < 3 and md5(NULL) would
+    * collapse the h60 concat to an uncastable '0x'. */
+  private lazy val cdcChunkCtes: String =
+    s""", cpos AS (SELECT doc_id, url, words,
+       |    unnest(generate_series(1, len(words))) AS i FROM wsw WHERE len(words) > 0)
+       |, cflag AS (SELECT doc_id, i, words[i] AS w,
+       |    CASE WHEN i >= 3 AND (${h60("coalesce(words[i-2], '') || ' ' || coalesce(words[i-1], '') || ' ' || words[i]")} % 8) = 0
+       |         THEN 1 ELSE 0 END AS bp
+       |  FROM cpos)
+       |, cid AS (SELECT doc_id, i, w,
+       |    coalesce(sum(bp) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+       |  FROM cflag)
+       |, chk AS (SELECT doc_id, cidx, string_agg(w, ' ' ORDER BY i) AS chunk,
+       |    CAST(count(*) AS BIGINT) AS wc
+       |  FROM cid GROUP BY doc_id, cidx)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
       (webdocCte +
@@ -1996,21 +2038,8 @@ object SparkEntry {
       // word position (the h60 3-word trailing window), chunk id = count
       // of boundaries strictly before the position (window sum), chunks
       // re-joined by position order — then the same h-keyed dup logic
-      (webdocCte + shingleCte +
-        s""", cpos AS (SELECT doc_id, url, words,
-           |    unnest(generate_series(1, len(words))) AS i FROM wsw WHERE len(words) > 0)
-           |, cflag AS (SELECT doc_id, i, words[i] AS w,
-           |    CASE WHEN i >= 3 AND (${h60("coalesce(words[i-2], '') || ' ' || coalesce(words[i-1], '') || ' ' || words[i]")} % 8) = 0
-           |         THEN 1 ELSE 0 END AS bp
-           |  FROM cpos)
-           |, cid AS (SELECT doc_id, i, w,
-           |    coalesce(sum(bp) OVER (PARTITION BY doc_id ORDER BY i
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
-           |  FROM cflag)
-           |, chk AS (SELECT doc_id, cidx, string_agg(w, ' ' ORDER BY i) AS chunk,
-           |    CAST(count(*) AS BIGINT) AS wc
-           |  FROM cid GROUP BY doc_id, cidx)
-           |, chh AS (SELECT doc_id, ${h60("chunk")} AS h, wc FROM chk)
+      (webdocCte + shingleCte + cdcChunkCtes +
+        s""", chh AS (SELECT doc_id, ${h60("chunk")} AS h, wc FROM chk)
            |, dup AS (SELECT h FROM chh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
            |, per AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
            |    CAST(sum(CASE WHEN d.h IS NOT NULL THEN c.wc ELSE 0 END) AS BIGINT) AS dup_chunk_words
@@ -2083,6 +2112,32 @@ object SparkEntry {
            |   CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
            |   doc_id, url
            | FROM ord""".stripMargin),
+    "q149_cdc_excise" ->
+      // global first-occurrence chunk dedup: winner per content hash is
+      // the smallest (doc_id, cidx); docs rebuilt from surviving chunks
+      (webdocCte + shingleCte + cdcChunkCtes +
+        s""", cho AS (SELECT doc_id, cidx, chunk, ${h60("chunk")} AS h FROM chk)
+           |, rnkx AS (SELECT doc_id, cidx, chunk,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, cidx) AS rn FROM cho)
+           |, keepx AS (SELECT doc_id, cidx, chunk FROM rnkx WHERE rn = 1)
+           |, reb AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY cidx) AS clean_text,
+           |    CAST(count(*) AS BIGINT) AS n_kept FROM keepx GROUP BY doc_id)
+           |, tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chk GROUP BY doc_id)
+           | SELECT w.doc_id, w.url,
+           |   CAST(coalesce(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+           |   CAST(coalesce(t.n_chunks, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+           |   coalesce(r.clean_text, '') AS clean_text
+           | FROM wsw w LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)""".stripMargin),
+    "q150_interval_join" ->
+      // plain BETWEEN containment join — DuckDB's optimizer handles the
+      // small scale; the Spark side must produce the SAME pairs through
+      // the bucketized equi-join (exact integer microseconds both sides)
+      """WITH pts AS (SELECT event_id AS point_id, epoch_us(ts) AS t FROM events),
+        | iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS lo,
+        |     epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS hi
+        |   FROM events WHERE event_id % 131 = 0)
+        | SELECT p.point_id, i.interval_id, CAST(p.t - i.lo AS BIGINT) AS "offset"
+        | FROM pts p JOIN iv i ON p.t >= i.lo AND p.t <= i.hi""".stripMargin,
     "q49_sample" ->
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc

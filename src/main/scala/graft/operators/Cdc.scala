@@ -97,4 +97,41 @@ object Cdc {
           round(coalesce(col("dup_chunk_words"), lit(0L)).cast("double")
             / col("n_words"), 6)).as("dup_frac"))
   }
+
+  /** The record-mutating form of [[dupChunkStats]] (what a training
+    * pipeline actually feeds downstream — the analogue of q83's span
+    * excision at CDC granularity): global FIRST-OCCURRENCE chunk dedup.
+    * Every chunk content keeps exactly one copy — the occurrence with the
+    * smallest (doc_id, chunk index) — and every other occurrence
+    * (cross-doc AND within-doc) is excised; docs are rebuilt byte-exactly
+    * from their surviving chunks in order.
+    *
+    * Scale shape: occurrences shuffle as (h60, doc_id, cidx) longs for
+    * the winner ranking; the per-doc removal lists (tiny int arrays, only
+    * docs that LOSE an occurrence) broadcast back, so the corpus text
+    * never repartitions — the q83/q84 contract, pinned in PlanSpec. */
+  def excisedChunks(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("words", Rules.wordsOf(col("text")))
+      .select(col("doc_id"), col("url"), chunksOf(col("words")).as("chunks"))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("cidx", "chunk")))
+      .select(col("doc_id"), col("cidx").cast("long").as("cidx"),
+        md5Hash60(col("chunk")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("cidx"))
+    val losers = occ.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("cidx"))).as("rm"))
+    base.join(broadcast(losers), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("url"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        when(col("rm").isNull, lit(0L))
+          .otherwise(size(col("rm")).cast("long")).as("n_removed"),
+        when(col("rm").isNull, concat_ws(" ", col("chunks")))
+          .otherwise(concat_ws(" ", filter(col("chunks"), (_, j) =>
+            !exists(col("rm"), r => r === j.cast("long")))))
+          .as("clean_text"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (containment) join WITHOUT an equi key — the join
+  * shape open-source Spark has no native plan for: `p.t BETWEEN i.lo AND
+  * i.hi` alone plans as BroadcastNestedLoopJoin (every point compared to
+  * every interval — O(|P|·|I|), the 100 TB killer). The standard fix,
+  * used by every warehouse engine's range-join optimization (and the
+  * reference's time-box scan loop, vlass2caom2/composable.py:116-134,
+  * done one box at a time): BUCKETIZE. Each interval explodes to the
+  * fixed-width time buckets it covers; each point carries its single
+  * bucket; the join becomes an ordinary equi hash join on the bucket id
+  * plus a residual BETWEEN filter.
+  *
+  * No dedup pass is needed: a (point, interval) pair can only meet in the
+  * point's OWN bucket, so every surviving pair appears exactly once —
+  * unlike interval-interval overlap joins, which must dedupe.
+  *
+  * Scale knobs: `bucketSec` trades dim fan-out (≤ ceil(len/bucketSec)+1
+  * rows per interval) against residual-filter selectivity; pick it near
+  * the median interval length. Long intervals fan out linearly — cap or
+  * split outliers upstream. The bucketed join is an ordinary shuffle (or
+  * broadcast, when the exploded dim fits) hash join — PlanSpec pins that
+  * no nested-loop/cartesian survives in the plan.
+  */
+object IntervalJoin {
+
+  /** `points`: (point_id, t). `intervals`: (interval_id, lo, hi)
+    * inclusive bounds. All in one integral time unit (the callers use
+    * epoch microseconds — exact in both engines where whole seconds
+    * would truncate differently). Returns every containment pair with
+    * the offset into the interval. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      bucketWidth: Long): DataFrame = {
+    // long/long is a DOUBLE divide in Spark — cast back for floor
+    // division (epoch values are nonnegative and < 2^53, so exact)
+    val iv = intervals.withColumn("b",
+      explode(sequence((col("lo") / bucketWidth).cast("long"),
+        (col("hi") / bucketWidth).cast("long"))))
+    points
+      .withColumn("b", (col("t") / bucketWidth).cast("long"))
+      .join(iv, Seq("b"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("point_id"), col("interval_id"),
+        (col("t") - col("lo")).as("offset"))
+  }
+}

@@ -1551,6 +1551,68 @@ class OperatorSpec extends SparkSpec {
       s"CDC not shift-resistant: ${a.size} chunks, only ${a.intersect(b).size} survive a 1-word prepend")
   }
 
+  test("q149 excisedChunks: equals an independent global first-occurrence chunk dedup; output is loss-free") {
+    import graft.functions.Hashing.md5Hash60Jvm
+    def chunksOf(ws: Array[String]): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      for (i <- 1 to ws.length) {
+        if (cur.nonEmpty) cur += ' '
+        cur ++= ws(i - 1)
+        if (i >= 3 && md5Hash60Jvm(ws(i - 3) + " " + ws(i - 2) + " " + ws(i - 1)) % 8 == 0) {
+          out += cur.toString; cur.clear()
+        }
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.toVector
+    }
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.Words.tokenize(r.getString(1)))
+      .sortBy(_._1)
+    val chunks = docs.map { case (id, ws) => id -> chunksOf(ws) }
+    // global winner per chunk content = smallest (doc_id, cidx)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = chunks.map { case (id, cs) =>
+      val kept = cs.filter(c => seen.add(c))
+      id -> (cs.length.toLong, (cs.length - kept.length).toLong, kept.mkString(" "))
+    }.toMap
+    val got = graft.operators.Cdc.excisedChunks(Pipeline.webdoc(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0L), "fixture clones must lose chunks")
+    // loss-free: every doc's clean text is a subsequence of its original
+    // words, and total kept content = distinct chunk contents
+    val allKept = chunks.flatMap(_._2).distinct.length.toLong
+    assert(got.values.map(x => x._1 - x._2).sum == allKept)
+  }
+
+  test("q150 pointInInterval: bucketized equi-join equals brute-force containment; bounds inclusive") {
+    import spark.implicits._
+    val pts = Seq((1L, 100L), (2L, 3600L), (3L, 7200L), (4L, 10800L), (5L, 10801L))
+      .toDF("point_id", "t")
+    val iv = Seq((10L, 100L, 100L), (11L, 3600L, 10800L), (12L, 0L, 50L))
+      .toDF("interval_id", "lo", "hi")
+    val got = graft.operators.IntervalJoin.pointInInterval(pts, iv, 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // inclusive at both bounds; interval 12 covers nothing
+    assert(got == Set((1L, 10L, 0L), (2L, 11L, 0L), (3L, 11L, 3600L), (4L, 11L, 7200L)))
+    // brute force on the fixture-derived sets equals the bucketized join
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivs = e.filter(_._1 % 131 == 0)
+      .map { case (id, t) => (id, t, t + (id % 7 + 1) * 3600000000L) }
+    val brute = (for {
+      (pid, t) <- e
+      (iid, lo, hi) <- ivs
+      if t >= lo && t <= hi
+    } yield (pid, iid, t - lo)).toSet
+    val full = SparkEntry.queries("q150_interval_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    assert(full.nonEmpty)
+  }
+
   test("q145 hostHll: registers and estimate equal an independent HLL; error within sketch bounds") {
     import graft.functions.Hashing.md5Hash60Jvm
     val docs = Pipeline.webdoc(spark, sfDir).select("host", "text").collect()

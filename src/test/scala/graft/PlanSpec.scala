@@ -557,6 +557,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q149: excision exchanges carry (h, doc_id, cidx) longs; removal lists broadcast back") {
+    // the q83 contract at CDC granularity: the corpus text never
+    // repartitions — chunk strings stay inside the row until the final
+    // rebuild projection
+    val plan = staticPlan(SparkEntry.queries("q149_cdc_excise")(spark, sfDir))
+    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    assert(shuffleCols.nonEmpty)
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "chunk" || c == "chunks" || c == "words"
+          || c == "text" || c == "clean_text"),
+        "excision shuffles chunk text: " + cols.mkString(","))
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
+  }
+
+  test("q150: the containment join is a hash join on the bucket — no nested loop, no cartesian") {
+    // the whole point of bucketization: a bare t BETWEEN lo AND hi would
+    // plan as BroadcastNestedLoopJoin (O(points × intervals) compares)
+    val plan = staticPlan(SparkEntry.queries("q150_interval_join")(spark, sfDir))
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(s.contains("HashJoin"), s.take(2000))
+  }
+
   test("q147: novelty exchanges carry h60 longs and ids — never shingle strings or text") {
     val plan = staticPlan(SparkEntry.queries("q147_novelty_idf")(spark, sfDir))
     val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
