@@ -320,6 +320,27 @@ object SparkEntry {
     "q149_cdc_excise" -> ((s, dir) =>
       graft.operators.Cdc.excisedChunks(Pipeline.webdoc(s, dir))),
 
+    // Interval-interval OVERLAP join via bucketization with dedup-free
+    // canonical-bucket emission (a pair is emitted only in max(lo)'s
+    // bucket — always a shared one, so exactly one copy, no distinct)
+    "q151_overlap_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/events.parquet")
+      def ivs(m: Int, durUnit: Long, durMod: Int) = e
+        .filter(col("event_id") % m === 0)
+        .select(col("event_id").as("interval_id"),
+          unix_micros(col("ts").cast("timestamp")).as("lo"),
+          (unix_micros(col("ts").cast("timestamp"))
+            + (col("event_id") % durMod + 1) * durUnit).as("hi"))
+      graft.operators.IntervalJoin.intervalOverlap(
+        ivs(131, 3600000000L, 7), ivs(173, 1800000000L, 5), 3600000000L)
+    }),
+
+    // Length-balanced batch interleave: positions cycle round-robin
+    // through per-shard length deciles so every contiguous batch slice
+    // sees the full length distribution (one shard exchange, no sort)
+    "q152_batch_interleave" -> ((s, dir) =>
+      graft.operators.TrainPrep.batchInterleave(Pipeline.webdoc(s, dir), "bi1")),
+
     // Pure containment join (no equi key) via interval bucketization —
     // the shape Spark would otherwise plan as a nested-loop cartesian;
     // exact integer microseconds so both engines agree at the bounds
@@ -2138,6 +2159,32 @@ object SparkEntry {
         |   FROM events WHERE event_id % 131 = 0)
         | SELECT p.point_id, i.interval_id, CAST(p.t - i.lo AS BIGINT) AS "offset"
         | FROM pts p JOIN iv i ON p.t >= i.lo AND p.t <= i.hi""".stripMargin,
+    "q151_overlap_join" ->
+      // plain overlap-predicate join at oracle scale; the Spark side
+      // must produce identical pairs through canonical-bucket emission
+      """WITH ia AS (SELECT event_id AS a_id, epoch_us(ts) AS lo,
+        |     epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS hi
+        |   FROM events WHERE event_id % 131 = 0),
+        | ib AS (SELECT event_id AS b_id, epoch_us(ts) AS lo,
+        |     epoch_us(ts) + (event_id % 5 + 1) * 1800000000 AS hi
+        |   FROM events WHERE event_id % 173 = 0)
+        | SELECT a.a_id, b.b_id,
+        |   CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT) AS overlap
+        | FROM ia a JOIN ib b ON a.lo <= b.hi AND b.lo <= a.hi""".stripMargin,
+    "q152_batch_interleave" ->
+      // identical window chain: ntile(10) by length, salted-hash rank
+      // within decile, final rank by (rank-in-decile, decile)
+      (webdocCte + shingleCte +
+        s""", bx AS (SELECT w.doc_id, w.url, w.shard,
+           |    CAST(len(s.words) AS BIGINT) AS n_words,
+           |    ${h60("w.url || ':bi1'")} AS h
+           |  FROM webdoc w JOIN wsw s USING (doc_id))
+           |, dx AS (SELECT *, CAST(ntile(10) OVER (PARTITION BY shard ORDER BY n_words, doc_id) AS BIGINT) AS len_decile FROM bx)
+           |, rx AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard, len_decile ORDER BY h, doc_id) AS BIGINT) AS rib FROM dx)
+           | SELECT shard,
+           |   CAST(row_number() OVER (PARTITION BY shard ORDER BY rib, len_decile, doc_id) AS BIGINT) AS pos,
+           |   doc_id, url, n_words, len_decile
+           | FROM rx""".stripMargin),
     "q49_sample" ->
       (webdocCte +
         s""" SELECT doc_id, url, lang FROM webdoc

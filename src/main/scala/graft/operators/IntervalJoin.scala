@@ -46,4 +46,32 @@ object IntervalJoin {
       .select(col("point_id"), col("interval_id"),
         (col("t") - col("lo")).as("offset"))
   }
+
+  /** Interval–interval OVERLAP join, same bucketization — with the
+    * dedup-free emission trick: an overlapping pair meets in EVERY
+    * bucket both sides cover, so a naive bucketized join emits it once
+    * per shared bucket; instead the pair is emitted only in its
+    * CANONICAL bucket, the one containing max(lo_a, lo_b). That point
+    * lies inside both intervals (max(lo) ≤ min(hi) for any overlap), so
+    * the canonical bucket is always among the shared ones — exactly one
+    * copy survives, with no distinct() shuffle after the join.
+    *
+    * Both inputs: (interval_id, lo, hi) inclusive integral bounds.
+    * Output: (a_id, b_id, overlap = min(hi) − max(lo) + 1 points). */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      bucketWidth: Long): DataFrame = {
+    def exploded(df: DataFrame, p: String) = df
+      .select(col("interval_id").as(s"${p}_id"), col("lo").as(s"${p}_lo"),
+        col("hi").as(s"${p}_hi"))
+      .withColumn("bk", explode(sequence(
+        (col(s"${p}_lo") / bucketWidth).cast("long"),
+        (col(s"${p}_hi") / bucketWidth).cast("long"))))
+    exploded(a, "x").join(exploded(b, "y"), Seq("bk"))
+      .filter(col("x_lo") <= col("y_hi") && col("y_lo") <= col("x_hi"))
+      .filter(col("bk") ===
+        (greatest(col("x_lo"), col("y_lo")) / bucketWidth).cast("long"))
+      .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+        (least(col("x_hi"), col("y_hi"))
+          - greatest(col("x_lo"), col("y_lo")) + 1).as("overlap"))
+  }
 }

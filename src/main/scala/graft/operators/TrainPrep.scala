@@ -480,6 +480,39 @@ object TrainPrep {
         round(col("sidf").cast("double") / col("n_shingles"), 6).as("mean_idf"))
   }
 
+  /** Length-balanced batch interleave: consecutive training positions
+    * cycle round-robin through length deciles, so every contiguous batch
+    * slice sees the full document-length distribution instead of the
+    * length-correlated runs a plain sort (or an unlucky hash order)
+    * produces — the batch-composition control knob next to
+    * [[trainOrder]]'s plain permutation. Decile = ntile(10) over
+    * (n_words, doc_id) within the shard (identical semantics both
+    * engines); within a decile docs are salted-hash ordered; the final
+    * position ranks (rank-within-decile, decile) — i.e. one doc from
+    * each decile, then the next round.
+    *
+    * Scale shape: ONE exchange on shard; the two inner windows re-sort
+    * but never repartition (hash(shard) already clusters (shard,
+    * decile)); no global sort. */
+  def batchInterleave(docs: DataFrame, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("n_words"), col("doc_id"))
+    val inDecile = Window.partitionBy(col("shard"), col("len_decile"))
+      .orderBy(col("__h"), col("doc_id"))
+    val outOrder = Window.partitionBy(col("shard"))
+      .orderBy(col("rib"), col("len_decile"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("url"), col("shard"),
+        size(Rules.wordsOf(col("text"))).cast("long").as("n_words"),
+        md5Hash60(concat(col("url"), lit(":" + salt))).as("__h"))
+      .withColumn("len_decile", ntile(10).over(byShard).cast("long"))
+      .withColumn("rib", row_number().over(inDecile).cast("long"))
+      .withColumn("pos", row_number().over(outOrder).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("url"),
+        col("n_words"), col("len_decile"))
+  }
+
   /** Reproducible training order: a deterministic pseudo-random
     * permutation within each shard — position = rank of the salted url
     * hash (doc_id tiebreak). The dataloader contract: same corpus + same

@@ -1613,6 +1613,67 @@ class OperatorSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("q151 intervalOverlap: canonical-bucket emission — exactly one copy per pair, brute-force equal") {
+    import spark.implicits._
+    // pairs sharing MANY buckets (0-10000 vs 1-9999 share 11 buckets at
+    // width 1000) must still emit ONCE; touching endpoints overlap by 1
+    val a = Seq((1L, 0L, 10000L), (2L, 20000L, 20010L), (3L, 50L, 60L))
+      .toDF("interval_id", "lo", "hi")
+    val b = Seq((10L, 1L, 9999L), (11L, 20010L, 30000L), (12L, 61L, 70L))
+      .toDF("interval_id", "lo", "hi")
+    val got = graft.operators.IntervalJoin.intervalOverlap(a, b, 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == got.distinct.length, "duplicate pair emitted")
+    assert(got.toSet == Set(
+      (1L, 10L, 9999L), // 11 shared buckets, one emission
+      (1L, 12L, 10L),   // [0,10000] ⊇ [61,70]
+      (2L, 11L, 1L),    // touching endpoints: overlap of exactly 1
+      (3L, 10L, 11L)))  // [50,60] inside [1,9999]
+    // fixture replication: brute-force overlap join over the event-derived sets
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ia = e.filter(_._1 % 131 == 0).map { case (id, t) => (id, t, t + (id % 7 + 1) * 3600000000L) }
+    val ib = e.filter(_._1 % 173 == 0).map { case (id, t) => (id, t, t + (id % 5 + 1) * 1800000000L) }
+    val brute = (for {
+      (xid, xlo, xhi) <- ia; (yid, ylo, yhi) <- ib
+      if xlo <= yhi && ylo <= xhi
+    } yield (xid, yid, math.min(xhi, yhi) - math.max(xlo, ylo) + 1)).toSet
+    val full = SparkEntry.queries("q151_overlap_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(full.length == full.distinct.length)
+    assert(full.toSet == brute)
+    assert(full.nonEmpty)
+  }
+
+  test("q152 batchInterleave: per-shard permutation whose order is (rank-in-decile, decile) — batches see all deciles") {
+    val rows = graft.operators.TrainPrep.batchInterleave(Pipeline.webdoc(spark, sfDir), "bi1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (shard, xs) =>
+      val byPos = xs.sortBy(_._2)
+      assert(byPos.map(_._2).toSeq == (1L to xs.length).map(identity), s"shard $shard not 1..n")
+      // the first 10 positions of a ≥10-doc shard hit 10 distinct deciles
+      if (xs.length >= 10)
+        assert(byPos.take(10).map(_._5).distinct.length == 10,
+          s"shard $shard first batch missing deciles: ${byPos.take(10).map(_._5).mkString(",")}")
+      // position order IS the lexicographic (rank-in-decile, decile) order:
+      // a decile repeat can only start a new round (a smaller decile)
+      val rounds = byPos.map(_._5).foldLeft(List.empty[List[Long]]) {
+        case (acc, d) if acc.nonEmpty && d > acc.head.head => (d :: acc.head) :: acc.tail
+        case (acc, d) => List(d) :: acc
+      }
+      rounds.foreach(r => assert(r == r.sorted(Ordering[Long].reverse), s"shard $shard round not ascending"))
+      // deciles are length-ordered: max n_words of decile d ≤ min of d+1
+      val byDecile = xs.groupBy(_._5)
+      byDecile.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(d1, d2) =>
+          assert(byDecile(d1).map(_._4).max <= byDecile(d2).map(_._4).min,
+            s"shard $shard deciles $d1/$d2 overlap in length")
+        case _ =>
+      }
+    }
+  }
+
   test("q145 hostHll: registers and estimate equal an independent HLL; error within sketch bounds") {
     import graft.functions.Hashing.md5Hash60Jvm
     val docs = Pipeline.webdoc(spark, sfDir).select("host", "text").collect()

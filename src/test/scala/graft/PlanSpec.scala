@@ -582,6 +582,24 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("HashJoin"), s.take(2000))
   }
 
+  test("q151: the overlap join is a hash join on the bucket — no nested loop, no post-join distinct") {
+    val plan = staticPlan(SparkEntry.queries("q151_overlap_join")(spark, sfDir))
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(s.contains("HashJoin"), s.take(2000))
+    // canonical-bucket emission replaces the dedup: no aggregate at all
+    assert(!s.contains("HashAggregate"), "overlap join should need no distinct\n" + s.take(2000))
+  }
+
+  test("q152: the interleave windows share ONE shard exchange — hash(shard) clusters (shard, decile)") {
+    val plan = staticPlan(SparkEntry.queries("q152_batch_interleave")(spark, sfDir))
+    val s = plan.toString
+    assert(!s.contains("rangepartitioning"), s.take(2000))
+    val exchanges = plan.collect { case x: ShuffleExchangeExec => x }
+    assert(exchanges.size == 1, s"expected one exchange, got ${exchanges.size}\n" + s.take(2000))
+  }
+
   test("q147: novelty exchanges carry h60 longs and ids — never shingle strings or text") {
     val plan = staticPlan(SparkEntry.queries("q147_novelty_idf")(spark, sfDir))
     val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
