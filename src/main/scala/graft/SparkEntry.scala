@@ -320,6 +320,19 @@ object SparkEntry {
     "q149_cdc_excise" -> ((s, dir) =>
       graft.operators.Cdc.excisedChunks(Pipeline.webdoc(s, dir))),
 
+    // Prefix-duplicate pairs (truncated refetch / partial render): full
+    // text of one doc is a strict prefix of another's; blocked on the
+    // first 3-word shingle hash, verified with one exact startsWith
+    "q154_prefix_dups" -> ((s, dir) =>
+      graft.operators.Dedup.prefixDups(Pipeline.webdoc(s, dir))),
+
+    // Cross-corpus overlap from KMV sketches alone (base docs vs the
+    // clone snapshot): union/Jaccard/intersection estimates with no
+    // corpus-sized join — the snapshot-overlap monitor at scale
+    "q153_kmv_overlap" -> ((s, dir) =>
+      graft.operators.Dedup.kmvOverlap(Pipeline.webdoc(s, dir),
+        col("doc_id") < 10000000L, 256)),
+
     // Interval-interval OVERLAP join via bucketization with dedup-free
     // canonical-bucket emission (a pair is emitted only in max(lo)'s
     // bucket — always a shared one, so exactly one copy, no distinct)
@@ -2159,6 +2172,36 @@ object SparkEntry {
         |   FROM events WHERE event_id % 131 = 0)
         | SELECT p.point_id, i.interval_id, CAST(p.t - i.lo AS BIGINT) AS "offset"
         | FROM pts p JOIN iv i ON p.t >= i.lo AND p.t <= i.hi""".stripMargin,
+    "q154_prefix_dups" ->
+      // same blocking key (first 3-word shingle h60), same exact verify
+      (webdocCte + shingleCte +
+        s""", hh AS (SELECT doc_id, text,
+           |    ${h60("words[1] || ' ' || words[2] || ' ' || words[3]")} AS h
+           |  FROM wsw WHERE len(words) >= 3)
+           | SELECT b.doc_id AS short_id, a.doc_id AS long_id,
+           |   CAST(length(b.text) AS BIGINT) AS short_len,
+           |   CAST(length(a.text) AS BIGINT) AS long_len
+           | FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id
+           | WHERE length(b.text) < length(a.text) AND starts_with(a.text, b.text)""".stripMargin),
+    "q153_kmv_overlap" ->
+      // the sketch is deterministic (k smallest distinct hashes), so the
+      // oracle replays it literally; ONE fused ratio per estimate
+      (webdocCte + shingleCte +
+        s""", sidesh AS (SELECT (doc_id < 10000000) AS a, ${h60("s")} AS h
+           |    FROM (SELECT doc_id, unnest(sh) AS s FROM wsh))
+           |, ska AS (SELECT DISTINCT h FROM sidesh WHERE a ORDER BY h LIMIT 256)
+           |, skb AS (SELECT DISTINCT h FROM sidesh WHERE NOT a ORDER BY h LIMIT 256)
+           |, un AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb) ORDER BY h LIMIT 256)
+           |, unk AS (SELECT max(h) AS kth, CAST(count(*) AS BIGINT) AS k_used FROM un)
+           |, fl AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM un
+           |    WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+           | SELECT k_used, kth, n_both,
+           |   round(CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0::DOUBLE
+           |         / CAST(kth AS DOUBLE), 6) AS union_est,
+           |   round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+           |   round(CAST(n_both * 255 AS DOUBLE) * 1152921504606846976.0::DOUBLE
+           |         / (CAST(k_used AS DOUBLE) * CAST(kth AS DOUBLE)), 6) AS inter_est
+           | FROM unk, fl""".stripMargin),
     "q151_overlap_join" ->
       // plain overlap-predicate join at oracle scale; the Spark side
       // must produce identical pairs through canonical-bucket emission

@@ -1050,6 +1050,80 @@ object Dedup {
           .as("rel_err"))
   }
 
+  /** Prefix-duplicate pairs: docs whose FULL text is a strict prefix of
+    * another doc's — the truncated-refetch / partial-render shape (the
+    * reference's version-shadow collapse keys on names,
+    * data_source.py:234-273; this is the content-side analogue that
+    * catches a truncation even when the url changed). Candidates block
+    * on the doc's FIRST 3-word shingle hash (a prefix pair must agree
+    * there), then verify with one exact startsWith — so the quadratic
+    * work is bounded to same-opening docs, and only those candidate
+    * pairs carry text through the join (the q115 edit-verify discipline;
+    * a boilerplate-opening hot key would get the q41 df-cap treatment —
+    * documented, not needed at fixture rates). Blocking boundary: a
+    * short side of EXACTLY 3 words whose 3rd word was cut mid-word
+    * hashes differently and evades the block (both engines identically);
+    * the OperatorSpec brute-force differential pins that the recall loss
+    * is zero on the fixture, and real truncations are rarely that short. */
+  def prefixDups(docs: DataFrame): DataFrame = {
+    val wd = docs.withColumn("__w", Rules.wordsOf(col("text")))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc_id"), col("text"),
+        md5Hash60(concat_ws(" ", element_at(col("__w"), 1),
+          element_at(col("__w"), 2), element_at(col("__w"), 3))).as("h"))
+    val a = wd.select(col("h"), col("doc_id").as("long_id"), col("text").as("ta"))
+    val b = wd.select(col("h"), col("doc_id").as("short_id"), col("text").as("tb"))
+    a.join(b, Seq("h"))
+      .filter(col("short_id") =!= col("long_id")
+        && length(col("tb")) < length(col("ta"))
+        && col("ta").startsWith(col("tb")))
+      .select(col("short_id"), col("long_id"),
+        length(col("tb")).cast("long").as("short_len"),
+        length(col("ta")).cast("long").as("long_len"))
+  }
+
+  /** KMV sketch SET OPERATIONS (Beyer et al. 2007, "On synopses for
+    * distinct-value estimation under multiset operations" — a public
+    * construction): estimate the content overlap between two corpus
+    * sides (e.g. two crawl snapshots) from their k-smallest-hash
+    * sketches alone — the cross-corpus overlap monitor that at 100 TB
+    * replaces joining the full shingle sets. Union sketch = k smallest
+    * of the two sketches' union; Jaccard estimate = fraction of union-
+    * sketch members present in BOTH side sketches; intersection estimate
+    * = that fraction × the union cardinality estimate, published as one
+    * fused ratio so there is exactly one division.
+    *
+    * Everything is deterministic (k smallest DISTINCT hashes do not
+    * depend on partitioning) and the sketches are 256-row frames — the
+    * joins broadcast, nothing corpus-sized moves after the two
+    * distinct-hash TakeOrdered passes. */
+  def kmvOverlap(docs: DataFrame, isA: Column, k: Int): DataFrame = {
+    val sh = withShingles(docs)
+      .select(isA.as("a"), explode(col("sh")).as("s"))
+      .select(col("a"), md5Hash60(col("s")).as("h"))
+    val skA = sh.filter(col("a")).select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val skB = sh.filter(!col("a")).select(col("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val un = skA.unionByName(skB).distinct().orderBy(col("h")).limit(k)
+    val unK = un.agg(max(col("h")).as("kth"),
+      count(lit(1)).cast("long").as("k_used"))
+    val flags = un
+      .join(broadcast(skA.withColumn("inA", lit(true))), Seq("h"), "left")
+      .join(broadcast(skB.withColumn("inB", lit(true))), Seq("h"), "left")
+      .agg(sum(when(col("inA") && col("inB"), 1L).otherwise(0L)).as("n_both"))
+    unK.crossJoin(flags).select(
+      col("k_used"), col("kth"), col("n_both"),
+      round((col("k_used") - 1).cast("double") * lit(1152921504606846976.0)
+        / col("kth").cast("double"), 6).as("union_est"),
+      round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
+        .as("jaccard_est"),
+      round((col("n_both") * lit((k - 1).toLong)).cast("double")
+        * lit(1152921504606846976.0)
+        / (col("k_used").cast("double") * col("kth").cast("double")), 6)
+        .as("inter_est"))
+  }
+
   /** Per-host HyperLogLog distinct-shingle estimate (Flajolet et al. 2007
     * — a public algorithm) — the fixed-size counterpart to [[hostKmv]]:
     * the sketch is m = 64 one-byte registers per host REGARDLESS of

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL (newline-delimited JSON) document ingest/egress — the de-facto
+  * interchange format for webtext corpora (one JSON object per line),
+  * next to the parquet path the rest of the engine uses. The reference's
+  * ingest boundary is its per-file reader (vlass2caom2/reader.py); here
+  * the boundary is a splittable line-oriented scan.
+  *
+  * Scale posture:
+  *  - the schema is EXPLICIT — no sampling inference pass over 100 TB
+  *    (spark.read.json without a schema reads everything twice);
+  *  - `spark.read.text` + `from_json` keeps the scan splittable by line
+  *    ranges exactly like any text source — a .jsonl.gz corpus should be
+  *    re-chunked upstream (gzip is not splittable; that is a property of
+  *    the codec, not this reader);
+  *  - malformed lines do not kill the job: PERMISSIVE parsing routes
+  *    them to a quarantine frame (the reference's per-file try/except,
+  *    main_app.py's failure accounting) — callers decide whether a
+  *    nonzero quarantine count fails the run.
+  */
+object JsonlDocs {
+
+  /** The interchange schema for a webtext doc line. */
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("url", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("text", StringType)))
+
+  /** Read a JSONL corpus: (docs, quarantine). A line is quarantined when
+    * it is not valid JSON OR lacks the required doc_id/text fields.
+    * Both frames derive from ONE text scan (the parsed projection is
+    * shared; Spark plans the two filters as two consumers of it). */
+  def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .withColumn("j", from_json(col("value"), schema))
+    val ok = col("j").isNotNull &&
+      col("j.doc_id").isNotNull && col("j.text").isNotNull
+    val docs = raw.filter(ok).select(
+      col("j.doc_id").as("doc_id"), col("j.url").as("url"),
+      col("j.lang").as("lang"), col("j.source").as("source"),
+      col("j.text").as("text"))
+    val quarantine = raw.filter(!ok).select(col("value").as("bad_line"))
+    (docs, quarantine)
+  }
+
+  /** Write a frame as JSONL shards (doc_id ascending within a shard is
+    * NOT guaranteed — line order is not part of the format's contract;
+    * the q138 manifest checksum is the order-independent integrity
+    * check). `to_json` of a struct of the five fields keeps the output
+    * re-readable by [[read]] byte-for-byte field-wise. */
+  def write(docs: DataFrame, path: String, shards: Int): Unit =
+    docs.select(to_json(struct(
+        col("doc_id"), col("url"), col("lang"), col("source"), col("text")))
+        .as("value"))
+      .repartition(shards)
+      .write.mode("overwrite").text(path)
+}

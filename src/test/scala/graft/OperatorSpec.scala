@@ -1674,6 +1674,54 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q153 kmvOverlap: equals an independent sketch replication; estimates within sketch error of exact") {
+    import graft.functions.Hashing.md5Hash60Jvm
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.Words.tokenize(r.getString(1)))
+    def shingleSet(side: Array[(Long, Array[String])]): Set[Long] =
+      side.iterator.flatMap { case (_, ws) =>
+        if (ws.length < 3) Iterator.empty
+        else (0 to ws.length - 3).iterator.map(i => md5Hash60Jvm(ws.slice(i, i + 3).mkString(" ")))
+      }.toSet
+    val setA = shingleSet(docs.filter(_._1 < 10000000L))
+    val setB = shingleSet(docs.filter(_._1 >= 10000000L))
+    val k = 256
+    val skA = setA.toSeq.sorted.take(k).toSet
+    val skB = setB.toSeq.sorted.take(k).toSet
+    val un = (skA ++ skB).toSeq.sorted.take(k)
+    val kth = un.max
+    val nBoth = un.count(h => skA(h) && skB(h))
+    val row = graft.operators.Dedup.kmvOverlap(
+      Pipeline.webdoc(spark, sfDir), col("doc_id") < 10000000L, k).head()
+    assert(row.getLong(0) == un.length.toLong && row.getLong(1) == kth
+      && row.getLong(2) == nBoth.toLong)
+    // calibration: KMV σ ≈ 1/√k ≈ 6.3%; allow 4σ on the Jaccard and the union
+    val trueJ = (setA & setB).size.toDouble / (setA | setB).size
+    assert(math.abs(row.getDouble(4) - trueJ) < 0.25,
+      s"jaccard_est ${row.getDouble(4)} vs true $trueJ")
+    val trueU = (setA | setB).size.toDouble
+    assert(math.abs(row.getDouble(3) - trueU) / trueU < 0.25,
+      s"union_est ${row.getDouble(3)} vs true $trueU")
+  }
+
+  test("q154 prefixDups: blocked+verified pairs equal the unblocked brute force — blocking loses nothing") {
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute force WITHOUT the 3-word blocking key: any pair it finds that
+    // the blocked path misses would be a blocking-key bug (a true prefix
+    // always shares the first 3 words when both docs have ≥ 3)
+    val brute = (for {
+      (aId, aT) <- docs
+      (bId, bT) <- docs
+      if aId != bId && bT.length < aT.length && aT.startsWith(bT)
+      if graft.functions.Words.tokenize(bT).length >= 3
+    } yield (bId, aId, bT.length.toLong, aT.length.toLong)).toSet
+    val got = graft.operators.Dedup.prefixDups(Pipeline.webdoc(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "fixture truncation clones must produce prefix pairs")
+  }
+
   test("q145 hostHll: registers and estimate equal an independent HLL; error within sketch bounds") {
     import graft.functions.Hashing.md5Hash60Jvm
     val docs = Pipeline.webdoc(spark, sfDir).select("host", "text").collect()
