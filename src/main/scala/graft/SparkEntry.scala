@@ -320,6 +320,12 @@ object SparkEntry {
     "q149_cdc_excise" -> ((s, dir) =>
       graft.operators.Cdc.excisedChunks(Pipeline.webdoc(s, dir))),
 
+    // The same HLL as ONE two-phase typed aggregation: 64 register bytes
+    // per (partition, host) through a single exchange — the production
+    // shape (q145's groupBy form needs two); same oracle, same registers
+    "q155_host_hll_agg" -> ((s, dir) =>
+      graft.operators.Dedup.hostHllAgg(Pipeline.webdoc(s, dir))),
+
     // Prefix-duplicate pairs (truncated refetch / partial render): full
     // text of one doc is a strict prefix of another's; blocked on the
     // first 3-word shingle hash, verified with one exact startsWith
@@ -1396,6 +1402,30 @@ object SparkEntry {
        |    CAST(count(*) AS BIGINT) AS wc
        |  FROM cid GROUP BY doc_id, cidx)""".stripMargin
 
+  /** q145/q155 shared oracle: register-exact HLL replication — bucket =
+    * top 6 bits of h60, rank via bin() bit-length (identical semantics
+    * both engines), exact BIGINT register sum, ONE double division
+    * rounded at 6 dp. Both the composable groupBy form and the typed
+    * Aggregator must reproduce it bit-for-bit. */
+  private lazy val hostHllOracle: String =
+    (webdocCte + shingleCte +
+        s""", it AS (SELECT host, ${h60("s")} AS h FROM (
+           |    SELECT w.host AS host, unnest(x.sh) AS s
+           |    FROM wsh x JOIN webdoc w ON x.doc_id = w.doc_id))
+           |, regs AS (SELECT host, bucket, max(rnk) AS m FROM (
+           |    SELECT host, h >> 54 AS bucket,
+           |      CASE WHEN (h & 18014398509481983) = 0 THEN 55
+           |           ELSE 55 - length(bin(h & 18014398509481983)) END AS rnk
+           |    FROM it) GROUP BY host, bucket)
+           |, agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(CAST(sum(1::BIGINT << (55 - m)) AS HUGEINT)
+           |         + CAST(64 - count(*) AS HUGEINT) * 36028797018963968::HUGEINT AS BIGINT) AS s_sum
+           |  FROM regs GROUP BY host)
+           | SELECT host, n_buckets, s_sum,
+           |   round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+           |         / CAST(s_sum AS DOUBLE), 6) AS hll_est
+           | FROM agg""".stripMargin)
+
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
       (webdocCte +
@@ -2084,27 +2114,10 @@ object SparkEntry {
            |   CASE WHEN len(w.words) > 0
            |        THEN round(coalesce(p.dup_chunk_words, 0) * 1.0 / len(w.words), 6) END AS dup_frac
            | FROM wsw w LEFT JOIN per p USING (doc_id)""".stripMargin),
-    "q145_host_hll" ->
-      // register-exact HLL replication: bucket = top 6 bits of h60, rank
-      // via bin() bit-length (identical semantics both engines), exact
-      // BIGINT register sum, ONE double division rounded at 6 dp
-      (webdocCte + shingleCte +
-        s""", it AS (SELECT host, ${h60("s")} AS h FROM (
-           |    SELECT w.host AS host, unnest(x.sh) AS s
-           |    FROM wsh x JOIN webdoc w ON x.doc_id = w.doc_id))
-           |, regs AS (SELECT host, bucket, max(rnk) AS m FROM (
-           |    SELECT host, h >> 54 AS bucket,
-           |      CASE WHEN (h & 18014398509481983) = 0 THEN 55
-           |           ELSE 55 - length(bin(h & 18014398509481983)) END AS rnk
-           |    FROM it) GROUP BY host, bucket)
-           |, agg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_buckets,
-           |    CAST(CAST(sum(1::BIGINT << (55 - m)) AS HUGEINT)
-           |         + CAST(64 - count(*) AS HUGEINT) * 36028797018963968::HUGEINT AS BIGINT) AS s_sum
-           |  FROM regs GROUP BY host)
-           | SELECT host, n_buckets, s_sum,
-           |   round(0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
-           |         / CAST(s_sum AS DOUBLE), 6) AS hll_est
-           | FROM agg""".stripMargin),
+    "q145_host_hll" -> hostHllOracle,
+    // the typed-Aggregator HLL produces identical registers — one shared
+    // oracle proves the two physical shapes compute the same sketch
+    "q155_host_hll_agg" -> hostHllOracle,
     "q146_context_windows" ->
       // per-shard exclusive running token sum, then each doc unnests into
       // the window range it overlaps — floor division on exact integers

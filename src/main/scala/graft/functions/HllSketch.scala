@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** HLL sketch summary — field-compatible with Dedup.hostHll's output so
+  * the two paths share one oracle: n_buckets = registers hit, s_sum =
+  * the exact-integer register sum Σ 2^(55−M) (empty registers contribute
+  * 2^55), hll_est = α_64·m²·2^55 / s_sum. */
+case class HllSummary(n_buckets: Long, s_sum: Long, hll_est: Double)
+
+/** Typed UDAF form of the m = 64-register HyperLogLog (SURVEY §2.10, the
+  * sketch-algebra sibling of [[KmvSketch]]): per-group distinct
+  * estimation as ONE ordinary two-phase aggregation — the map side folds
+  * every row into a fixed 64-byte register buffer per group, the shuffle
+  * carries exactly those 64 bytes per (partition, group), and merge is
+  * the component-wise register max (associative + commutative). The
+  * composable groupBy(group, bucket).max form (Dedup.hostHll) needs TWO
+  * exchanges and shuffles up to 64 rows per (partition, group); this is
+  * the production monitor shape — Spark's own approx_count_distinct has
+  * the same physical form, but its HLL++ registers are not reproducible
+  * in DuckDB SQL, and ours are (bin()-bit-length ranks over h60).
+  *
+  * Input is the h60 item hash (bucket = top 6 bits, rank = 55 −
+  * bit_length of the low 54; rank 55 at rest = 0) — identical register
+  * values to Dedup.hostHll, differential-tested equal. */
+class HllSketch extends Aggregator[Long, Array[Byte], HllSummary] {
+
+  override def zero: Array[Byte] = new Array[Byte](64)
+
+  override def reduce(regs: Array[Byte], h: Long): Array[Byte] = {
+    val bucket = (h >>> 54).toInt
+    val rest = h & ((1L << 54) - 1)
+    val rank = if (rest == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    if (rank > regs(bucket)) regs(bucket) = rank.toByte
+    regs
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < 64) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(regs: Array[Byte]): HllSummary = {
+    var s = 0L
+    var hit = 0L
+    var i = 0
+    while (i < 64) {
+      s += 1L << (55 - regs(i))
+      if (regs(i) > 0) hit += 1
+      i += 1
+    }
+    // the identical literal DAG as hostHll/the oracle: one division,
+    // rounded at 6 dp (exact-integer operands, engine-identical)
+    val est = BigDecimal(0.709 * 4096.0 * 36028797018963968.0 / s.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    HllSummary(hit, s, est)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: Encoder[HllSummary] =
+    org.apache.spark.sql.Encoders.product[HllSummary]
+}

@@ -1050,6 +1050,23 @@ object Dedup {
           .as("rel_err"))
   }
 
+  /** [[hostHll]] as ONE two-phase aggregation via the typed
+    * [[graft.functions.HllSketch]] Aggregator: the shuffle carries
+    * exactly 64 register bytes per (partition, host) instead of up to 64
+    * (host, bucket, max) rows through two exchanges — the production
+    * monitor shape. Identical output (differential-tested; shares q145's
+    * oracle). */
+  def hostHllAgg(docs: DataFrame): DataFrame = {
+    val hll = udaf(new graft.functions.HllSketch)
+    withShingles(docs)
+      .select(col("host"), explode(col("sh")).as("s"))
+      .select(col("host"), md5Hash60(col("s")).as("h"))
+      .groupBy(col("host"))
+      .agg(hll(col("h")).as("s"))
+      .select(col("host"), col("s.n_buckets").as("n_buckets"),
+        col("s.s_sum").as("s_sum"), col("s.hll_est").as("hll_est"))
+  }
+
   /** Prefix-duplicate pairs: docs whose FULL text is a strict prefix of
     * another doc's — the truncated-refetch / partial-render shape (the
     * reference's version-shadow collapse keys on names,

@@ -1722,6 +1722,15 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture truncation clones must produce prefix pairs")
   }
 
+  test("q155 hostHllAgg: the typed Aggregator equals the composable groupBy form on every host") {
+    val a = graft.operators.Dedup.hostHll(Pipeline.webdoc(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val b = graft.operators.Dedup.hostHllAgg(Pipeline.webdoc(spark, sfDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("q145 hostHll: registers and estimate equal an independent HLL; error within sketch bounds") {
     import graft.functions.Hashing.md5Hash60Jvm
     val docs = Pipeline.webdoc(spark, sfDir).select("host", "text").collect()

@@ -600,6 +600,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.size == 1, s"expected one exchange, got ${exchanges.size}\n" + s.take(2000))
   }
 
+  test("q155: the typed-Aggregator HLL runs as ONE exchange — 64 register bytes per (partition, host)") {
+    // q145's composable groupBy(host, bucket) → groupBy(host) form pays
+    // two exchanges; the Aggregator is the production monitor shape
+    val p145 = staticPlan(SparkEntry.queries("q145_host_hll")(spark, sfDir))
+    val p155 = staticPlan(SparkEntry.queries("q155_host_hll_agg")(spark, sfDir))
+    val e145 = p145.collect { case x: ShuffleExchangeExec => x }.size
+    val e155 = p155.collect { case x: ShuffleExchangeExec => x }.size
+    assert(e155 == 1, s"Aggregator form should shuffle once, got $e155")
+    assert(e145 == 2, s"groupBy form expected two exchanges, got $e145")
+    // map-side partial sketch build before the exchange
+    assert(p155.toString.contains("ObjectHashAggregate"), p155.toString.take(2000))
+  }
+
   test("q147: novelty exchanges carry h60 longs and ids — never shingle strings or text") {
     val plan = staticPlan(SparkEntry.queries("q147_novelty_idf")(spark, sfDir))
     val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
