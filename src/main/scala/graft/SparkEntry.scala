@@ -320,6 +320,16 @@ object SparkEntry {
     "q149_cdc_excise" -> ((s, dir) =>
       graft.operators.Cdc.excisedChunks(Pipeline.webdoc(s, dir))),
 
+    // Per-doc OOV rate against the corpus's own top-1000 vocabulary —
+    // the tokenizer-design curve point and a gibberish/PII-density signal
+    "q156_oov_rate" -> ((s, dir) =>
+      graft.operators.TextStats.oovRate(Pipeline.webdoc(s, dir), 1000)),
+
+    // LSH quality eval (the dedup q140): candidate precision, recall vs
+    // the exact all-pairs truth, F1 as one fused ratio 2tp/(cand+true)
+    "q157_lsh_eval" -> ((s, dir) =>
+      graft.operators.Dedup.lshEval(Pipeline.webdoc(s, dir), 0.5)),
+
     // The same HLL as ONE two-phase typed aggregation: 64 register bytes
     // per (partition, host) through a single exchange — the production
     // shape (q145's groupBy form needs two); same oracle, same registers
@@ -2185,6 +2195,49 @@ object SparkEntry {
         |   FROM events WHERE event_id % 131 = 0)
         | SELECT p.point_id, i.interval_id, CAST(p.t - i.lo AS BIGINT) AS "offset"
         | FROM pts p JOIN iv i ON p.t >= i.lo AND p.t <= i.hi""".stripMargin,
+    "q156_oov_rate" ->
+      // vocabulary = top-1000 under (count desc, word) — a deterministic
+      // cut both engines rank identically
+      (webdocCte + shingleCte +
+        """, wcx AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+          |    FROM (SELECT unnest(words) AS w FROM wsw) GROUP BY w)
+          |, vcb AS (SELECT w FROM (
+          |    SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM wcx)
+          |  WHERE rk <= 1000)
+          |, dto AS (SELECT doc_id, unnest(words) AS word FROM wsw)
+          |, oo AS (SELECT d.doc_id,
+          |    CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+          |  FROM dto d LEFT JOIN vcb v ON d.word = v.w GROUP BY d.doc_id)
+          | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
+          |   CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+          |   CASE WHEN len(w.words) > 0
+          |        THEN round(coalesce(o.n_oov, 0) * 1.0 / len(w.words), 6) END AS oov_rate
+          | FROM wsw w LEFT JOIN oo o USING (doc_id)""".stripMargin),
+    "q157_lsh_eval" ->
+      // truth = q11's exact all-pairs; candidates = the minhash cand CTE;
+      // verified = q12's verify; F1 fused to a single ratio
+      (webdocCte + shingleCte + minhashCte +
+        """, exj AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM wsh)
+          |, truep AS (SELECT doc_a, doc_b FROM (
+          |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |      round(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)), 6) AS jaccard
+          |    FROM exj x JOIN exj y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+          |  WHERE jaccard >= 0.5)
+          |, verp AS (SELECT doc_a, doc_b FROM (
+          |    SELECT cand.doc_a, cand.doc_b,
+          |      round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |    FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          |  WHERE jaccard >= 0.5)
+          |, cnt AS (SELECT
+          |    (SELECT CAST(count(*) AS BIGINT) FROM truep) AS n_true,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM verp) AS n_verified)
+          | SELECT n_true, n_cand, n_verified,
+          |   CASE WHEN n_cand > 0 THEN round(CAST(n_verified AS DOUBLE) / n_cand, 6) END AS cand_precision,
+          |   CASE WHEN n_true > 0 THEN round(CAST(n_verified AS DOUBLE) / n_true, 6) END AS recall,
+          |   CASE WHEN n_cand + n_true > 0
+          |        THEN round(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE), 6) END AS f1
+          | FROM cnt""".stripMargin),
     "q154_prefix_dups" ->
       // same blocking key (first 3-word shingle h60), same exact verify
       (webdocCte + shingleCte +

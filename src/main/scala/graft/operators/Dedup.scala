@@ -1050,6 +1050,29 @@ object Dedup {
           .as("rel_err"))
   }
 
+  /** LSH quality evaluation — the dedup counterpart of q140's langid
+    * P/R/F1: candidate-generation precision (verified / candidates — how
+    * much verify work the bands waste) and recall (verified / exact-
+    * all-pairs truth — what the 4×4 banding misses at the threshold),
+    * F1 as the fused single ratio 2·tp/(cand+true) so no rounded doubles
+    * multiply. The truth leg is q11's exact all-pairs — an EVAL harness
+    * run on a sample at scale (all-pairs is the oracle baseline, not a
+    * scale path; the fixture corpus is sample-sized by construction). */
+  def lshEval(docs: DataFrame, tau: Double): DataFrame = {
+    val nTrue = jaccardPairs(docs, tau).agg(count(lit(1)).cast("long").as("n_true"))
+    val nCand = minhashCandidates(docs).agg(count(lit(1)).cast("long").as("n_cand"))
+    val nVer = minhashPairs(docs, tau).agg(count(lit(1)).cast("long").as("n_verified"))
+    nTrue.crossJoin(nCand).crossJoin(nVer).select(
+      col("n_true"), col("n_cand"), col("n_verified"),
+      when(col("n_cand") > 0,
+        round(col("n_verified").cast("double") / col("n_cand"), 6)).as("cand_precision"),
+      when(col("n_true") > 0,
+        round(col("n_verified").cast("double") / col("n_true"), 6)).as("recall"),
+      when(col("n_cand") + col("n_true") > 0,
+        round(lit(2.0) * col("n_verified") / (col("n_cand") + col("n_true")).cast("double"), 6))
+        .as("f1"))
+  }
+
   /** [[hostHll]] as ONE two-phase aggregation via the typed
     * [[graft.functions.HllSketch]] Aggregator: the shuffle carries
     * exactly 64 register bytes per (partition, host) instead of up to 64

@@ -373,4 +373,29 @@ object TextStats {
       .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6).as("avg_nll"),
         count(lit(1)).as("n_words"))
   }
+
+  /** Per-doc out-of-vocabulary rate against the corpus's own top-N word
+    * vocabulary — the tokenizer-design metric (OOV rate vs vocab size is
+    * the curve that picks N) and a quality signal (gibberish and
+    * PII-dense docs are OOV-heavy). Vocabulary = top N words under the
+    * total order (count desc, word asc), so the cut is deterministic
+    * across engines and partitionings. One TakeOrdered builds the vocab
+    * (broadcast back — N rows); the per-doc leg is the q143 join shape. */
+  def oovRate(docs: DataFrame, topN: Int): DataFrame = {
+    val dw = docs.withColumn("__w", Rules.wordsOf(col("text")))
+      .select(col("doc_id"), col("url"),
+        size(col("__w")).cast("long").as("n_words"),
+        explode_outer(col("__w")).as("word"))
+    val vocab = dw.filter(col("word").isNotNull)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topN)
+      .select(col("word"), lit(true).as("in_vocab"))
+    dw.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("url"), col("n_words"))
+      .agg(sum(when(col("word").isNotNull && col("in_vocab").isNull, 1L)
+        .otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("url"), col("n_words"), col("n_oov"),
+        when(col("n_words") > 0,
+          round(col("n_oov").cast("double") / col("n_words"), 6)).as("oov_rate"))
+  }
 }

@@ -1722,6 +1722,48 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture truncation clones must produce prefix pairs")
   }
 
+  test("q156 oovRate: equals an independent top-N vocabulary replication; OOV words exist on the fixture") {
+    val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> graft.functions.Words.tokenize(r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L)))
+    def replicate(topN: Int): Map[Long, (Long, Long)] = {
+      val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(topN).map(_._1).toSet
+      docs.map { case (id, ws) =>
+        id -> (ws.length.toLong, ws.count(w => !vocab(w)).toLong)
+      }.toMap
+    }
+    def run(topN: Int): Map[Long, (Long, Long)] =
+      graft.operators.TextStats.oovRate(Pipeline.webdoc(spark, sfDir), topN)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(run(1000) == replicate(1000))
+    // the sf0.001 fixture has < 1000 distinct words, so force the cut:
+    // at top-50 the doc-unique injected tokens must fall outside
+    val got50 = run(50)
+    assert(got50 == replicate(50))
+    assert(got50.values.map(_._2).sum > 0L,
+      "a 50-word vocabulary must leave OOV occurrences")
+  }
+
+  test("q157 lshEval: verified ⊆ candidates ∩ truth; the published ratios are the fused single divisions") {
+    val r = graft.operators.Dedup.lshEval(Pipeline.webdoc(spark, sfDir), 0.5).head()
+    val (nTrue, nCand, nVer) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nVer <= nCand && nVer <= nTrue)
+    assert(nTrue > 0 && nVer > 0, "fixture clones must produce near-dup pairs")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) == r6(nVer.toDouble / nCand))
+    assert(r.getDouble(4) == r6(nVer.toDouble / nTrue))
+    assert(r.getDouble(5) == r6(2.0 * nVer / (nCand + nTrue).toDouble))
+    // set containment, not just counts: every verified pair is a true pair
+    val ver = graft.operators.Dedup.minhashPairs(Pipeline.webdoc(spark, sfDir), 0.5)
+      .select("doc_a", "doc_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = graft.operators.Dedup.jaccardPairs(Pipeline.webdoc(spark, sfDir), 0.5)
+      .select("doc_a", "doc_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    graft.plans.TrackedCache.releaseAll()
+    assert(ver.subsetOf(truth))
+    assert(ver.size == nVer && truth.size == nTrue)
+  }
+
   test("q155 hostHllAgg: the typed Aggregator equals the composable groupBy form on every host") {
     val a = graft.operators.Dedup.hostHll(Pipeline.webdoc(spark, sfDir))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
