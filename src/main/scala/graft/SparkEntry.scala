@@ -2148,19 +2148,22 @@ object SparkEntry {
            |   CAST(least((window_id + 1) * 256, strt + n) - strt AS BIGINT) AS tok_hi
            | FROM ex""".stripMargin),
     "q147_novelty_idf" ->
-      // per-shingle ln(N/df) rounded 6 dp then DECIMAL(18,6) before the
-      // per-doc sum (exact), one published division — q129's discipline
+      // per-shingle ln(N/df) FLOOR-QUANTIZED at 4 dp and the mean at
+      // 6 dp (the q137 pattern — identical IEEE DAGs; round() itself
+      // differs across engines at exact .5 boundaries, hit at sf0.1),
+      // DECIMAL(18,6) per-doc sums in between (exact)
       (webdocCte + shingleCte +
         s""", shx AS (SELECT doc_id, ${h60("s")} AS h
            |    FROM (SELECT doc_id, unnest(sh) AS s FROM wsh))
            |, dfx AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM shx GROUP BY h)
            |, nx AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM shx)
-           |, idfx AS (SELECT s.doc_id, CAST(round(ln(nx.n_docs / d.df), 6) AS DECIMAL(18,6)) AS idf
+           |, idfx AS (SELECT s.doc_id,
+           |    CAST(floor(ln(nx.n_docs / d.df) * 1e4 + 0.5) / 1e4 AS DECIMAL(18,6)) AS idf
            |    FROM shx s JOIN dfx d USING (h) CROSS JOIN nx)
            |, per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, sum(idf) AS sidf
            |    FROM idfx GROUP BY doc_id)
            | SELECT p.doc_id, w.url, p.n_shingles,
-           |   round(CAST(p.sidf AS DOUBLE) / p.n_shingles, 6) AS mean_idf
+           |   floor(CAST(p.sidf AS DOUBLE) / p.n_shingles * 1e6 + 0.5) / 1e6 AS mean_idf
            | FROM per p JOIN webdoc w USING (doc_id)""".stripMargin),
     "q148_train_order" ->
       (webdocCte +

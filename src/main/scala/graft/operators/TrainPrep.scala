@@ -457,11 +457,18 @@ object TrainPrep {
   /** Shingle-IDF novelty score — "how much of this doc is corpus
     * boilerplate": mean inverse document frequency of the doc's distinct
     * 3-word shingles (RefinedWeb-style originality signal; low mean =
-    * templated page). Cross-engine exact by the q129 discipline: each
-    * shingle's ln(N/df) is rounded at 6 dp and narrowed to DECIMAL(18,6)
-    * BEFORE the per-doc sum (exact), then ONE division published at 6 dp.
-    * Shuffle shape: shingles leave the row as h60 longs; df agg + narrow
-    * h-join + doc agg — the q57 TF-IDF family's plan. */
+    * templated page). Cross-engine exactness needed TWO hardenings the
+    * sf0.1 sweep forced: (1) each shingle's ln(N/df) is FLOOR-QUANTIZED
+    * at 4 dp (floor(x·1e4+0.5)/1e4 — the q137 z-score pattern: an
+    * identical IEEE DAG in both engines, where round()'s implementation
+    * differs at exact .5 boundaries, and libm ln() itself can differ in
+    * the last ulp — 4 dp makes that window ~1e-12 per distinct df) and
+    * narrowed to DECIMAL(18,6) BEFORE the per-doc sum (exact); (2) the
+    * published mean is floor-quantized at 6 dp for the same reason (a
+    * sum/count mean of 4-dp terms CAN land exactly on a .5e-6 boundary,
+    * and did — doc 1694 at sf0.1). Shuffle shape: shingles leave the
+    * row as h60 longs; df agg + narrow h-join + doc agg — the q57
+    * TF-IDF family's plan. */
   def noveltyIdf(docs: DataFrame): DataFrame = {
     val sh = Dedup.withShingles(docs)
       .select(col("doc_id"), col("url"), explode(col("sh")).as("s"))
@@ -472,12 +479,13 @@ object TrainPrep {
     sh.join(df, Seq("h"))
       .crossJoin(n)
       .select(col("doc_id"), col("url"),
-        round(log(col("n_docs") / col("df")), 6)
+        (floor(log(col("n_docs") / col("df")) * 1e4 + 0.5) / 1e4)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("idf"))
       .groupBy(col("doc_id"), col("url"))
       .agg(count(lit(1)).as("n_shingles"), sum(col("idf")).as("sidf"))
       .select(col("doc_id"), col("url"), col("n_shingles"),
-        round(col("sidf").cast("double") / col("n_shingles"), 6).as("mean_idf"))
+        (floor(col("sidf").cast("double") / col("n_shingles") * 1e6 + 0.5) / 1e6)
+          .as("mean_idf"))
   }
 
   /** Length-balanced batch interleave: consecutive training positions

@@ -379,11 +379,13 @@ class TrainPrepSpec extends SparkSpec {
     }.filter(_._2.nonEmpty)
     val df = shingles.flatMap(_._2).groupBy(identity).map { case (h, xs) => h -> xs.size }
     val n = shingles.length.toDouble
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator's exact quantization: floor(x*1e4+0.5)/1e4 terms,
+    // floor(x*1e6+0.5)/1e6 mean — replicate the IEEE DAG literally
+    def q4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val want = shingles.map { case (id, hs) =>
-      val s = hs.map(h => BigDecimal(r6(math.log(n / df(h)))).setScale(6)).sum
-      id -> (hs.length.toLong, r6(s.toDouble / hs.length))
+      val s = hs.map(h => BigDecimal(q4(math.log(n / df(h)))).setScale(6)).sum
+      id -> (hs.length.toLong, q6(s.toDouble / hs.length))
     }.toMap
     val got = TrainPrep.noveltyIdf(Pipeline.webdoc(spark, sfDir)).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
