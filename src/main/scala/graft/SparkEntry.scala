@@ -337,8 +337,10 @@ object SparkEntry {
       graft.operators.Dedup.hostHllAgg(Pipeline.webdoc(s, dir))),
 
     // Prefix-duplicate pairs (truncated refetch / partial render): full
-    // text of one doc is a strict prefix of another's; blocked on the
-    // first 3-word shingle hash, verified with one exact startsWith
+    // text of one doc is a strict prefix of another's; candidates mined
+    // from df-capped long-only blocks (first 3-word h60 + a 2-word
+    // secondary block for 3-word shorts), text fetched only for
+    // candidates via broadcast joins, verified with one exact startsWith
     "q154_prefix_dups" -> ((s, dir) =>
       graft.operators.Dedup.prefixDups(Pipeline.webdoc(s, dir))),
 
@@ -2242,16 +2244,29 @@ object SparkEntry {
           |        THEN round(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE), 6) END AS f1
           | FROM cnt""".stripMargin),
     "q154_prefix_dups" ->
-      // same blocking key (first 3-word shingle h60), same exact verify
+      // same dual blocking (first 3-word h60, plus the first 2-word h60
+      // secondary block for exactly-3-word shorts), same df cap (≤ 1000
+      // docs per block), same exact startsWith verify
       (webdocCte + shingleCte +
-        s""", hh AS (SELECT doc_id, text,
-           |    ${h60("words[1] || ' ' || words[2] || ' ' || words[3]")} AS h
+        s""", hh AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+           |    CAST(len(words) AS BIGINT) AS nw,
+           |    ${h60("words[1] || ' ' || words[2] || ' ' || words[3]")} AS h3,
+           |    ${h60("words[1] || ' ' || words[2]")} AS h2
            |  FROM wsw WHERE len(words) >= 3)
-           | SELECT b.doc_id AS short_id, a.doc_id AS long_id,
-           |   CAST(length(b.text) AS BIGINT) AS short_len,
-           |   CAST(length(a.text) AS BIGINT) AS long_len
-           | FROM hh a JOIN hh b ON a.h = b.h AND a.doc_id <> b.doc_id
-           | WHERE length(b.text) < length(a.text) AND starts_with(a.text, b.text)""".stripMargin),
+           |, b3 AS (SELECT h3 AS h FROM hh GROUP BY h3 HAVING count(*) <= 1000)
+           |, b2 AS (SELECT h2 AS h FROM hh GROUP BY h2 HAVING count(*) <= 1000)
+           |, cand AS (SELECT DISTINCT short_id, long_id FROM (
+           |    SELECT b.doc_id AS short_id, a.doc_id AS long_id
+           |      FROM hh a JOIN hh b ON a.h3 = b.h3 JOIN b3 ON b3.h = a.h3
+           |      WHERE b.doc_id <> a.doc_id AND b.len < a.len
+           |    UNION ALL
+           |    SELECT b.doc_id AS short_id, a.doc_id AS long_id
+           |      FROM hh a JOIN hh b ON a.h2 = b.h2 JOIN b2 ON b2.h = a.h2
+           |      WHERE b.nw = 3 AND b.doc_id <> a.doc_id AND b.len < a.len))
+           | SELECT c.short_id, c.long_id, b.len AS short_len, a.len AS long_len
+           | FROM cand c JOIN hh a ON a.doc_id = c.long_id
+           |   JOIN hh b ON b.doc_id = c.short_id
+           | WHERE starts_with(a.text, b.text)""".stripMargin),
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate
@@ -2265,11 +2280,13 @@ object SparkEntry {
            |, fl AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM un
            |    WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
            | SELECT k_used, kth, n_both,
-           |   round(CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0::DOUBLE
-           |         / CAST(kth AS DOUBLE), 6) AS union_est,
+           |   CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+           |        ELSE round(CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0::DOUBLE
+           |                   / CAST(kth AS DOUBLE), 6) END AS union_est,
            |   round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
-           |   round(CAST(n_both * 255 AS DOUBLE) * 1152921504606846976.0::DOUBLE
-           |         / (CAST(k_used AS DOUBLE) * CAST(kth AS DOUBLE)), 6) AS inter_est
+           |   CASE WHEN k_used < 256 THEN CAST(n_both AS DOUBLE)
+           |        ELSE round(CAST(n_both * (k_used - 1) AS DOUBLE) * 1152921504606846976.0::DOUBLE
+           |                   / (CAST(k_used AS DOUBLE) * CAST(kth AS DOUBLE)), 6) END AS inter_est
            | FROM unk, fl""".stripMargin),
     "q151_overlap_join" ->
       // plain overlap-predicate join at oracle scale; the Spark side
@@ -3134,13 +3151,15 @@ object SparkEntry {
            |   (round(n_code_lines * 1.0 / n_lines, 6) > 0.3) AS is_code FROM cc""".stripMargin),
     "q124_fertility" ->
       // ratio of exact integer sums, one double division at the end —
-      // the q16 token regex, mirrored verbatim
+      // the q16 token regex, mirrored verbatim; published ratio
+      // FLOOR-QUANTIZED at 6 dp (q147 discipline: nt·100/nc can land
+      // exactly on a .5e-6 boundary where the engines' round() split)
       (webdocCte +
         """, tk AS (SELECT lang,
           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt,
           |    CAST(length(text) AS BIGINT) AS nc FROM webdoc)
           | SELECT lang, count(*) AS n_docs, sum(nt) AS n_tokens, sum(nc) AS n_chars,
-          |   round(CAST(sum(nt) AS DOUBLE) * 100.0 / sum(nc), 6) AS tokens_per_100c
+          |   floor(CAST(sum(nt) AS DOUBLE) * 100.0 / CAST(sum(nc) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tokens_per_100c
           | FROM tk GROUP BY lang""".stripMargin),
     "q125_dsir_sample" ->
       // q105's weight chain verbatim, then the clamped linear rate and

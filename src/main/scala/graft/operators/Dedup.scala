@@ -152,6 +152,13 @@ object Dedup {
     // deterministically (VERDICT r3 #6).
     val sh = graft.plans.TrackedCache.persist(
       withShingles(docs).select(col("doc_id"), col("sh")))
+    minhashPairsFromSh(sh, threshold)
+  }
+
+  /** Candidate-verify over an already-persisted (doc_id, sh) frame — the
+    * shared-shingle entry point [[lshEval]] uses (ADVICE r4: one corpus
+    * shingle pass for all three eval legs). */
+  private[graft] def minhashPairsFromSh(sh: DataFrame, threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     minhashCandidatesFromSh(sh)
@@ -326,9 +333,14 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ds = withShingles(docs).select(col("doc_id"), col("sh"))
-      .withColumn("n_sh", size(col("sh")))
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsFromSh(withShingles(docs).select(col("doc_id"), col("sh")), threshold)
+
+  /** Exact all-pairs Jaccard over an already-shingled (doc_id, sh) frame —
+    * lets [[lshEval]] share ONE persisted shingle table across its three
+    * legs instead of re-shingling the corpus per leg (ADVICE r4). */
+  private[graft] def jaccardPairsFromSh(sh0: DataFrame, threshold: Double): DataFrame = {
+    val ds = sh0.withColumn("n_sh", size(col("sh")))
     // the stream carries the 60-bit shingle HASH, not the string — the
     // self-join shuffles 8-byte longs instead of ~25-byte strings (the
     // q41 discipline; oracle applies the identical h60). n_sh stays
@@ -483,7 +495,7 @@ object Dedup {
     *    ([[connectedComponentsStar]]) — O(log n) rounds regardless of
     *    graph diameter. Both paths produce identical labels
     *    (differential-tested). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 30,
                           driverEdgeLimit: Long = 10000000L): DataFrame = {
     val spark = edges.sparkSession
     val e2 = edges.select(col("doc_a").cast("long").as("doc_a"),
@@ -1059,9 +1071,14 @@ object Dedup {
     * run on a sample at scale (all-pairs is the oracle baseline, not a
     * scale path; the fixture corpus is sample-sized by construction). */
   def lshEval(docs: DataFrame, tau: Double): DataFrame = {
-    val nTrue = jaccardPairs(docs, tau).agg(count(lit(1)).cast("long").as("n_true"))
-    val nCand = minhashCandidates(docs).agg(count(lit(1)).cast("long").as("n_cand"))
-    val nVer = minhashPairs(docs, tau).agg(count(lit(1)).cast("long").as("n_verified"))
+    // ONE persisted shingle pass feeds all three legs (truth, candidates,
+    // verified) — without it the corpus synthesis+shingle projection runs
+    // up to three times in a single eval query (ADVICE r4).
+    val sh = graft.plans.TrackedCache.persist(
+      withShingles(docs).select(col("doc_id"), col("sh")))
+    val nTrue = jaccardPairsFromSh(sh, tau).agg(count(lit(1)).cast("long").as("n_true"))
+    val nCand = minhashCandidatesFromSh(sh).agg(count(lit(1)).cast("long").as("n_cand"))
+    val nVer = minhashPairsFromSh(sh, tau).agg(count(lit(1)).cast("long").as("n_verified"))
     nTrue.crossJoin(nCand).crossJoin(nVer).select(
       col("n_true"), col("n_cand"), col("n_verified"),
       when(col("n_cand") > 0,
@@ -1094,32 +1111,66 @@ object Dedup {
     * another doc's — the truncated-refetch / partial-render shape (the
     * reference's version-shadow collapse keys on names,
     * data_source.py:234-273; this is the content-side analogue that
-    * catches a truncation even when the url changed). Candidates block
-    * on the doc's FIRST 3-word shingle hash (a prefix pair must agree
-    * there), then verify with one exact startsWith — so the quadratic
-    * work is bounded to same-opening docs, and only those candidate
-    * pairs carry text through the join (the q115 edit-verify discipline;
-    * a boilerplate-opening hot key would get the q41 df-cap treatment —
-    * documented, not needed at fixture rates). Blocking boundary: a
-    * short side of EXACTLY 3 words whose 3rd word was cut mid-word
-    * hashes differently and evades the block (both engines identically);
-    * the OperatorSpec brute-force differential pins that the recall loss
-    * is zero on the fixture, and real truncations are rarely that short. */
-  def prefixDups(docs: DataFrame): DataFrame = {
-    val wd = docs.withColumn("__w", Rules.wordsOf(col("text")))
-      .filter(size(col("__w")) >= 3)
-      .select(col("doc_id"), col("text"),
-        md5Hash60(concat_ws(" ", element_at(col("__w"), 1),
-          element_at(col("__w"), 2), element_at(col("__w"), 3))).as("h"))
-    val a = wd.select(col("h"), col("doc_id").as("long_id"), col("text").as("ta"))
-    val b = wd.select(col("h"), col("doc_id").as("short_id"), col("text").as("tb"))
-    a.join(b, Seq("h"))
-      .filter(col("short_id") =!= col("long_id")
-        && length(col("tb")) < length(col("ta"))
-        && col("ta").startsWith(col("tb")))
-      .select(col("short_id"), col("long_id"),
-        length(col("tb")).cast("long").as("short_len"),
-        length(col("ta")).cast("long").as("long_len"))
+    * catches a truncation even when the url changed).
+    *
+    * Scale shape (VERDICT r4 #3 — the r4 form shuffled corpus TEXT on a
+    * skewed blocking key): candidate pairs are mined from a key table of
+    * LONGS only — (doc_id, text length, first-3-word and first-2-word
+    * shingle h60) — so no exchange below the verify step carries text
+    * (pinned in PlanSpec). Blocking keys with document frequency > maxDf
+    * are excluded (the q41 df-cap treatment): a boilerplate opening
+    * ("Skip to main content" × 10⁶ docs) would otherwise put O(n_b²)
+    * startsWith work on one straggler; docs behind a hot opening are the
+    * boilerplate operator's job (q59), a documented recall boundary.
+    * Verification fetches text ONLY for candidate docs via two broadcast
+    * joins (the q115 discipline) — the corpus never shuffles.
+    *
+    * Recall (ADVICE r4): a prefix pair always agrees on the first 3-word
+    * shingle UNLESS the short side has EXACTLY 3 words and the truncation
+    * cut the long doc's 3rd word mid-word; those shorts get a secondary
+    * block on the first 2-word shingle (always intact — the short's 2nd
+    * word is whitespace-terminated), so within un-capped blocks recall is
+    * total: output = ALL (short ≥3 words, strict-length startsWith) pairs.
+    * The OperatorSpec brute-force differential pins this. */
+  def prefixDups(docs: DataFrame, maxDf: Int = 1000): DataFrame = {
+    val wd = graft.plans.TrackedCache.persist(
+      docs.withColumn("__w", Rules.wordsOf(col("text")))
+        .filter(size(col("__w")) >= 3)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          size(col("__w")).cast("long").as("nw"),
+          md5Hash60(concat_ws(" ", element_at(col("__w"), 1),
+            element_at(col("__w"), 2), element_at(col("__w"), 3))).as("h3"),
+          md5Hash60(concat_ws(" ", element_at(col("__w"), 1),
+            element_at(col("__w"), 2))).as("h2")))
+    // candidate mining over (h, doc_id, len, nw) longs: df-capped block,
+    // short side optionally restricted (the 2-word secondary block only
+    // admits exactly-3-word shorts — everything else is covered by h3)
+    def mine(keyCol: String, shortSide: Column): DataFrame = {
+      val keys = wd.select(col(keyCol).as("h"), col("doc_id"), col("len"), col("nw"))
+      val cold = keys.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select(col("h"))
+      val kr = keys.join(cold, Seq("h"))
+      kr.select(col("h"), col("doc_id").as("long_id"), col("len").as("long_len"))
+        .join(kr.filter(shortSide)
+          .select(col("h"), col("doc_id").as("short_id"), col("len").as("short_len")), Seq("h"))
+        .filter(col("short_id") =!= col("long_id") && col("short_len") < col("long_len"))
+        .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))
+    }
+    val cand = graft.plans.TrackedCache.persist(
+      mine("h3", lit(true))
+        .unionByName(mine("h2", col("nw") === 3L))
+        .dropDuplicates("short_id", "long_id"))
+    // text fetch is candidate-bounded: broadcast the pair list into the
+    // corpus scan twice (q115) — the corpus side never exchanges
+    val t = docs.select(col("doc_id"), col("text"))
+    val withShort = t.select(col("doc_id").as("short_id"), col("text").as("tb"))
+      .join(broadcast(cand), Seq("short_id"))
+    val withBoth = t.select(col("doc_id").as("long_id"), col("text").as("ta"))
+      .join(broadcast(withShort), Seq("long_id"))
+    withBoth
+      .filter(col("ta").startsWith(col("tb")))
+      .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))
   }
 
   /** KMV sketch SET OPERATIONS (Beyer et al. 2007, "On synopses for
@@ -1152,15 +1203,23 @@ object Dedup {
       .join(broadcast(skA.withColumn("inA", lit(true))), Seq("h"), "left")
       .join(broadcast(skB.withColumn("inB", lit(true))), Seq("h"), "left")
       .agg(sum(when(col("inA") && col("inB"), 1L).otherwise(0L)).as("n_both"))
+    // Estimator regimes (ADVICE r4): the (k_used−1)·2^60/kth estimator is
+    // valid only when the union sketch is FULL (k_used = k). When the two
+    // sides hold fewer than k distinct hashes total, the union sketch IS
+    // the exact union — publish k_used and n_both verbatim — and the full-
+    // regime inter_est uses (k_used−1), never a hardcoded (k−1), so
+    // inter_est ≡ jaccard_est × union_est in every regime.
     unK.crossJoin(flags).select(
       col("k_used"), col("kth"), col("n_both"),
-      round((col("k_used") - 1).cast("double") * lit(1152921504606846976.0)
-        / col("kth").cast("double"), 6).as("union_est"),
+      when(col("k_used") < k, col("k_used").cast("double"))
+        .otherwise(round((col("k_used") - 1).cast("double") * lit(1152921504606846976.0)
+          / col("kth").cast("double"), 6)).as("union_est"),
       round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
         .as("jaccard_est"),
-      round((col("n_both") * lit((k - 1).toLong)).cast("double")
-        * lit(1152921504606846976.0)
-        / (col("k_used").cast("double") * col("kth").cast("double")), 6)
+      when(col("k_used") < k, col("n_both").cast("double"))
+        .otherwise(round((col("n_both") * (col("k_used") - 1)).cast("double")
+          * lit(1152921504606846976.0)
+          / (col("k_used").cast("double") * col("kth").cast("double")), 6))
         .as("inter_est"))
   }
 

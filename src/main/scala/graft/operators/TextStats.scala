@@ -317,7 +317,14 @@ object TextStats {
     * high-fertility languages). Ratio of sums — exact integer sums, ONE
     * division at the end — not mean-of-ratios, so short docs don't
     * dominate and the number is engine-exact at 6 dp. Map-side-combinable:
-    * one narrow (lang, 3 longs) aggregation. */
+    * one narrow (lang, 3 longs) aggregation.
+    *
+    * The published ratio is FLOOR-QUANTIZED (floor(x·1e6+0.5)/1e6 — the
+    * q147/q137 discipline), not round(,6): nt·100/nc is a rational that
+    * CAN land exactly on a .5e-6 half-step (it did, at the round-4
+    * driver fixture — one language group's ratio hit the boundary and
+    * Spark's BigDecimal HALF_UP split from DuckDB's floating round).
+    * floor on an identical IEEE DAG is deterministic in both engines. */
   def fertilityByLang(docs: DataFrame): DataFrame =
     withTokenCounts(docs)
       .groupBy(col("lang"))
@@ -325,7 +332,7 @@ object TextStats {
         sum(col("n_re_tokens")).as("n_tokens"),
         sum(length(col("text")).cast("long")).as("n_chars"))
       .withColumn("tokens_per_100c",
-        round(col("n_tokens").cast("double") * 100.0 / col("n_chars"), 6))
+        floor(col("n_tokens").cast("double") * 100.0 / col("n_chars") * 1e6 + 0.5) / 1e6)
 
   /** Flesch reading-ease + Flesch–Kincaid grade per doc — the classic
     * readability pair quality-filter stacks use to catch word-salad (very

@@ -1722,6 +1722,71 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture truncation clones must produce prefix pairs")
   }
 
+  test("q154 prefixDups: a 3-word short cut mid-word is recovered by the 2-word secondary block") {
+    import spark.implicits._
+    // "alpha beta gam" is a strict prefix of doc 1's text, but its 3rd
+    // word was cut mid-word, so the first-3-word shingle hashes differ —
+    // the r4 single-block form missed this class (ADVICE r4); the 2-word
+    // secondary block (first 2 words are always whitespace-terminated in
+    // a ≥3-word short) must catch it
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gam"),
+      (3L, "totally unrelated document text here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L)), got.toString)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q154 prefixDups: the df cap drops hot-opening blocks (pair-bounded); cold blocks survive") {
+    import spark.implicits._
+    // 1000 docs share a boilerplate opening — at web scale this block
+    // would put O(n_b²) startsWith work on one straggler; with the df cap
+    // the whole hot block is excluded from candidate mining (documented
+    // recall boundary: boilerplate openings are q59's job), INCLUDING a
+    // genuine truncation pair hiding inside it, while a cold-block pair
+    // is still found
+    val hot = (1L to 1000L).map(i =>
+      (i, s"skip to main content page $i unique tail ${i * 37}"))
+    val hotPair = Seq((2001L, "skip to main content page 1 unique")) // prefix of doc 1
+    val cold = Seq(
+      (3001L, "rare opening words here and a much longer tail"),
+      (3002L, "rare opening words here"))
+    val docs = (hot ++ hotPair ++ cold).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.prefixDups(docs, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3002L, 3001L)), got.toString)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
+  test("q153 kmvOverlap non-full regime: union/intersection published EXACTLY, not estimated") {
+    import spark.implicits._
+    // total distinct shingles << k, so the union sketch IS the exact
+    // union: union_est must equal k_used, inter_est must equal n_both
+    // (the full-sketch (k−1)·2^60/kth estimator is biased here, ADVICE r4)
+    val docs = Seq(
+      (1L, "a b c d e"),       // side A: shingles {a b c, b c d, c d e}
+      (2L, "a b c x y"),       // side A: {a b c, b c x, c x y}
+      (11L, "a b c d q")       // side B: {a b c, b c d, c d q}
+    ).toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      graft.functions.Words.tokenize(t).sliding(3).map(_.mkString(" ")).toSet
+    val setA = shingles("a b c d e") ++ shingles("a b c x y")
+    val setB = shingles("a b c d q")
+    val row = graft.operators.Dedup.kmvOverlap(docs, col("doc_id") < 10L, 256).head()
+    assert(row.getLong(0) == (setA ++ setB).size.toLong, "k_used = exact union")
+    assert(row.getDouble(3) == row.getLong(0).toDouble, "union_est = k_used exactly")
+    assert(row.getLong(2) == (setA & setB).size.toLong, "n_both = exact intersection")
+    assert(row.getDouble(5) == row.getLong(2).toDouble, "inter_est = n_both exactly")
+    // consistency invariant: inter_est == jaccard_est × union_est up to
+    // jaccard_est's 6-dp rounding (error ≤ 5e-7 × union_est)
+    assert(math.abs(row.getDouble(5) - row.getDouble(4) * row.getDouble(3))
+      <= 5e-7 * row.getDouble(3) + 1e-9)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("q156 oovRate: equals an independent top-N vocabulary replication; OOV words exist on the fixture") {
     val docs = Pipeline.webdoc(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> graft.functions.Words.tokenize(r.getString(1)))

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * scalable columns, and LSH shuffles carry keys instead of payloads. */
 class PlanSpec extends SparkSpec {
 
+  /** Every shuffle's output columns, INCLUDING shuffles hidden inside
+    * TrackedCache-persisted relations (InMemoryTableScan inner plans) —
+    * the q154 contract lives in the cached candidate-mining stage. */
+  private def allShuffleOutputs(p: SparkPlan): Seq[Seq[String]] = {
+    val here = p.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val nested = p.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }.flatMap(allShuffleOutputs)
+    here ++ nested
+  }
+
   /** Physical plan with AQE off so Exchange nodes are statically visible. */
   private def staticPlan(mk: => DataFrame): SparkPlan = {
     val key = "spark.sql.adaptive.enabled"
@@ -418,6 +430,23 @@ class PlanSpec extends SparkSpec {
       assert(cols.forall(c => c == "h" || c.startsWith("count") || c.startsWith("max")),
         cols.mkString(",")) }
     assert(plan.toString.contains("MapPartitions"), plan.toString.take(2000))
+  }
+
+  test("q154 prefixDups: NO exchange carries text — even inside the cached mining stages") {
+    // the VERDICT r4 #2 contract: candidates are mined from (h, doc_id,
+    // len, nw) longs; text is fetched only for candidate docs via
+    // broadcast joins, so corpus text never reaches ANY exchange —
+    // including the shuffles hidden inside the TrackedCache-persisted
+    // key table and candidate frame (recursed via allShuffleOutputs)
+    val plan = staticPlan(SparkEntry.queries("q154_prefix_dups")(spark, sfDir))
+    val shuffleCols = allShuffleOutputs(plan)
+    assert(shuffleCols.nonEmpty, "expected the candidate-mining exchanges")
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "ta" || c == "tb" || c == "__w"),
+        "q154 shuffles corpus text: " + cols.mkString(","))
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(3000))
+    graft.plans.TrackedCache.releaseAll()
   }
 
   test("q104 mirrorHosts: shuffles carry (host, 16-B hash) pairs, never text") {
