@@ -76,11 +76,11 @@ object SparkEntry {
       def sumLen(a: Column): Column =
         aggregate(a, lit(0L), (acc, x) => acc + length(x))
       def cntFrac(a: Column): Column =
-        round((size(a) - size(array_distinct(a))) * lit(1.0) / size(a), 6)
+        graft.functions.Round6.q6((size(a) - size(array_distinct(a))) * lit(1.0) / size(a))
       def chrFrac(a: Column): Column = {
         val tot = sumLen(a)
         when(tot === 0L, lit(0.0))
-          .otherwise(round((tot - sumLen(array_distinct(a))) * lit(1.0) / tot, 6))
+          .otherwise(graft.functions.Round6.q6((tot - sumLen(array_distinct(a))) * lit(1.0) / tot))
       }
       Pipeline.webdoc(s, dir)
         .withColumn("text", when(col("doc_id") % 3 === 0,
@@ -135,7 +135,7 @@ object SparkEntry {
         regexp_count(h, lit("<p>")).cast("long").as("n_paras"),
         regexp_extract(h, "<title>([^<]*)</title>", 1).as("title"),
         when(length(h) === 0, lit(0.0))
-          .otherwise(round(length(col("text")) * lit(1.0) / length(h), 6))
+          .otherwise(graft.functions.Round6.q6(length(col("text")) * lit(1.0) / length(h)))
           .as("text_density"))
     }),
 
@@ -247,14 +247,14 @@ object SparkEntry {
         .select(col("lang"), (col("tp") + col("fn")).as("n_gold"),
           col("tp"), col("fp"), col("fn"),
           when(col("tp") + col("fp") === 0L, lit(0.0))
-            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+            .otherwise(graft.functions.Round6.q6(col("tp").cast("double") / (col("tp") + col("fp"))))
             .as("precision"),
           when(col("tp") + col("fn") === 0L, lit(0.0))
-            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+            .otherwise(graft.functions.Round6.q6(col("tp").cast("double") / (col("tp") + col("fn"))))
             .as("recall"),
           when(lit(2L) * col("tp") + col("fp") + col("fn") === 0L, lit(0.0))
-            .otherwise(round(lit(2.0) * col("tp") /
-              (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
+            .otherwise(graft.functions.Round6.q6(lit(2.0) * col("tp") /
+              (lit(2L) * col("tp") + col("fp") + col("fn"))))
             .as("f1"))
     }),
 
@@ -679,7 +679,7 @@ object SparkEntry {
         parse_url(col("url"), lit("PATH")).as("path_url_fn"),
         element_at(split(col("host"), "\\."), -1).as("tld"),
         regexp_extract(col("text"), "Call (\\d{3}-555-\\d{4})", 1).as("first_phone"),
-        round(unix_timestamp(col("warc_ts")).cast("double") / 86400.0 + 40587.0, 6).as("mjd"))),
+        graft.functions.Round6.q6(unix_timestamp(col("warc_ts")).cast("double") / 86400.0 + 40587.0).as("mjd"))),
     // S3 version-shadow analogue: drop docs whose exact content reappears
     // under a higher doc_id (keep only the max "version" of each content)
     "q36_shadow" -> ((s, dir) => {
@@ -1134,7 +1134,7 @@ object SparkEntry {
           round(col("H"), 6).as("entropy"),
           when(col("n_hosts") > 1,
             round(col("H") / log(col("n_hosts").cast("double")), 6)).as("norm_entropy"),
-          round(col("max_nh").cast("double") / col("n_docs"), 6).as("top_host_share"))
+          graft.functions.Round6.q6(col("max_nh").cast("double") / col("n_docs")).as("top_host_share"))
     }),
 
     // Host authority: 3 damped power iterations over the host link graph
@@ -1382,7 +1382,7 @@ object SparkEntry {
       """, pairs AS MATERIALIZED (
         |   SELECT doc_a, doc_b FROM (
         |     SELECT doc_a, doc_b,
-        |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+        |       floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
         |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
         |   WHERE jaccard >= 0.5)
         |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
@@ -1464,8 +1464,8 @@ object SparkEntry {
            |, cagg AS (SELECT CAST(floor(rate * 10) AS INT) AS bucket,
            |    count(*) AS n_docs,
            |    CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
-           |    round(CAST(sum(rate) AS DOUBLE) / count(*), 6) AS pred_rate,
-           |    round(sum(CAST(keep AS BIGINT)) * 1.0 / count(*), 6) AS actual_rate
+           |    floor((CAST(sum(rate) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS pred_rate,
+           |    floor((sum(CAST(keep AS BIGINT)) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS actual_rate
            |  FROM j GROUP BY 1)
            | SELECT bucket, n_docs, n_kept, pred_rate, actual_rate,
            |   round(abs(pred_rate - actual_rate), 6) AS calib_gap FROM cagg""".stripMargin),
@@ -1491,9 +1491,9 @@ object SparkEntry {
           |          CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS kept
           |          FROM scrub GROUP BY host)
           | SELECT s.doc_id, s.url, s.host, hs.host_n_docs,
-          |   round(hs.kept * 1.0 / hs.host_n_docs, 6) AS host_keep_rate,
-          |   round((hs.kept + 2.0) / (hs.host_n_docs + 4.0), 6) AS host_prior,
-          |   (round((hs.kept + 2.0) / (hs.host_n_docs + 4.0), 6) < 0.25) AS low_trust_host
+          |   floor((hs.kept * 1.0 / hs.host_n_docs) * 1e6 + 0.5) / 1e6 AS host_keep_rate,
+          |   floor(((hs.kept + 2.0) / (hs.host_n_docs + 4.0)) * 1e6 + 0.5) / 1e6 AS host_prior,
+          |   (floor(((hs.kept + 2.0) / (hs.host_n_docs + 4.0)) * 1e6 + 0.5) / 1e6 < 0.25) AS low_trust_host
           | FROM scrub s JOIN hs USING (host)""".stripMargin),
     "q88_top_ngram" ->
       // per-n: explode word n-grams, count, rank by (count DESC, gram ASC)
@@ -1508,9 +1508,9 @@ object SparkEntry {
            |          WHERE rn = 1)""".stripMargin
       }.mkString +
         """ SELECT w.doc_id, w.url,
-          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t2.mass, 0) * 1.0 / length(w.text), 6) END AS top2_frac,
-          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t3.mass, 0) * 1.0 / length(w.text), 6) END AS top3_frac,
-          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(t4.mass, 0) * 1.0 / length(w.text), 6) END AS top4_frac
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE floor((coalesce(t2.mass, 0) * 1.0 / length(w.text)) * 1e6 + 0.5) / 1e6 END AS top2_frac,
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE floor((coalesce(t3.mass, 0) * 1.0 / length(w.text)) * 1e6 + 0.5) / 1e6 END AS top3_frac,
+          |   CASE WHEN length(w.text) = 0 THEN 0.0 ELSE floor((coalesce(t4.mass, 0) * 1.0 / length(w.text)) * 1e6 + 0.5) / 1e6 END AS top4_frac
           | FROM webdoc w LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)""".stripMargin),
     "q130_dup_ngrams" ->
       // per-n: positional grams, window-count duplicates, unnest each dup
@@ -1528,7 +1528,7 @@ object SparkEntry {
       }.mkString +
         " SELECT w.doc_id, w.url," +
         graft.functions.DupNgrams.ns.map { n =>
-          s" CASE WHEN length(w.text) = 0 THEN 0.0 ELSE round(coalesce(mm$n.mass, 0) * 1.0 / length(w.text), 6) END AS dup${n}_frac"
+          s" CASE WHEN length(w.text) = 0 THEN 0.0 ELSE floor((coalesce(mm$n.mass, 0) * 1.0 / length(w.text)) * 1e6 + 0.5) / 1e6 END AS dup${n}_frac"
         }.mkString(",") +
         " FROM webdoc w" +
         graft.functions.DupNgrams.ns.map(n => s" LEFT JOIN mm$n USING (doc_id)").mkString),
@@ -1551,10 +1551,10 @@ object SparkEntry {
           |    list_sum(list_transform(list_distinct(ps), x -> length(x))) AS pd
           |  FROM arrs)
           | SELECT doc_id, url,
-          |   round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) AS dup_line_frac,
-          |   CASE WHEN lt = 0 THEN 0.0 ELSE round((lt - ld) * 1.0 / lt, 6) END AS dup_line_char_frac,
-          |   round((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 6) AS dup_para_frac,
-          |   CASE WHEN pt = 0 THEN 0.0 ELSE round((pt - pd) * 1.0 / pt, 6) END AS dup_para_char_frac
+          |   floor(((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls)) * 1e6 + 0.5) / 1e6 AS dup_line_frac,
+          |   CASE WHEN lt = 0 THEN 0.0 ELSE floor(((lt - ld) * 1.0 / lt) * 1e6 + 0.5) / 1e6 END AS dup_line_char_frac,
+          |   floor(((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps)) * 1e6 + 0.5) / 1e6 AS dup_para_frac,
+          |   CASE WHEN pt = 0 THEN 0.0 ELSE floor(((pt - pd) * 1.0 / pt) * 1e6 + 0.5) / 1e6 END AS dup_para_char_frac
           | FROM m""".stripMargin),
     "q132_readability" ->
       // one exact integer ratio per score (constants ×1000 in the
@@ -1570,10 +1570,10 @@ object SparkEntry {
           |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))), 0) AS BIGINT) AS n_syllables
           |  FROM w)
           | SELECT doc_id, url, n_words, n_sentences, n_syllables,
-          |   CASE WHEN n_words > 0 THEN round((206835 * n_sentences * n_words - 1015 * n_words * n_words
-          |     - 84600 * n_syllables * n_sentences) * 1.0 / (1000 * n_sentences * n_words), 6) END AS flesch,
-          |   CASE WHEN n_words > 0 THEN round((390 * n_words * n_words + 11800 * n_syllables * n_sentences
-          |     - 15590 * n_sentences * n_words) * 1.0 / (1000 * n_sentences * n_words), 6) END AS fk_grade
+          |   CASE WHEN n_words > 0 THEN floor((206835 * n_sentences * n_words - 1015 * n_words * n_words
+          |     - 84600 * n_syllables * n_sentences) * 1.0 / (1000 * n_sentences * n_words) * 1e6 + 0.5) / 1e6 END AS flesch,
+          |   CASE WHEN n_words > 0 THEN floor((390 * n_words * n_words + 11800 * n_syllables * n_sentences
+          |     - 15590 * n_sentences * n_words) * 1.0 / (1000 * n_sentences * n_words) * 1e6 + 0.5) / 1e6 END AS fk_grade
           | FROM c""".stripMargin),
     "q133_lexicon_ac" ->
       // per-term non-overlapping leftmost counts via replace-length
@@ -1610,7 +1610,7 @@ object SparkEntry {
           |   CAST(len(regexp_extract_all(html_str, '<p>')) AS BIGINT) AS n_paras,
           |   regexp_extract(html_str, '<title>([^<]*)</title>', 1) AS title,
           |   CASE WHEN length(html_str) = 0 THEN 0.0
-          |        ELSE round(length(text) * 1.0 / length(html_str), 6) END AS text_density
+          |        ELSE floor((length(text) * 1.0 / length(html_str)) * 1e6 + 0.5) / 1e6 END AS text_density
           | FROM webdoc""".stripMargin),
     "q135_lang_margin" ->
       // the q30 ranked CTE already totals-orders (score desc, lang asc);
@@ -1686,9 +1686,9 @@ object SparkEntry {
           |    LEFT JOIN fpt f ON l.lang = f.lang LEFT JOIN fnt g ON l.lang = g.lang)
           | SELECT lang, CAST(tp + fn AS BIGINT) AS n_gold,
           |   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
-          |   CASE WHEN tp + fp = 0 THEN 0.0 ELSE round(tp * 1.0 / (tp + fp), 6) END AS precision,
-          |   CASE WHEN tp + fn = 0 THEN 0.0 ELSE round(tp * 1.0 / (tp + fn), 6) END AS recall,
-          |   CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+          |   CASE WHEN tp + fp = 0 THEN 0.0 ELSE floor((tp * 1.0 / (tp + fp)) * 1e6 + 0.5) / 1e6 END AS precision,
+          |   CASE WHEN tp + fn = 0 THEN 0.0 ELSE floor((tp * 1.0 / (tp + fn)) * 1e6 + 0.5) / 1e6 END AS recall,
+          |   CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE floor((2.0 * tp / (2 * tp + fp + fn)) * 1e6 + 0.5) / 1e6 END AS f1
           | FROM c""".stripMargin),
     "q04_verdict" ->
       (webdocCte + signalsCte + verdictCte +
@@ -1713,7 +1713,7 @@ object SparkEntry {
         """, ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM wsh)
           | SELECT doc_a, doc_b, jaccard FROM (
           |   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |     round(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)), 6) AS jaccard
+          |     floor(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)) * 1e6 + 0.5) / 1e6 AS jaccard
           |   FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
           |   GROUP BY 1, 2)
           | WHERE jaccard >= 0.5""".stripMargin),
@@ -1721,7 +1721,7 @@ object SparkEntry {
       (webdocCte + shingleCte + minhashCte +
         """ SELECT doc_a, doc_b, jaccard FROM (
           |   SELECT doc_a, doc_b,
-          |     round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |     floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
           |   FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           | WHERE jaccard >= 0.5""".stripMargin),
     "q96_host_kmv" ->
@@ -1756,9 +1756,9 @@ object SparkEntry {
       (webdocCte + shingleCte + minhashCte +
         """ SELECT c.doc_a, c.doc_b,
           |   round(len(list_filter(range(1, 17), i -> x.ms[i] = y.ms[i])) / 16.0, 6) AS est_jac,
-          |   round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jac,
+          |   floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jac,
           |   round(round(len(list_filter(range(1, 17), i -> x.ms[i] = y.ms[i])) / 16.0, 6)
-          |     - round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6), 6) AS err
+          |     - floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6, 6) AS err
           | FROM cand c JOIN msig x ON c.doc_a = x.doc_id JOIN msig y ON c.doc_b = y.doc_id
           | JOIN wsh sa ON c.doc_a = sa.doc_id JOIN wsh sb ON c.doc_b = sb.doc_id""".stripMargin),
     "q41_jaccard_capped" ->
@@ -1781,7 +1781,7 @@ object SparkEntry {
            |          GROUP BY doc_a, doc_b)
            | SELECT doc_a, doc_b, jaccard FROM (
            |   SELECT doc_a, doc_b,
-           |     round(inter * 1.0 / (na + nb - inter), 6) AS jaccard FROM ver)
+           |     floor(inter * 1.0 / (na + nb - inter) * 1e6 + 0.5) / 1e6 AS jaccard FROM ver)
            | WHERE jaccard >= 0.5""".stripMargin),
     "q13_simhash" ->
       (webdocCte + shingleCte + simhashCte +
@@ -1848,7 +1848,7 @@ object SparkEntry {
            |  WHERE rank <= 10)
            | SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_truth,
            |   CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
-           |   round(count(i.neighbor_id) * 1.0 / count(*), 6) AS recall
+           |   floor((count(i.neighbor_id) * 1.0 / count(*)) * 1e6 + 0.5) / 1e6 AS recall
            | FROM btop b LEFT JOIN itop i
            |   ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            | GROUP BY b.query_id""".stripMargin),
@@ -2013,7 +2013,7 @@ object SparkEntry {
           |   regexp_extract(url, 'https://[^/]+(/.*)$', 1) AS path_url_fn,
           |   (string_split(host, '.'))[-1] AS tld,
           |   regexp_extract(text, 'Call (\d{3}-555-\d{4})', 1) AS first_phone,
-          |   round(epoch(warc_ts) / 86400.0 + 40587.0, 6) AS mjd
+          |   floor((epoch(warc_ts) / 86400.0 + 40587.0) * 1e6 + 0.5) / 1e6 AS mjd
           | FROM webdoc""".stripMargin),
     "q36_shadow" ->
       (webdocCte +
@@ -2107,7 +2107,7 @@ object SparkEntry {
           | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
           |   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
           |   CASE WHEN len(w.words) > 0
-          |        THEN round(coalesce(p.n_tokens, 0) * 1.0 / len(w.words), 6) END AS fertility
+          |        THEN floor((coalesce(p.n_tokens, 0) * 1.0 / len(w.words)) * 1e6 + 0.5) / 1e6 END AS fertility
           | FROM wsw w LEFT JOIN per p USING (doc_id)""".stripMargin),
     "q144_cdc_chunks" ->
       // positional replication of the in-row fold: boundary flag per
@@ -2124,7 +2124,7 @@ object SparkEntry {
            |   CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
            |   CAST(coalesce(p.dup_chunk_words, 0) AS BIGINT) AS dup_chunk_words,
            |   CASE WHEN len(w.words) > 0
-           |        THEN round(coalesce(p.dup_chunk_words, 0) * 1.0 / len(w.words), 6) END AS dup_frac
+           |        THEN floor((coalesce(p.dup_chunk_words, 0) * 1.0 / len(w.words)) * 1e6 + 0.5) / 1e6 END AS dup_frac
            | FROM wsw w LEFT JOIN per p USING (doc_id)""".stripMargin),
     "q145_host_hll" -> hostHllOracle,
     // the typed-Aggregator HLL produces identical registers — one shared
@@ -2216,7 +2216,7 @@ object SparkEntry {
           | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
           |   CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
           |   CASE WHEN len(w.words) > 0
-          |        THEN round(coalesce(o.n_oov, 0) * 1.0 / len(w.words), 6) END AS oov_rate
+          |        THEN floor(coalesce(o.n_oov, 0) * 1.0 / len(w.words) * 1e6 + 0.5) / 1e6 END AS oov_rate
           | FROM wsw w LEFT JOIN oo o USING (doc_id)""".stripMargin),
     "q157_lsh_eval" ->
       // truth = q11's exact all-pairs; candidates = the minhash cand CTE;
@@ -2225,12 +2225,12 @@ object SparkEntry {
         """, exj AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM wsh)
           |, truep AS (SELECT doc_a, doc_b FROM (
           |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |      round(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)), 6) AS jaccard
+          |      floor(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)) * 1e6 + 0.5) / 1e6 AS jaccard
           |    FROM exj x JOIN exj y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
           |  WHERE jaccard >= 0.5)
           |, verp AS (SELECT doc_a, doc_b FROM (
           |    SELECT cand.doc_a, cand.doc_b,
-          |      round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |      floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
           |    FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           |  WHERE jaccard >= 0.5)
           |, cnt AS (SELECT
@@ -2238,10 +2238,10 @@ object SparkEntry {
           |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
           |    (SELECT CAST(count(*) AS BIGINT) FROM verp) AS n_verified)
           | SELECT n_true, n_cand, n_verified,
-          |   CASE WHEN n_cand > 0 THEN round(CAST(n_verified AS DOUBLE) / n_cand, 6) END AS cand_precision,
-          |   CASE WHEN n_true > 0 THEN round(CAST(n_verified AS DOUBLE) / n_true, 6) END AS recall,
+          |   CASE WHEN n_cand > 0 THEN floor(CAST(n_verified AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6 END AS cand_precision,
+          |   CASE WHEN n_true > 0 THEN floor(CAST(n_verified AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 END AS recall,
           |   CASE WHEN n_cand + n_true > 0
-          |        THEN round(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE), 6) END AS f1
+          |        THEN floor(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS f1
           | FROM cnt""".stripMargin),
     "q154_prefix_dups" ->
       // same dual blocking (first 3-word h60, plus the first 2-word h60
@@ -2283,7 +2283,7 @@ object SparkEntry {
            |   CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
            |        ELSE round(CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0::DOUBLE
            |                   / CAST(kth AS DOUBLE), 6) END AS union_est,
-           |   round(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+           |   floor(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard_est,
            |   CASE WHEN k_used < 256 THEN CAST(n_both AS DOUBLE)
            |        ELSE round(CAST(n_both * (k_used - 1) AS DOUBLE) * 1152921504606846976.0::DOUBLE
            |                   / (CAST(k_used AS DOUBLE) * CAST(kth AS DOUBLE)), 6) END AS inter_est
@@ -2360,7 +2360,7 @@ object SparkEntry {
         """, pairs AS MATERIALIZED (
           |   SELECT doc_a, doc_b FROM (
           |     SELECT doc_a, doc_b,
-          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |       floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
           |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           |   WHERE jaccard >= 0.5)
           |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
@@ -2392,7 +2392,7 @@ object SparkEntry {
     "q63_vec_mean" ->
       ("""WITH e AS (SELECT vec_id % 10 AS g, unnest(embedding::DOUBLE[]) AS x,
          |             generate_subscripts(embedding, 1) AS pos FROM embeddings)
-         | SELECT g, CAST(pos - 1 AS INT) AS pos, round(avg(x), 6) AS mean_x, count(*) AS n
+         | SELECT g, CAST(pos - 1 AS INT) AS pos, floor((avg(x)) * 1e6 + 0.5) / 1e6 AS mean_x, count(*) AS n
          | FROM e GROUP BY g, pos""".stripMargin),
     // q60: html_str is ASCII, so char code points == blob bytes and the
     // stubbed "decode" arithmetic mirrors exactly in SQL
@@ -2490,10 +2490,10 @@ object SparkEntry {
          | m AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM e),
          | s AS (SELECT vec_id, v, vmin,
          |   CASE WHEN vmax = vmin THEN 1.0 ELSE (vmax - vmin) / 255.0 END AS scale FROM m)
-         | SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
+         | SELECT vec_id, floor((vmin) * 1e6 + 0.5) / 1e6 AS vmin, floor((scale) * 1e6 + 0.5) / 1e6 AS scale,
          |   array_to_string(list_transform(v, x -> CAST(floor((x - vmin) / scale + 0.5) AS INT)), ',') AS q_str,
-         |   round(list_max(list_transform(v, x ->
-         |     abs(x - (floor((x - vmin) / scale + 0.5) * scale + vmin)))), 6) AS max_err
+         |   floor((list_max(list_transform(v, x ->
+         |     abs(x - (floor((x - vmin) / scale + 0.5) * scale + vmin))))) * 1e6 + 0.5) / 1e6 AS max_err
          | FROM s""".stripMargin),
     "q68_url_canon" ->
       (webdocCte +
@@ -2561,7 +2561,7 @@ object SparkEntry {
            |    FROM webdoc w JOIN lr USING (lang)
            |    WHERE ${h60("w.doc_id || ':mix1'")} % 1000000
            |      < CAST(floor(lr.rate * 1000000.0) AS BIGINT))
-           | SELECT lang, n_docs, round(rate, 6) AS rate, count(*) AS n_kept
+           | SELECT lang, n_docs, floor((rate) * 1e6 + 0.5) / 1e6 AS rate, count(*) AS n_kept
            | FROM kept GROUP BY lang, n_docs, rate""".stripMargin),
     "q70_overlap_frac" ->
       (webdocCte + shingleCte +
@@ -2572,7 +2572,7 @@ object SparkEntry {
           |, ag AS (SELECT doc_id, count(*) AS n_sh, count(hit) AS n_hits
           |    FROM tr GROUP BY doc_id)
           | SELECT doc_id, n_hits, n_sh,
-          |   round(n_hits * 1.0 / n_sh, 6) AS overlap_frac
+          |   floor((n_hits * 1.0 / n_sh) * 1e6 + 0.5) / 1e6 AS overlap_frac
           | FROM ag WHERE n_hits >= n_sh * 0.2""".stripMargin),
     "q71_bloom_blocklist" ->
       (webdocCte +
@@ -2669,7 +2669,7 @@ object SparkEntry {
           |        UNION ALL
           |        SELECT vec_id + 100000, list_transform(range(1, 65), i -> v[i] * (1 + (((i-1) % 7) - 3) * 0.003))
           |        FROM e0 WHERE vec_id % 31 = 0),
-          | e AS (SELECT vec_id, list_transform(v, x -> round(x, 6)) AS v FROM eu)""".stripMargin +
+          | e AS (SELECT vec_id, list_transform(v, x -> floor(x * 1e6 + 0.5) / 1e6) AS v FROM eu)""".stripMargin +
         kmeansCtes(4, 2, 64) +
         s"""
            |, va AS (SELECT e.vec_id, e.v, c.cluster_id FROM e CROSS JOIN c2 c
@@ -2697,8 +2697,8 @@ object SparkEntry {
            | SELECT k_used, kth_h,
            |   round(255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6) AS est_distinct,
            |   n_exact,
-           |   round(abs(round(255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6)
-           |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+           |   floor(abs(round(255.0 * 1152921504606846976.0 / CAST(kth_h AS DOUBLE), 6)
+           |     - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rel_err
            | FROM kk, ex""".stripMargin),
     "q86_soft_sample" ->
       // decimal-exact end-to-end: logit → clamped linear rate → hash gate
@@ -2712,7 +2712,7 @@ object SparkEntry {
            |        + CAST(logit_dec AS DECIMAL(18,10)) * CAST(0.25 AS DECIMAL(8,4)),
            |      CAST(0.95 AS DECIMAL(8,4))), CAST(0.05 AS DECIMAL(8,4))) AS DECIMAL(24,14)) AS rate
            |    FROM sc)
-           | SELECT doc_id, url, round(CAST(rate AS DOUBLE), 6) AS keep_rate FROM rt
+           | SELECT doc_id, url, floor((CAST(rate AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS keep_rate FROM rt
            | WHERE ${h60("doc_id || ':soft1'")} % 1000000 < rate * 1000000""".stripMargin),
     "q75_quality_logit" ->
       (webdocCte + signalsCte + logitCtes +
@@ -2742,7 +2742,7 @@ object SparkEntry {
         """, pairs AS MATERIALIZED (
           |   SELECT doc_a, doc_b FROM (
           |     SELECT doc_a, doc_b,
-          |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+          |       floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
           |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
           |   WHERE jaccard >= 0.5)
           |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)
@@ -2765,7 +2765,7 @@ object SparkEntry {
            |    sum(tok) OVER (PARTITION BY shard ORDER BY rh, doc_id
            |      ROWS UNBOUNDED PRECEDING) AS cum FROM tb)
            | SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
-           |   round(max(cum) / 2000.0, 6) AS fill_frac
+           |   floor((max(cum) / 2000.0) * 1e6 + 0.5) / 1e6 AS fill_frac
            | FROM cum WHERE cum <= 2000 GROUP BY shard""".stripMargin),
     "q78_incr_dedup" ->
       // NOT EXISTS, not NOT IN: with any NULL-text historical doc NOT IN
@@ -2793,14 +2793,14 @@ object SparkEntry {
     "q103_emb_outliers" ->
       // same decimal-mean + fixed-fold-distance + 6-dp discipline as the
       // kmeans family; cutoff = 6-dp-rounded quantile_cont, strict >
-      ("""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v FROM embeddings),
-        | comp AS (SELECT pos, round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+      ("""WITH e AS (SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1e6 + 0.5) / 1e6) AS v FROM embeddings),
+        | comp AS (SELECT pos, floor((CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS m
         |   FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) GROUP BY pos),
         | mv AS (SELECT list(m ORDER BY pos) AS mv FROM comp),
         | d AS (SELECT vec_id, round(sqrt(""".stripMargin +
         sqDistSql("e.v", "mv.mv", 64) +
         """), 6) AS dist FROM e CROSS JOIN mv),
-          | c AS (SELECT round(quantile_cont(dist, 0.95), 6) AS cut FROM d)
+          | c AS (SELECT floor((quantile_cont(dist, 0.95)) * 1e6 + 0.5) / 1e6 AS cut FROM d)
           | SELECT d.vec_id, d.dist, d.dist > c.cut AS is_outlier FROM d CROSS JOIN c""".stripMargin),
     "q104_mirror_hosts" ->
       (webdocCte +
@@ -2811,7 +2811,7 @@ object SparkEntry {
           |, pr AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
           |         FROM cap a JOIN cap b ON a.h = b.h AND a.host < b.host GROUP BY 1, 2)
           |, j AS (SELECT pr.host_a, pr.host_b, sa.n AS n_a, sb.n AS n_b, pr.n_shared,
-          |         round(CAST(pr.n_shared AS DOUBLE) / (sa.n + sb.n - pr.n_shared), 6) AS jaccard
+          |         floor(CAST(pr.n_shared AS DOUBLE) / (sa.n + sb.n - pr.n_shared) * 1e6 + 0.5) / 1e6 AS jaccard
           |        FROM pr JOIN sizes sa ON pr.host_a = sa.host JOIN sizes sb ON pr.host_b = sb.host)
           | SELECT host_a, host_b, n_a, n_b, n_shared, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin),
     "q105_dsir" ->
@@ -2871,7 +2871,7 @@ object SparkEntry {
           |  FROM hs h JOIN tot t USING (source) GROUP BY 1, 2, 3, 4)
           | SELECT source, n_docs, n_hosts, round(H, 6) AS entropy,
           |   CASE WHEN n_hosts > 1 THEN round(H / ln(CAST(n_hosts AS DOUBLE)), 6) END AS norm_entropy,
-          |   round(CAST(max_nh AS DOUBLE) / n_docs, 6) AS top_host_share
+          |   floor((CAST(max_nh AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 AS top_host_share
           | FROM e""".stripMargin),
     "q108_host_rank" -> {
       // one damped power iteration as a CTE-to-CTE step, replayed 3×
@@ -2893,7 +2893,7 @@ object SparkEntry {
         iter("r0", "r1") + iter("r1", "r2") + iter("r2", "r3") +
         """
           |, inh AS (SELECT dst AS host, count(*) AS n_in_hosts FROM edges GROUP BY 1)
-          | SELECT r3.host, round(r3."rank", 6) AS "rank",
+          | SELECT r3.host, floor((r3."rank") * 1e6 + 0.5) / 1e6 AS "rank",
           |   coalesce(inh.n_in_hosts, 0) AS n_in_hosts
           | FROM r3 LEFT JOIN inh USING (host)""".stripMargin)
     },
@@ -2929,7 +2929,7 @@ object SparkEntry {
            |  FROM s)
            | SELECT doc_id, url, n_words, n_stopwords,
            |   CASE WHEN n_words > 0
-           |        THEN round(CAST(n_stopwords AS DOUBLE) / n_words, 6) END AS stop_ratio
+           |        THEN floor(CAST(n_stopwords AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6 END AS stop_ratio
            | FROM c""".stripMargin)
     },
     "q111_lexical_diversity" ->
@@ -2946,9 +2946,9 @@ object SparkEntry {
           | SELECT w.doc_id, w.url, CAST(len(w.words) AS BIGINT) AS n_words,
           |   t.n_types, t.n_hapax,
           |   CASE WHEN len(w.words) > 0
-          |        THEN round(CAST(t.n_types AS DOUBLE) / len(w.words), 6) END AS ttr,
+          |        THEN floor(CAST(t.n_types AS DOUBLE) / len(w.words) * 1e6 + 0.5) / 1e6 END AS ttr,
           |   CASE WHEN t.n_types > 0
-          |        THEN round(CAST(t.n_hapax AS DOUBLE) / t.n_types, 6) END AS hapax_frac
+          |        THEN floor(CAST(t.n_hapax AS DOUBLE) / t.n_types * 1e6 + 0.5) / 1e6 END AS hapax_frac
           | FROM w JOIN t USING (doc_id)""".stripMargin),
     "q112_script_profile" ->
       // same injections (mojibake bytes spelled as chr() so the SQL
@@ -2970,10 +2970,10 @@ object SparkEntry {
           |  FROM wx)
           | SELECT doc_id, url, n_cp, n_latin, n_cyr, n_cjk, n_digit,
           |   n_replacement, n_mojibake,
-          |   CASE WHEN n_cp > 0 THEN round(CAST(n_latin AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS latin_frac,
-          |   CASE WHEN n_cp > 0 THEN round(CAST(n_cyr AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS cyr_frac,
-          |   CASE WHEN n_cp > 0 THEN round(CAST(n_cjk AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS cjk_frac,
-          |   CASE WHEN n_cp > 0 THEN round(CAST(n_digit AS DOUBLE) / n_cp, 6) ELSE CAST(0.0 AS DOUBLE) END AS digit_frac,
+          |   CASE WHEN n_cp > 0 THEN floor(CAST(n_latin AS DOUBLE) / n_cp * 1e6 + 0.5) / 1e6 ELSE CAST(0.0 AS DOUBLE) END AS latin_frac,
+          |   CASE WHEN n_cp > 0 THEN floor(CAST(n_cyr AS DOUBLE) / n_cp * 1e6 + 0.5) / 1e6 ELSE CAST(0.0 AS DOUBLE) END AS cyr_frac,
+          |   CASE WHEN n_cp > 0 THEN floor(CAST(n_cjk AS DOUBLE) / n_cp * 1e6 + 0.5) / 1e6 ELSE CAST(0.0 AS DOUBLE) END AS cjk_frac,
+          |   CASE WHEN n_cp > 0 THEN floor(CAST(n_digit AS DOUBLE) / n_cp * 1e6 + 0.5) / 1e6 ELSE CAST(0.0 AS DOUBLE) END AS digit_frac,
           |   CASE WHEN n_latin + n_cyr + n_cjk = 0 THEN 'none'
           |        WHEN n_latin >= n_cyr AND n_latin >= n_cjk THEN 'latin'
           |        WHEN n_cyr >= n_cjk THEN 'cyrillic' ELSE 'cjk' END AS dominant_script,
@@ -3011,8 +3011,8 @@ object SparkEntry {
           | SELECT doc_a, doc_b, hamming, edit_dist, edit_frac FROM (
           |   SELECT c.doc_a, c.doc_b, c.hamming,
           |     CAST(levenshtein(wa.text, wb.text) AS BIGINT) AS edit_dist,
-          |     round(CAST(levenshtein(wa.text, wb.text) AS DOUBLE)
-          |       / greatest(length(wa.text), length(wb.text)), 6) AS edit_frac
+          |     floor(CAST(levenshtein(wa.text, wb.text) AS DOUBLE)
+          |       / greatest(length(wa.text), length(wb.text)) * 1e6 + 0.5) / 1e6 AS edit_frac
           |   FROM cand c JOIN webdoc wa ON wa.doc_id = c.doc_a
           |     JOIN webdoc wb ON wb.doc_id = c.doc_b)
           | WHERE edit_frac <= 0.2""".stripMargin),
@@ -3059,8 +3059,8 @@ object SparkEntry {
            |          JOIN ex b ON cpairs.doc_b = b.doc_id AND a.s = b.s
            |          GROUP BY doc_a, doc_b)
            | SELECT doc_a, doc_b, cont_a, cont_b FROM (
-           |   SELECT doc_a, doc_b, round(inter * 1.0 / na, 6) AS cont_a,
-           |     round(inter * 1.0 / nb, 6) AS cont_b FROM ver)
+           |   SELECT doc_a, doc_b, floor(inter * 1.0 / na * 1e6 + 0.5) / 1e6 AS cont_a,
+           |     floor(inter * 1.0 / nb * 1e6 + 0.5) / 1e6 AS cont_b FROM ver)
            | WHERE greatest(cont_a, cont_b) >= 0.9""".stripMargin),
     "q119_stopwords" ->
       // DF over per-doc DISTINCT lowercase words; the Spark side's
@@ -3091,8 +3091,8 @@ object SparkEntry {
            |, cw AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY rate
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg FROM br)
            | SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
-           |   round(CAST(sum(pos * (cumneg * 2 + neg)) AS DOUBLE)
-           |     / (CAST(sum(pos) AS DOUBLE) * sum(neg) * 2.0), 6) AS auc FROM cw""".stripMargin),
+           |   floor(CAST(sum(pos * (cumneg * 2 + neg)) AS DOUBLE)
+           |     / (CAST(sum(pos) AS DOUBLE) * sum(neg) * 2.0) * 1e6 + 0.5) / 1e6 AS auc FROM cw""".stripMargin),
     "q121_quantiles" ->
       // the sketch's sample IS the k smallest (h, v) pairs — row_number
       // over (h, v) ≤ k reproduces it exactly even when saturated; the
@@ -3147,8 +3147,8 @@ object SparkEntry {
            |      '${graft.operators.TextStats.CodeLineRe}'))) AS BIGINT) AS n_code_lines
            |  FROM lns)
            | SELECT doc_id, url, n_lines, n_code_lines,
-           |   round(n_code_lines * 1.0 / n_lines, 6) AS code_line_frac,
-           |   (round(n_code_lines * 1.0 / n_lines, 6) > 0.3) AS is_code FROM cc""".stripMargin),
+           |   floor(n_code_lines * 1.0 / n_lines * 1e6 + 0.5) / 1e6 AS code_line_frac,
+           |   (floor(n_code_lines * 1.0 / n_lines * 1e6 + 0.5) / 1e6 > 0.3) AS is_code FROM cc""".stripMargin),
     "q124_fertility" ->
       // ratio of exact integer sums, one double division at the end —
       // the q16 token regex, mirrored verbatim; published ratio
@@ -3260,10 +3260,10 @@ object SparkEntry {
            |, H AS (SELECT feature, n AS n_hist, mean AS mean_hist, p50 AS p50_hist FROM A WHERE hist)
            |, N AS (SELECT feature, n AS n_new, mean AS mean_new, p50 AS p50_new FROM A WHERE NOT hist)
            | SELECT feature, n_hist, n_new,
-           |   round(mean_hist, 6) AS mean_hist, round(mean_new, 6) AS mean_new,
-           |   round(abs(mean_new - mean_hist), 6) AS mean_delta,
-           |   round(p50_hist, 6) AS p50_hist, round(p50_new, 6) AS p50_new,
-           |   (round(abs(mean_new - mean_hist), 6) >= 0.03) AS drifted
+           |   floor((mean_hist) * 1e6 + 0.5) / 1e6 AS mean_hist, floor((mean_new) * 1e6 + 0.5) / 1e6 AS mean_new,
+           |   floor((abs(mean_new - mean_hist)) * 1e6 + 0.5) / 1e6 AS mean_delta,
+           |   floor((p50_hist) * 1e6 + 0.5) / 1e6 AS p50_hist, floor((p50_new) * 1e6 + 0.5) / 1e6 AS p50_new,
+           |   (floor((abs(mean_new - mean_hist)) * 1e6 + 0.5) / 1e6 >= 0.03) AS drifted
            | FROM H JOIN N USING (feature)""".stripMargin)
     },
     "q81_leak_safe_split" ->
@@ -3271,7 +3271,7 @@ object SparkEntry {
         s""", pairs AS MATERIALIZED (
            |   SELECT doc_a, doc_b FROM (
            |     SELECT doc_a, doc_b,
-           |       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+           |       floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
            |     FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
            |   WHERE jaccard >= 0.5)
            |, sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)

@@ -113,7 +113,7 @@ object Bpe {
       .agg(coalesce(sum(col("toks")), lit(0L)).as("n_tokens"))
       .select(col("doc_id"), col("url"), col("n_words"), col("n_tokens"),
         when(col("n_words") > 0,
-          round(col("n_tokens").cast("double") / col("n_words"), 6))
+          graft.functions.Round6.q6(col("n_tokens").cast("double") / col("n_words")))
           .as("fertility"))
   }
 

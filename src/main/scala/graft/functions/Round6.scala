@@ -14,4 +14,52 @@ package graft.functions
   */
 object Round6 {
   @inline def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Column form of the same convention — floor(x·1e6 + 0.5)/1e6 as one
+    * IEEE DAG, mirrored verbatim in the oracle SQL. Used for every
+    * PUBLISHED double that is a ratio/mean of exact integers or decimals
+    * (the class where round()'s tie handling is engine-dependent: Spark
+    * rounds the shortest-decimal rendering, DuckDB the scaled binary —
+    * they split when the true rational lands exactly on a .5e-6
+    * half-step, which q147 hit at sf0.1 and q124 at the r4 driver
+    * fixture). Values whose true expansion is irrational (post-ln/exp/
+    * sqrt) keep plain round(,6): they cannot terminate at the rounding
+    * digit, so both engines agree on identical IEEE inputs.
+    *
+    * Implemented as the native [[QuantizeMicro]] expression rather than
+    * composed floor/multiply/divide: Spark's Round is NOT null-intolerant
+    * so `filter(round(x/y,6) >= t)` never inferred isnotnull constraints
+    * through it, but floor and divide ARE — the composed form let
+    * InferFiltersFromConstraints walk down to the shingle projections and
+    * re-inline `word_shingles` into scan Filters (the VERDICT r2 #3
+    * double-evaluation bug, caught by the PlanSpec pin when this sweep
+    * landed). QuantizeMicro keeps the default nullIntolerant=false, so
+    * constraint inference stops here exactly as it did at round(). */
+  def q6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    QuantizeMicro(c.cast("double")) // redundant casts fold away; decimal/long inputs promote exactly as the oracle's DOUBLE arithmetic does
+}
+
+/** floor(x·1e6 + 0.5)/1e6 as ONE codegen'd unary expression (see
+  * [[Round6.q6]] — deliberately NOT null-intolerant so isnotnull
+  * constraint inference does not walk below the published value). */
+case class QuantizeMicro(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "quantize_micro"
+  override protected def nullSafeEval(input: Any): Any =
+    Round6.r6(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = Math.floor($c * 1.0E6 + 0.5) / 1.0E6;")
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): QuantizeMicro =
+    copy(child = newChild)
+}
+
+object QuantizeMicro {
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      QuantizeMicro(org.apache.spark.sql.GraftBridge.expression(c)))
 }

@@ -94,8 +94,8 @@ object Cdc {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("dup_chunk_words"), lit(0L)).as("dup_chunk_words"),
         when(col("n_words") > 0,
-          round(coalesce(col("dup_chunk_words"), lit(0L)).cast("double")
-            / col("n_words"), 6)).as("dup_frac"))
+          graft.functions.Round6.q6(coalesce(col("dup_chunk_words"), lit(0L)).cast("double")
+            / col("n_words"))).as("dup_frac"))
   }
 
   /** The record-mutating form of [[dupChunkStats]] (what a training

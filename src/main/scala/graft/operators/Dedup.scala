@@ -163,9 +163,9 @@ object Dedup {
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     minhashCandidatesFromSh(sh)
       .join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("jaccard", round(
+      .withColumn("jaccard", graft.functions.Round6.q6(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+          size(array_union(col("sh_a"), col("sh_b")))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -214,9 +214,9 @@ object Dedup {
       .withColumn("est_jac", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / 16.0, 6))
-      .withColumn("jac", round(
+      .withColumn("jac", graft.functions.Round6.q6(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 6))
+          size(array_union(col("sh_a"), col("sh_b")))))
       .select(col("doc_a"), col("doc_b"), col("est_jac"), col("jac"),
         round(col("est_jac") - col("jac"), 6).as("err"))
   }
@@ -278,8 +278,8 @@ object Dedup {
         Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
-      .withColumn("jaccard", round(
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .withColumn("jaccard", graft.functions.Round6.q6(
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -325,8 +325,8 @@ object Dedup {
         Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
-      .withColumn("cont_a", round(col("inter").cast("double") / col("na"), 6))
-      .withColumn("cont_b", round(col("inter").cast("double") / col("nb"), 6))
+      .withColumn("cont_a", graft.functions.Round6.q6(col("inter").cast("double") / col("na")))
+      .withColumn("cont_b", graft.functions.Round6.q6(col("inter").cast("double") / col("nb")))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"))
   }
@@ -352,7 +352,7 @@ object Dedup {
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
     pairs.withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+        graft.functions.Round6.q6(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -464,7 +464,7 @@ object Dedup {
     // runs exactly once per pair, post-shuffle, on every core. The cache
     // holds only candidate pairs + their two texts — pair-bounded.
     val staged = graft.plans.TrackedCache.persist(
-      withB.filter(round(abs(la - lb).cast("double") / mx, 6) <= maxEditFrac)
+      withB.filter(graft.functions.Round6.q6(abs(la - lb).cast("double") / mx) <= maxEditFrac)
         .repartition(docs.sparkSession.sparkContext.defaultParallelism * 4,
           col("doc_a"), col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("ta"), col("tb")))
@@ -472,7 +472,7 @@ object Dedup {
       .withColumn("edit_dist",
         when(col("ta") === col("tb"), lit(0L))
           .otherwise(levenshtein(col("ta"), col("tb"), thr).cast("long")))
-      .withColumn("edit_frac", round(col("edit_dist").cast("double") / mx, 6))
+      .withColumn("edit_frac", graft.functions.Round6.q6(col("edit_dist").cast("double") / mx))
       .filter(col("edit_dist") >= 0L && col("edit_frac") <= maxEditFrac)
       .select(col("doc_a"), col("doc_b"), col("hamming"),
         col("edit_dist"), col("edit_frac"))
@@ -980,7 +980,7 @@ object Dedup {
       .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
       .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
       .withColumn("jaccard",
-        round(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")), 6))
+        graft.functions.Round6.q6(col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))))
       .filter(col("jaccard") >= minJaccard)
       .select(col("host_a"), col("host_b"), col("n_a"), col("n_b"),
         col("n_shared"), col("jaccard"))
@@ -1058,7 +1058,7 @@ object Dedup {
       .distinct().agg(count(lit(1)).as("n_exact"))
     kmvDistinctShingles(docs, k).crossJoin(exact)
       .select(col("k_used"), col("kth_h"), col("est_distinct"), col("n_exact"),
-        round(abs(col("est_distinct") - col("n_exact").cast("double")) / col("n_exact").cast("double"), 6)
+        graft.functions.Round6.q6(abs(col("est_distinct") - col("n_exact").cast("double")) / col("n_exact").cast("double"))
           .as("rel_err"))
   }
 
@@ -1082,11 +1082,11 @@ object Dedup {
     nTrue.crossJoin(nCand).crossJoin(nVer).select(
       col("n_true"), col("n_cand"), col("n_verified"),
       when(col("n_cand") > 0,
-        round(col("n_verified").cast("double") / col("n_cand"), 6)).as("cand_precision"),
+        graft.functions.Round6.q6(col("n_verified").cast("double") / col("n_cand"))).as("cand_precision"),
       when(col("n_true") > 0,
-        round(col("n_verified").cast("double") / col("n_true"), 6)).as("recall"),
+        graft.functions.Round6.q6(col("n_verified").cast("double") / col("n_true"))).as("recall"),
       when(col("n_cand") + col("n_true") > 0,
-        round(lit(2.0) * col("n_verified") / (col("n_cand") + col("n_true")).cast("double"), 6))
+        graft.functions.Round6.q6(lit(2.0) * col("n_verified") / (col("n_cand") + col("n_true")).cast("double")))
         .as("f1"))
   }
 
@@ -1214,7 +1214,7 @@ object Dedup {
       when(col("k_used") < k, col("k_used").cast("double"))
         .otherwise(round((col("k_used") - 1).cast("double") * lit(1152921504606846976.0)
           / col("kth").cast("double"), 6)).as("union_est"),
-      round(col("n_both").cast("double") / col("k_used").cast("double"), 6)
+      graft.functions.Round6.q6(col("n_both").cast("double") / col("k_used").cast("double"))
         .as("jaccard_est"),
       when(col("k_used") < k, col("n_both").cast("double"))
         .otherwise(round((col("n_both") * (col("k_used") - 1)).cast("double")

@@ -75,7 +75,7 @@ object HostGraph {
     }
     val in = edges.groupBy(col("dst").as("host")).agg(count(lit(1)).as("n_in_hosts"))
     rank.join(in, Seq("host"), "left")
-      .select(col("host"), round(col("rank"), 6).as("rank"),
+      .select(col("host"), graft.functions.Round6.q6(col("rank")).as("rank"),
         coalesce(col("n_in_hosts"), lit(0L)).as("n_in_hosts"))
   }
 

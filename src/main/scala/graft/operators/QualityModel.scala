@@ -123,13 +123,13 @@ object QualityModel {
     }
     val aggs = cohort(hist = true) ++ cohort(hist = false)
     long.groupBy(col("feature")).agg(aggs.head, aggs.tail: _*)
-      .withColumn("mean_delta", round(abs(col("mean_new") - col("mean_hist")), 6))
+      .withColumn("mean_delta", graft.functions.Round6.q6(abs(col("mean_new") - col("mean_hist"))))
       .select(col("feature"), col("n_hist"), col("n_new"),
-        round(col("mean_hist"), 6).as("mean_hist"),
-        round(col("mean_new"), 6).as("mean_new"),
+        graft.functions.Round6.q6(col("mean_hist")).as("mean_hist"),
+        graft.functions.Round6.q6(col("mean_new")).as("mean_new"),
         col("mean_delta"),
-        round(col("p50_hist"), 6).as("p50_hist"),
-        round(col("p50_new"), 6).as("p50_new"),
+        graft.functions.Round6.q6(col("p50_hist")).as("p50_hist"),
+        graft.functions.Round6.q6(col("p50_new")).as("p50_new"),
         (col("mean_delta") >= driftThreshold).as("drifted"))
   }
 
@@ -200,8 +200,8 @@ object QualityModel {
         sum(col("pos").cast("decimal(19,0)") *
           (col("cumneg") * 2 + col("neg")).cast("decimal(19,0)")).as("num2"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("num2").cast("double") /
-          (col("n_pos").cast("double") * col("n_neg") * 2.0), 6).as("auc"))
+        graft.functions.Round6.q6(col("num2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg") * 2.0)).as("auc"))
   }
 
   /** Classifier calibration (reliability report): bucket docs by the
@@ -227,8 +227,8 @@ object QualityModel {
         sum(col("keep").cast("long")).as("n_kept"),
         sum(col("__rate")).as("__sumrate"))
       .select(col("bucket"), col("n_docs"), col("n_kept"),
-        round(col("__sumrate").cast("double") / col("n_docs"), 6).as("pred_rate"),
-        round(col("n_kept") * lit(1.0) / col("n_docs"), 6).as("actual_rate"))
+        graft.functions.Round6.q6(col("__sumrate").cast("double") / col("n_docs")).as("pred_rate"),
+        graft.functions.Round6.q6(col("n_kept") * lit(1.0) / col("n_docs")).as("actual_rate"))
       .withColumn("calib_gap", round(abs(col("pred_rate") - col("actual_rate")), 6))
   }
 
@@ -258,10 +258,10 @@ object QualityModel {
         count(lit(1)).as("host_n_docs"),
         sum(col("keep").cast("long")).as("__kept"))
       .select(col("host"), col("host_n_docs"),
-        round(col("__kept") * lit(1.0) / col("host_n_docs"), 6)
+        graft.functions.Round6.q6(col("__kept") * lit(1.0) / col("host_n_docs"))
           .as("host_keep_rate"),
-        round((col("__kept") + lit(alpha)) /
-          (col("host_n_docs") + lit(alpha + beta)), 6).as("host_prior"))
+        graft.functions.Round6.q6((col("__kept") + lit(alpha)) /
+          (col("host_n_docs") + lit(alpha + beta))).as("host_prior"))
     scored.select(col("doc_id"), col("url"), col("host"))
       .join(stats, Seq("host"))
       .select(col("doc_id"), col("url"), col("host"), col("host_n_docs"),

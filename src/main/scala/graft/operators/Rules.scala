@@ -70,26 +70,26 @@ object Rules {
       concat_ws(" ", element_at(words, i), element_at(words, i + 1),
         element_at(words, i + 2), element_at(words, i + 3), element_at(words, i + 4)))
     val dup5 = when(size(words) < 6, lit(0.0)).otherwise(
-      round(lit(1.0) - size(array_distinct(fiveGrams)).cast("double") / (size(words) - 4), 6))
+      graft.functions.Round6.q6(lit(1.0) - size(array_distinct(fiveGrams)).cast("double") / (size(words) - 4)))
 
     staged
       .withColumn("n_chars", length(text).cast("long"))
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("n_lines", size(lines).cast("long"))
       .withColumn("mean_word_len",
-        round(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords, 6))
+        graft.functions.Round6.q6(length(regexp_replace(text, "\\s+", "")).cast("double") / nWords))
       .withColumn("symbol_ratio",
-        round(regexp_count(text, lit("[#@$%!]")).cast("double") / nWords, 6))
+        graft.functions.Round6.q6(regexp_count(text, lit("[#@$%!]")).cast("double") / nWords))
       .withColumn("bullet_frac",
-        round(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines, 6))
+        graft.functions.Round6.q6(size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("double") / nLines))
       .withColumn("ellipsis_frac",
-        round(size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines, 6))
+        graft.functions.Round6.q6(size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines))
       .withColumn("alpha_ratio",
-        round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6))
+        graft.functions.Round6.q6(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords))
       .withColumn("stop_hits",
         size(filter(words, w => w.isin(StopWords: _*))).cast("long"))
       .withColumn("dup_line_frac",
-        round(lit(1.0) - size(array_distinct(lines)).cast("double") / nLines, 6))
+        graft.functions.Round6.q6(lit(1.0) - size(array_distinct(lines)).cast("double") / nLines))
       .withColumn("dup5_frac", dup5)
   }
 

@@ -93,17 +93,17 @@ object Similarity {
         .otherwise((col("vmax") - col("vmin")) / 255.0))
       .withColumn("q_str", array_join(transform(col("v"), x =>
         floor((x - col("vmin")) / col("scale") + 0.5).cast("int")), ","))
-      .withColumn("max_err", round(array_max(transform(col("v"), x =>
+      .withColumn("max_err", graft.functions.Round6.q6(array_max(transform(col("v"), x =>
         abs(x - (floor((x - col("vmin")) / col("scale") + 0.5) * col("scale")
-          + col("vmin"))))), 6))
-      .select(col("vec_id"), round(col("vmin"), 6).as("vmin"),
-        round(col("scale"), 6).as("scale"), col("q_str"), col("max_err"))
+          + col("vmin")))))))
+      .select(col("vec_id"), graft.functions.Round6.q6(col("vmin")).as("vmin"),
+        graft.functions.Round6.q6(col("scale")).as("scale"), col("q_str"), col("max_err"))
 
   def meanPooled(embeddings: DataFrame, buckets: Int): DataFrame =
     embeddings.select((col("vec_id") % buckets).as("g"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
       .groupBy(col("g"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n"))
+      .agg(graft.functions.Round6.q6(avg(col("x"))).as("mean_x"), count(lit(1)).as("n"))
 
   /** Embedding-space outlier filter — the "drop the weird vectors before
     * they poison training" pass (corrupt decodes, OCR noise, off-manifold
@@ -128,14 +128,14 @@ object Similarity {
     val mean: Seq[Double] = vecs
       .select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
-      .agg(round(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("m"))
+      .agg(graft.functions.Round6.q6(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("m"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
     val sq = aggregate(
       zip_with(col("v"), array(mean.map(lit): _*), (x, c) => (x - c) * (x - c)),
       lit(0.0), (s, t) => s + t)
     val d = graft.plans.TrackedCache.persist(
       vecs.select(col("vec_id"), round(sqrt(sq), 6).as("dist")))
-    val cutoff = d.agg(round(expr(s"percentile(dist, $q)"), 6)).head().getDouble(0)
+    val cutoff = d.agg(graft.functions.Round6.q6(expr(s"percentile(dist, $q)"))).head().getDouble(0)
     d.select(col("vec_id"), col("dist"), (col("dist") > cutoff).as("is_outlier"))
   }
 
@@ -308,7 +308,7 @@ object Similarity {
     * withCloneVariants); rounds once, trains, scores. */
   def semDedupTrained(vecs: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
     val rounded = vecs.select(col("vec_id"),
-      transform(col("v"), x => round(x, 6)).as("v"))
+      transform(col("v"), x => graft.functions.Round6.q6(x)).as("v"))
     val (cents, _) = graft.operators.Train.kmeansFitVecs(rounded, k, iters)
     val assigned = graft.plans.TrackedCache.persist(
       graft.operators.Train.assignClusters(rounded, cents)
@@ -397,7 +397,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_truth"),
         sum(col("hit").isNotNull.cast("long")).as("n_hit"))
       .select(col("query_id"), col("n_truth"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+        graft.functions.Round6.q6(col("n_hit").cast("double") / col("n_truth")).as("recall"))
   }
 
   // ---------------------------------------------------------------- PQ

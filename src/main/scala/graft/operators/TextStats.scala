@@ -100,7 +100,7 @@ object TextStats {
       .withColumn("n_stopwords", nStop.cast("long"))
       .withColumn("stop_ratio",
         when(col("n_words") > 0,
-          round(col("n_stopwords").cast("double") / col("n_words"), 6)))
+          graft.functions.Round6.q6(col("n_stopwords").cast("double") / col("n_words"))))
   }
 
   /** Lexical-diversity signals per doc: type-token ratio (distinct
@@ -125,10 +125,10 @@ object TextStats {
       .withColumn("n_hapax", hapax.cast("long"))
       .withColumn("ttr",
         when(col("n_words") > 0,
-          round(col("n_types").cast("double") / col("n_words"), 6)))
+          graft.functions.Round6.q6(col("n_types").cast("double") / col("n_words"))))
       .withColumn("hapax_frac",
         when(col("n_types") > 0,
-          round(col("n_hapax").cast("double") / col("n_types"), 6)))
+          graft.functions.Round6.q6(col("n_hapax").cast("double") / col("n_types"))))
       .drop("__sorted")
   }
 
@@ -158,7 +158,7 @@ object TextStats {
       .withColumn("n_replacement", cnt("\\uFFFD"))
       .withColumn("n_mojibake", cnt("\\u00C3[\\u0080-\\u00BF]|\\u00E2\\u20AC"))
     def frac(c: Column): Column =
-      when(col("n_cp") > 0, round(c.cast("double") / col("n_cp"), 6)).otherwise(lit(0.0))
+      when(col("n_cp") > 0, graft.functions.Round6.q6(c.cast("double") / col("n_cp"))).otherwise(lit(0.0))
     d.withColumn("latin_frac", frac(col("n_latin")))
       .withColumn("cyr_frac", frac(col("n_cyr")))
       .withColumn("cjk_frac", frac(col("n_cjk")))
@@ -261,7 +261,7 @@ object TextStats {
     docs.withColumn("n_lines", size(lines).cast("long"))
       .withColumn("n_code_lines", codeLines.cast("long"))
       .withColumn("code_line_frac",
-        round(codeLines.cast("double") / size(lines), 6))
+        graft.functions.Round6.q6(codeLines.cast("double") / size(lines)))
       .withColumn("is_code", col("code_line_frac") > threshold)
   }
 
@@ -360,11 +360,11 @@ object TextStats {
     val (nw, ns, nsy) = (col("n_words"), col("n_sentences"), col("n_syllables"))
     val den = lit(1000L) * ns * nw
     d.withColumn("flesch",
-        when(nw > 0L, round((lit(206835L) * ns * nw - lit(1015L) * nw * nw -
-          lit(84600L) * nsy * ns).cast("double") / den, 6)))
+        when(nw > 0L, graft.functions.Round6.q6((lit(206835L) * ns * nw - lit(1015L) * nw * nw -
+          lit(84600L) * nsy * ns).cast("double") / den)))
       .withColumn("fk_grade",
-        when(nw > 0L, round((lit(390L) * nw * nw + lit(11800L) * nsy * ns -
-          lit(15590L) * ns * nw).cast("double") / den, 6)))
+        when(nw > 0L, graft.functions.Round6.q6((lit(390L) * nw * nw + lit(11800L) * nsy * ns -
+          lit(15590L) * ns * nw).cast("double") / den)))
   }
 
   /** Self-trained unigram negative-log-likelihood per doc: counts from the
@@ -403,6 +403,6 @@ object TextStats {
         .otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("url"), col("n_words"), col("n_oov"),
         when(col("n_words") > 0,
-          round(col("n_oov").cast("double") / col("n_words"), 6)).as("oov_rate"))
+          graft.functions.Round6.q6(col("n_oov").cast("double") / col("n_words"))).as("oov_rate"))
   }
 }

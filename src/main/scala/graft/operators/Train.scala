@@ -36,7 +36,7 @@ object Train {
     * decimal values — see determinism note above). */
   def roundedVecs(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
-      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"))
+      transform(col("embedding").cast("array<double>"), x => graft.functions.Round6.q6(x)).as("v"))
 
   /** Squared-L2 distance between a vector column and one centroid
     * literal: ascending-index left fold (bit-stable cross-engine). */
@@ -145,7 +145,7 @@ object Train {
     * Returns the (bias +: weights) vector after `iters` updates. */
   def logisticFit(labeled: DataFrame, target: Column, dim: Int, iters: Int, lrate: Double): Seq[Double] = {
     val vecs = labeled.select(
-      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"),
+      transform(col("embedding").cast("array<double>"), x => graft.functions.Round6.q6(x)).as("v"),
       target.cast("double").as("y"))
     var w: Seq[Double] = Seq.fill(dim)(0.0)
     var b = 0.0

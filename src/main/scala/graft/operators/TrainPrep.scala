@@ -40,7 +40,7 @@ object TrainPrep {
           lit(1000000L)).cast("decimal(20,0)")
         < col("__rate") * lit(1000000))
       .select(col("doc_id"), col("url"),
-        round(col("__rate").cast("double"), 6).as("keep_rate"))
+        graft.functions.Round6.q6(col("__rate").cast("double")).as("keep_rate"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
@@ -213,7 +213,7 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_hits"))
       .filter(col("n_hits") >= col("n_sh") * lit(minFrac))
       .select(col("doc_id"), col("n_hits"), col("n_sh"),
-        round(col("n_hits") / col("n_sh"), 6).as("overlap_frac"))
+        graft.functions.Round6.q6(col("n_hits") / col("n_sh")).as("overlap_frac"))
   }
 
   /** Temperature-style language-mixture rebalancing (the multilingual
@@ -242,7 +242,7 @@ object TrainPrep {
         col("doc_id"), salt, col("rate"))
       .groupBy(col(langName), col("n_docs"), col("rate"))
       .agg(count(lit(1)).as("n_kept"))
-      .select(col(langName), col("n_docs"), round(col("rate"), 6).as("rate"),
+      .select(col(langName), col("n_docs"), graft.functions.Round6.q6(col("rate")).as("rate"),
         col("n_kept"))
   }
 
@@ -274,7 +274,7 @@ object TrainPrep {
       .filter(col("__cum") <= budget)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
-        round(max(col("__cum")) / lit(budget.toDouble), 6).as("fill_frac"))
+        graft.functions.Round6.q6(max(col("__cum")) / lit(budget.toDouble)).as("fill_frac"))
   }
 
   /** Leakage-safe train/eval split: the per-doc hash split (`hashSample`)

@@ -63,17 +63,17 @@ object OracleDdl {
       |    CAST(length(text) AS BIGINT) AS n_chars,
       |    CAST(len(words) AS BIGINT) AS n_words,
       |    CAST(len(lines) AS BIGINT) AS n_lines,
-      |    round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(words), 6) AS mean_word_len,
-      |    round(len(regexp_extract_all(text, '[#@$%!]')) * 1.0 / len(words), 6) AS symbol_ratio,
-      |    round(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) * 1.0 / len(lines), 6) AS bullet_frac,
-      |    round(len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0 / len(lines), 6) AS ellipsis_frac,
-      |    round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words), 6) AS alpha_ratio,
+      |    floor(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(words) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+      |    floor(len(regexp_extract_all(text, '[#@$%!]')) * 1.0 / len(words) * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+      |    floor(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* '))) * 1.0 / len(lines) * 1e6 + 0.5) / 1e6 AS bullet_frac,
+      |    floor(len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0 / len(lines) * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
+      |    floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(words) * 1e6 + 0.5) / 1e6 AS alpha_ratio,
       |    CAST(len(list_filter(words, w -> w IN ('the','a','of','to','and','in','for','that'))) AS BIGINT) AS stop_hits,
-      |    round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 6) AS dup_line_frac,
+      |    floor((1.0 - len(list_distinct(lines)) * 1.0 / len(lines)) * 1e6 + 0.5) / 1e6 AS dup_line_frac,
       |    CASE WHEN len(words) < 6 THEN 0.0
-      |         ELSE round(1.0 - len(list_distinct(list_transform(range(1, len(words) - 3),
+      |         ELSE floor((1.0 - len(list_distinct(list_transform(range(1, len(words) - 3),
       |              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4]))) * 1.0
-      |              / (len(words) - 4), 6) END AS dup5_frac
+      |              / (len(words) - 4)) * 1e6 + 0.5) / 1e6 END AS dup5_frac
       |  FROM w0
       |)""".stripMargin
 
@@ -337,7 +337,7 @@ object OracleDdl {
   }
 
   def kmeansSql(k: Int, iters: Int, dim: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings)""" +
+    s"""WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1e6 + 0.5) / 1e6) AS v FROM embeddings)""" +
       kmeansCtes(k, iters, dim) +
       s"""
          | SELECT c.cluster_id, CAST(t.i - 1 AS INT) AS pos, c.cv[t.i] AS c,
@@ -355,7 +355,7 @@ object OracleDdl {
     def dotW(w: String, v: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${dim + 1}), i -> $w[i] * $v[i])), (s, t) -> s + t)"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v,
+    sb ++= s"""WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1e6 + 0.5) / 1e6) AS v,
               |     CASE WHEN label <= 4 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y FROM embeddings),
               | nn AS (SELECT count(*)::DOUBLE AS n FROM e),
               | w0 AS (SELECT list_transform(range(1, ${dim + 1}), i -> 0.0::DOUBLE) AS wl, 0.0::DOUBLE AS b)""".stripMargin
@@ -396,7 +396,7 @@ object OracleDdl {
     require(dim % m == 0)
     val subDim = dim / m
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS v FROM embeddings)"
+    sb ++= "WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1e6 + 0.5) / 1e6) AS v FROM embeddings)"
     for (j <- 0 until m) {
       val lo = j * subDim + 1
       val hi = (j + 1) * subDim

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Round6
+
+/** Boundary-value property tests for the repo's published-double
+  * convention (VERDICT r4 #2): every published ratio/mean of exact
+  * integers or decimals is floor-quantized — floor(x·1e6 + 0.5)/1e6, one
+  * IEEE DAG mirrored verbatim in the oracle SQL — because `round(,6)`'s
+  * tie handling is engine-dependent (Spark rounds the shortest-decimal
+  * rendering via BigDecimal HALF_UP; DuckDB rounds the scaled binary),
+  * and rationals CAN land exactly on a .5e-6 half-step (q147 did at
+  * sf0.1; q124 at the r4 driver fixture). These tests construct inputs
+  * that land EXACTLY on half-steps and pin the convention end-to-end
+  * through representative converted operators. */
+class RoundingSpec extends SparkSpec {
+
+  test("Round6.q6 (Column) ≡ Round6.r6 (scalar) on exact .5e-6 half-steps, negatives included") {
+    import spark.implicits._
+    // 0.0078125 = 1/128 and 0.1953125 = 100/512: dyadic rationals whose
+    // binary doubles are EXACT, so x·1e6 is exactly k+0.5 — the case
+    // where Spark round() (HALF_UP on the shortest decimal) and DuckDB
+    // round() (floating) can split; floor(x·1e6+0.5) is deterministic
+    val xs = Seq(0.0078125, -0.0078125, 0.1953125, 5e-7, 1.0000005, 0.25, 0.0, -3.5e-6)
+    val got = xs.toDF("x").select(Round6.q6(col("x")).as("q"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == xs.map(Round6.r6), s"$got vs ${xs.map(Round6.r6)}")
+    // the half-steps resolve UP toward +∞ (floor semantics), exactly:
+    assert(Round6.r6(0.0078125) == 0.007813)
+    assert(Round6.r6(-0.0078125) == -0.007812) // floor, not HALF_UP: toward +∞
+  }
+
+  test("q124 fertility on a corpus whose ratio is EXACTLY a .5e-6 half-step") {
+    import spark.implicits._
+    // one letter-run of 512 chars = 1 regex token over 512 chars:
+    // tokens_per_100c = 100/512 = 0.1953125 exactly — the q124 boundary
+    val docs = Seq((1L, "xx", "a" * 512)).toDF("doc_id", "lang", "text")
+    val row = graft.operators.TextStats.fertilityByLang(docs).head()
+    assert(row.getDouble(row.fieldIndex("tokens_per_100c")) == 0.195313,
+      "boundary ratio must floor-quantize UP deterministically")
+  }
+
+  test("exact Jaccard on a pair whose ratio is EXACTLY 1/128 (a .5e-6 half-step)") {
+    import spark.implicits._
+    // doc A: 66 words -> 64 shingles; doc B: 67 words -> 65 shingles;
+    // exactly ONE shared shingle (s1 s2 s3) => J = 1/(64+65-1) = 1/128
+    val a = ((1 to 63).map(i => s"a$i") ++ Seq("s1", "s2", "s3")).mkString(" ")
+    val b = (Seq("s1", "s2", "s3") ++ (1 to 64).map(i => s"b$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, 0.0).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == Round6.r6(1.0 / 128.0))
+    assert(pairs.head.getDouble(2) == 0.007813)
+  }
+
+  test("calibration-style mean (sum of exact decimals / count) at a half-step") {
+    import spark.implicits._
+    // mean of the 6-dp decimals {0.000001, 0.000000} over 4 rows:
+    // (0.000001+0+0+0.000001)/4 = 0.0000005 — EXACTLY the first half-step
+    val d = Seq(0.000001, 0.0, 0.0, 0.000001).toDF("x")
+    val got = d.agg(Round6.q6(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))))
+      .head().getDouble(0)
+    assert(got == 0.000001, s"mean half-step must quantize up, got $got")
+  }
+}
