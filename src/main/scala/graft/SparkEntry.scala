@@ -330,6 +330,13 @@ object SparkEntry {
     "q157_lsh_eval" -> ((s, dir) =>
       graft.operators.Dedup.lshEval(Pipeline.webdoc(s, dir), 0.5)),
 
+    // q157's 100 TB form: the exact-truth eval restricted to a
+    // deterministic 1/3 host-block sample (whole hosts, md5 gate — RNG-
+    // free, so the sample reproduces cross-engine); within-sample P/R/F1
+    // with the sampled population size published alongside
+    "q161_lsh_eval_sampled" -> ((s, dir) =>
+      graft.operators.Dedup.lshEvalSampled(Pipeline.webdoc(s, dir), 0.5, 3)),
+
     // The same HLL as ONE two-phase typed aggregation: 64 register bytes
     // per (partition, host) through a single exchange — the production
     // shape (q145's groupBy form needs two); same oracle, same registers
@@ -343,6 +350,32 @@ object SparkEntry {
     // candidates via broadcast joins, verified with one exact startsWith
     "q154_prefix_dups" -> ((s, dir) =>
       graft.operators.Dedup.prefixDups(Pipeline.webdoc(s, dir))),
+
+    // REAL href extraction: every <a href> in the html blob, resolved to
+    // a destination host (absolute → parsed authority, relative → own
+    // host). The oracle runs an independent DuckDB regexp over the same
+    // html — the extraction itself is oracle-gated, not just its edges
+    "q158_href_extract" -> ((s, dir) =>
+      graft.operators.HostGraph.hrefLinks(Pipeline.webdoc(s, dir))
+        .select(col("doc_id"), col("href"), col("dst_host"), col("is_absolute"))),
+
+    // The host→host edge table those hrefs induce (what q108's authority
+    // iterates over — since r5 the edges come from the blob, not
+    // arithmetic). Oracle re-derives the same edges via DuckDB regexps
+    "q159_href_edges" -> ((s, dir) =>
+      graft.operators.HostGraph.linkEdges(Pipeline.webdoc(s, dir))),
+
+    // Real image-container header decode: synthesize format-conformant
+    // PNG/GIF/JPEG blobs (real magic, real IHDR CRC-32, variable-offset
+    // JPEG SOF) and parse format+dimensions back out of the BYTES with
+    // the native ImageMeta expression; the oracle recomputes the expected
+    // dimensions arithmetically — synthesize→parse must round-trip
+    "q160_image_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.imageMeta(
+        graft.operators.Multimodal.syntheticImages(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        col("img"))
+        .select(col("doc_id"), col("media_format"), col("width"), col("height"))),
 
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
@@ -1138,7 +1171,9 @@ object SparkEntry {
     }),
 
     // Host authority: 3 damped power iterations over the host link graph
-    // (deterministic outlinks stand in for href extraction). Corpus touched
+    // whose edges are REAL hrefs extracted from the html blob (q158/q159);
+    // the oracle derives the same edges arithmetically from the
+    // generator's closed form — an independent derivation. Corpus touched
     // once by a (host,host) agg; iterations join edges against BROADCAST
     // ranks/degrees — the edge table never reshuffles
     "q108_host_rank" -> ((s, dir) =>
@@ -2243,6 +2278,35 @@ object SparkEntry {
           |   CASE WHEN n_cand + n_true > 0
           |        THEN floor(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS f1
           | FROM cnt""".stripMargin),
+    "q161_lsh_eval_sampled" ->
+      // q157 restricted to the SAME deterministic 1/3 host-block sample
+      // (md5 gate — both engines hash the same bytes); n_docs = sampled
+      // population so a starved sample is visible
+      (webdocCte +
+        s""", webdoc_s AS (SELECT * FROM webdoc WHERE ${h60("host")} % 3 = 0)""" +
+        shingleCte.replace("FROM webdoc", "FROM webdoc_s") + minhashCte +
+        """, exj AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM wsh)
+          |, truep AS (SELECT doc_a, doc_b FROM (
+          |    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |      floor(count(*) * 1.0 / (min(x.n_sh) + min(y.n_sh) - count(*)) * 1e6 + 0.5) / 1e6 AS jaccard
+          |    FROM exj x JOIN exj y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+          |  WHERE jaccard >= 0.5)
+          |, verp AS (SELECT doc_a, doc_b FROM (
+          |    SELECT cand.doc_a, cand.doc_b,
+          |      floor(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) * 1e6 + 0.5) / 1e6 AS jaccard
+          |    FROM cand JOIN wsh sa ON cand.doc_a = sa.doc_id JOIN wsh sb ON cand.doc_b = sb.doc_id)
+          |  WHERE jaccard >= 0.5)
+          |, cnt AS (SELECT
+          |    (SELECT CAST(count(*) AS BIGINT) FROM webdoc_s) AS n_docs,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM truep) AS n_true,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+          |    (SELECT CAST(count(*) AS BIGINT) FROM verp) AS n_verified)
+          | SELECT n_docs, n_true, n_cand, n_verified,
+          |   CASE WHEN n_cand > 0 THEN floor(CAST(n_verified AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6 END AS cand_precision,
+          |   CASE WHEN n_true > 0 THEN floor(CAST(n_verified AS DOUBLE) / n_true * 1e6 + 0.5) / 1e6 END AS recall,
+          |   CASE WHEN n_cand + n_true > 0
+          |        THEN floor(2.0::DOUBLE * n_verified / CAST(n_cand + n_true AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS f1
+          | FROM cnt""".stripMargin),
     "q154_prefix_dups" ->
       // same dual blocking (first 3-word h60, plus the first 2-word h60
       // secondary block for exactly-3-word shorts), same df cap (≤ 1000
@@ -2267,6 +2331,41 @@ object SparkEntry {
            | FROM cand c JOIN hh a ON a.doc_id = c.long_id
            |   JOIN hh b ON b.doc_id = c.short_id
            | WHERE starts_with(a.text, b.text)""".stripMargin),
+    "q158_href_extract" ->
+      // independent extraction path: DuckDB's regexp engine over the same
+      // html bytes (the Spark side resolves with Catalyst regexps)
+      (webdocCte +
+        """, l AS (SELECT doc_id, host,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)"', 1)) AS href
+          |  FROM webdoc)
+          | SELECT doc_id, href,
+          |   CASE WHEN regexp_matches(href, '^https?://')
+          |        THEN regexp_extract(href, '^https?://([^/]+)', 1)
+          |        ELSE host END AS dst_host,
+          |   regexp_matches(href, '^https?://') AS is_absolute
+          | FROM l""".stripMargin),
+    "q159_href_edges" ->
+      (webdocCte +
+        """, l AS (SELECT doc_id, host,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)"', 1)) AS href
+          |  FROM webdoc)
+          |, r AS (SELECT host AS src,
+          |    CASE WHEN regexp_matches(href, '^https?://')
+          |         THEN regexp_extract(href, '^https?://([^/]+)', 1)
+          |         ELSE host END AS dst
+          |  FROM l)
+          | SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          | FROM r WHERE src <> dst GROUP BY 1, 2""".stripMargin),
+    "q160_image_meta" ->
+      // the oracle re-derives the dimensions from the generator's closed
+      // form — the Spark side must synthesize real container bytes and
+      // parse them back (magic, CRC, marker walk) to reproduce these
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       ELSE 'jpeg' END AS media_format,
+        |  CAST(doc_id % 640 + 16 AS INT) AS width,
+        |  CAST((doc_id * 3) % 480 + 16 AS INT) AS height
+        |FROM documents""".stripMargin,
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate

@@ -25,25 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object HostGraph {
 
-  /** The host rule, shared with the synthesis in WebDocs/the oracle. */
-  private def hostOf(hid: Column): Column =
-    when(hid < 300, lit("popular.example.com"))
-      .otherwise(concat(lit("host-"), hid.cast("string"), lit(".example.com")))
+  /** Real href extraction over the html blob: every `<a href="...">`
+    * value, resolved to a destination host — absolute links parse their
+    * authority, relative links resolve against the doc's own host. The
+    * reference's discovery layer does exactly this over fetched pages
+    * (vlass2caom2 data_source.py:141-170,294-346 parsing hrefs out of
+    * listing html). All extraction is map-side Catalyst regexps; the blob
+    * never survives past this projection. */
+  def hrefLinks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("host"),
+        explode(regexp_extract_all(col("html").cast("string"),
+          lit("<a href=\"([^\"]+)\""), lit(1))).as("href"))
+      .withColumn("is_absolute", col("href").rlike("^https?://"))
+      .withColumn("dst_host",
+        when(col("is_absolute"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1))
+          .otherwise(col("host")))
 
-  /** Deterministic outlinks: every doc links to 3 destination hosts
-    * derived from its doc_id (the sandbox stand-in for parsing hrefs out
-    * of `html` — the real extractor is a regexp_extract_all over the html
-    * column feeding the SAME edge aggregation). Self-loops dropped,
-    * parallel doc-level links collapse to one weighted host→host edge. */
-  def linkEdges(docs: DataFrame): DataFrame = {
-    val did = col("doc_id")
-    val dst = hostOf(pmod((did + col("j") * 31) * 131, lit(997)))
-    docs.select(did, col("host").as("src"))
-      .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
-      .select(col("src"), dst.as("dst"))
+  /** Weighted host→host edges from the extracted hrefs. Self-loops
+    * dropped, parallel doc-level links collapse to one weighted edge.
+    * Only (src, dst) host pairs reach the exchange (partial aggregation
+    * collapses per-host duplicates map-side); the html column is pruned
+    * immediately after extraction, so edge-building scales with the scan,
+    * not with a text shuffle. */
+  def linkEdges(docs: DataFrame): DataFrame =
+    hrefLinks(docs)
+      .select(col("host").as("src"), col("dst_host").as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-  }
 
   /** Host authority: `iters` damped power iterations over the weighted
     * host graph — rank' = (1−d) + d·Σ_in rank(src)·w/outdeg(src).

@@ -48,7 +48,10 @@ object OracleDdl {
       |         ELSE 'host-' || ((doc_id * 131) % 997) || '.example.com' END || '/' || source || '/' || doc_id AS url,
       |    doc_id % 32 AS shard,
       |    TIMESTAMP '2024-01-01 00:00:00' + ((doc_id * 37) % 2592000) * INTERVAL 1 SECOND AS warc_ts,
-      |    '<html><head><title>Doc ' || doc_id || '</title><meta charset="utf-8"></head><body><nav>home | about | contact</nav><h1>Doc ' || doc_id || '</h1><p>' || replace(text, chr(10), '</p><p>') || '</p><footer>(c) 2024 example.com</footer></body></html>' AS html_str
+      |    '<html><head><title>Doc ' || doc_id || '</title><meta charset="utf-8"></head><body><nav><a href="/about">about</a> | <a href="https://' ||
+      |      CASE WHEN ((doc_id + 31) * 131) % 997 < 300 THEN 'popular.example.com' ELSE 'host-' || (((doc_id + 31) * 131) % 997) || '.example.com' END || '/out/1">l1</a> | <a href="https://' ||
+      |      CASE WHEN ((doc_id + 62) * 131) % 997 < 300 THEN 'popular.example.com' ELSE 'host-' || (((doc_id + 62) * 131) % 997) || '.example.com' END || '/out/2">l2</a> | <a href="https://' ||
+      |      CASE WHEN ((doc_id + 93) * 131) % 997 < 300 THEN 'popular.example.com' ELSE 'host-' || (((doc_id + 93) * 131) % 997) || '.example.com' END || '/out/3">l3</a></nav><h1>Doc ' || doc_id || '</h1><p>' || replace(text, chr(10), '</p><p>') || '</p><footer>(c) 2024 example.com</footer></body></html>' AS html_str
       |  FROM c9
       |)""".stripMargin
 

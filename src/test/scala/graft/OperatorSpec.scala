@@ -758,8 +758,10 @@ class OperatorSpec extends SparkSpec {
           r.getString(6), r.getDouble(7))
       assert(title == s"Doc $id")
       assert(htmlChars > textChars && density > 0.0 && density < 1.0)
-      // fixed scaffold = 17 tags; each extra paragraph adds </p><p>
-      assert(nTags == 17 + 2 * (nParas - 1) && nParas >= 1)
+      // fixed scaffold = 25 tags (17 + the 4 nav <a></a> anchor pairs
+      // added in r5 for real href extraction); each extra paragraph adds
+      // </p><p>
+      assert(nTags == 25 + 2 * (nParas - 1) && nParas >= 1)
     }
     // margin: replicate from the single-prediction API over the same text
     val texts = Pipeline.webdoc(spark, sfDir).select($"doc_id", $"text")
@@ -1827,6 +1829,29 @@ class OperatorSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
     assert(ver.subsetOf(truth))
     assert(ver.size == nVer && truth.size == nTrue)
+  }
+
+  test("q161 lshEvalSampled: within-sample metrics track the exact eval; gate is a real subsample") {
+    val exact = graft.operators.Dedup.lshEval(Pipeline.webdoc(spark, sfDir), 0.5).head()
+    val s = graft.operators.Dedup.lshEvalSampled(Pipeline.webdoc(spark, sfDir), 0.5, 3).head()
+    graft.plans.TrackedCache.releaseAll()
+    val nAll = Pipeline.webdoc(spark, sfDir).count()
+    val nDocs = s.getLong(0)
+    // the host gate keeps a real, non-degenerate fraction of the corpus
+    assert(nDocs > 0 && nDocs < nAll, s"sample $nDocs of $nAll")
+    // the sampled truth set is non-starved (whole-host stratification
+    // preserves within-host pair structure at ~1/invRate, not 1/invRate²)
+    assert(s.getLong(1) > 0 && s.getLong(3) > 0)
+    // THE documented error bound (VERDICT r4 #8): on the fixture every
+    // published ratio of the sampled eval sits within 0.05 of the exact
+    // corpus-wide eval — band behavior is host-exchangeable here, so the
+    // within-sample rates estimate the corpus rates. The bound is wide
+    // because the fixture truth set is tens of pairs: a single band miss
+    // inside/outside the sample moves a ratio by ~1/25; at production
+    // pair counts the same estimator concentrates as ~1/√pairs
+    for ((si, ei) <- Seq((4, 3), (5, 4), (6, 5)))
+      assert(math.abs(s.getDouble(si) - exact.getDouble(ei)) <= 0.05,
+        s"col $si: sampled ${s.getDouble(si)} vs exact ${exact.getDouble(ei)}")
   }
 
   test("q155 hostHllAgg: the typed Aggregator equals the composable groupBy form on every host") {

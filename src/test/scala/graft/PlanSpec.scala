@@ -659,4 +659,25 @@ class PlanSpec extends SparkSpec {
       plan.toString.take(2000))
     graft.plans.TrackedCache.releaseAll()
   }
+
+  test("q159: href edge-building shuffles only (src, dst) pairs — the html blob and hrefs stay map-side") {
+    // the 100 TB contract for real link extraction: regexps + host
+    // resolution run inside the scan stage, partial aggregation collapses
+    // per-host duplicates BEFORE the exchange, and the ONLY shuffle
+    // carries (src, dst, partial-count) — never html, href, or text
+    val plan = staticPlan(SparkEntry.queries("q159_href_edges")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.length == 1, s"expected exactly the edge agg exchange: $shuffles")
+    assert(!shuffles.head.exists(c =>
+      c.contains("html") || c.contains("href") || c.contains("text") || c.contains("url")),
+      s"edge exchange must carry only (src, dst, count): ${shuffles.head}")
+  }
+
+  test("q160: image synthesize→parse is exchange-free and the blob never outlives its projection") {
+    val plan = staticPlan(SparkEntry.queries("q160_image_meta")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    // the published frame must not retain the img blob column
+    assert(!plan.output.map(_.name).contains("img"), plan.output.map(_.name).toString)
+  }
 }

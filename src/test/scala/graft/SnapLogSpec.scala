@@ -107,15 +107,59 @@ class SnapLogSpec extends SparkSpec {
     assert(SnapLog.readAt(spark, t, 2L).count() == 20)
   }
 
-  test("schema and stats-column drift are rejected at commit") {
+  test("schema and stats-column drift are rejected at commit (evolution excepted)") {
     val t = tmpDir("snaplog_schema")
     SnapLog.commit(docs(0 until 5), t, Some("doc_id"))
+    // type change, rename, drop, reorder: all rejected — they'd silently
+    // change what the carried-over parent files mean
     intercept[IllegalArgumentException] {
-      SnapLog.commit(Seq((1L, "x", 2.0)).toDF("doc_id", "text", "extra"), t, Some("doc_id"))
+      SnapLog.commit(Seq((1, "x")).toDF("doc_id", "text"), t, Some("doc_id")) // int ≠ bigint
     }
     intercept[IllegalArgumentException] {
-      SnapLog.commit(docs(5 until 10), t, None)
+      SnapLog.commit(Seq((1L, "x")).toDF("doc_id", "body"), t, Some("doc_id")) // rename
     }
+    intercept[IllegalArgumentException] {
+      SnapLog.commit(Seq(1L).toDF("doc_id"), t, Some("doc_id")) // drop
+    }
+    intercept[IllegalArgumentException] {
+      SnapLog.commit(Seq(("x", 1L)).toDF("text", "doc_id"), t, Some("doc_id")) // reorder
+    }
+    intercept[IllegalArgumentException] {
+      SnapLog.commit(docs(5 until 10), t, None) // stats-column drift
+    }
+  }
+
+  test("schema evolution: add-column commit; old snapshots readable under the evolved schema") {
+    val t = tmpDir("snaplog_evolve")
+    val id1 = SnapLog.commit(docs(0 until 5), t, Some("doc_id"))
+    // add-column evolution: same prefix, appended nullable column
+    val evolved = docs(5 until 8).withColumn("lang", concat(lit("l"), col("doc_id")))
+    val id2 = SnapLog.commit(evolved, t, Some("doc_id"))
+    assert(SnapLog.snapshot(t, id2).schemaDdl.contains("lang"))
+    // current read = merged schema; pre-evolution rows surface lang=NULL
+    // straight out of the old files (schema-on-read, no rewrite)
+    val cur = SnapLog.read(spark, t)
+    assert(cur.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(cur.count() == 8)
+    assert(cur.filter(col("lang").isNull).select("doc_id").as[Long].collect().sorted.toSeq
+      == (0L until 5L))
+    assert(cur.filter(col("lang") === "l6").count() == 1)
+    // time travel: snapshot 1 under its OWN schema has no lang column...
+    assert(SnapLog.readAt(spark, t, id1).columns.toSeq == Seq("doc_id", "text"))
+    assert(SnapLog.readAt(spark, t, id1).count() == 5)
+    // ...and under the evolved schema it has lang=NULL everywhere
+    val old = SnapLog.readAt(spark, t, id1, schemaAsOf = id2)
+    assert(old.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(old.count() == 5 && old.filter(col("lang").isNull).count() == 5)
+    // reading a post-evolution snapshot under a PRE-evolution schema is
+    // not a thing (schemaAsOf must evolve forward)
+    intercept[IllegalArgumentException] { SnapLog.readAt(spark, t, id2, schemaAsOf = id1) }
+    // evolution composes with the rest of the protocol: another append
+    // under the evolved schema, incremental read across the boundary
+    SnapLog.commit(evolved.filter(col("doc_id") < 0), t, Some("doc_id")) // empty batch, same schema
+    assert(SnapLog.readIncremental(spark, t, id1, id2).count() == 3)
+    // manifest pruning still keyed by the unchanged stats column
+    assert(SnapLog.scan(spark, t, 5, 7).count() == 3)
   }
 
   test("incrementalNewFromSnapLog finds exactly the novel-content docs") {
