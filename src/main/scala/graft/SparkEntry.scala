@@ -377,6 +377,35 @@ object SparkEntry {
         col("img"))
         .select(col("doc_id"), col("media_format"), col("width"), col("height"))),
 
+    // Real audio/video container-header decode — q160's contract for the
+    // other two media families: synthesize format-conformant WAV (RIFF
+    // chunk walk with a variable-offset decoy chunk) and MP4 (ISO
+    // 14496-12 box walk to mvhd/tkhd) blobs, parse the geometry back out
+    // of the BYTES with the native AvMeta expression; the oracle
+    // recomputes every field arithmetically — synthesize→parse must
+    // round-trip
+    "q162_av_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.avMeta(
+        graft.operators.Multimodal.syntheticAv(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        col("av"))
+        .select(col("doc_id"), col("media_format"), col("width"), col("height"),
+          col("channels"), col("sample_rate"), col("bits_per_sample"),
+          col("duration_ms"))),
+
+    // Real robots.txt: render the per-host rules as actual robots.txt
+    // text (decoy group, comments, CRLF, unknown directives), parse it
+    // back with the RFC 9309 group-fold, and decide every url with the
+    // same longest-prefix engine as q109 — whose oracle this query
+    // shares verbatim, so the text round-trip is fully oracle-gated
+    "q163_robots_policy" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.operators.HostGraph.policyDecide(wd,
+        graft.operators.HostGraph.parseRobots(
+          graft.operators.HostGraph.robotsText(
+            graft.operators.HostGraph.syntheticRules(wd))))
+    }),
+
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
     // corpus-sized join — the snapshot-overlap monitor at scale
@@ -1473,6 +1502,28 @@ object SparkEntry {
            |         / CAST(s_sum AS DOUBLE), 6) AS hll_est
            | FROM agg""".stripMargin)
 
+  /** Longest-prefix policy decision over the closed-form rule set —
+    * shared verbatim by q109 (rules fed directly) and q163 (rules
+    * round-tripped through real robots.txt text and the RFC 9309 parse):
+    * the round trip must be decision-invisible. */
+  private val urlPolicyOracle: String =
+    webdocCte +
+      """, hosts AS (SELECT DISTINCT host FROM webdoc)
+        |, rules AS (
+        |  SELECT host, '/' AS prefix, true AS allow FROM hosts
+        |  UNION ALL SELECT host, '/src2', false FROM hosts
+        |  UNION ALL SELECT host, '/src2/1', true FROM hosts WHERE length(host) % 2 = 0
+        |  UNION ALL SELECT host, '/src0', false FROM hosts WHERE host = 'popular.example.com')
+        |, d AS (SELECT doc_id, url, host,
+        |    regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path FROM webdoc)
+        |, m AS (SELECT d.doc_id, d.url, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |                       ORDER BY length(r.prefix) DESC, r.prefix) AS rn
+        |  FROM d JOIN rules r ON r.host = d.host AND starts_with(d.path, r.prefix))
+        | SELECT d.doc_id, d.url, m.prefix AS matched_prefix,
+        |   coalesce(m.allow, true) AS allowed
+        | FROM d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id, url)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_webdoc" ->
       (webdocCte +
@@ -2366,6 +2417,24 @@ object SparkEntry {
         |  CAST(doc_id % 640 + 16 AS INT) AS width,
         |  CAST((doc_id * 3) % 480 + 16 AS INT) AS height
         |FROM documents""".stripMargin,
+    "q162_av_meta" ->
+      // arithmetic re-derivation of the AV generator's closed forms; wav
+      // duration_ms is the same integer division the RIFF math lands on:
+      // frames·blockAlign·1000 / (rate·blockAlign) = frames·1000 / rate
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS media_format,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 1920 + 16 AS INT) END AS width,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id * 7) % 1080 + 16 AS INT) END AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 3 + 1) * 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS INT) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN CAST((doc_id % 50 + 1) * 1000 // ((doc_id % 3 + 1) * 8000) AS BIGINT)
+        |       ELSE CAST((doc_id * 37) % 90000 + 500 AS BIGINT) END AS duration_ms
+        |FROM documents""".stripMargin,
+    // q163 shares q109's oracle VERBATIM: the rules→robots.txt→parse
+    // round trip must be decision-invisible
+    "q163_robots_policy" -> urlPolicyOracle,
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate
@@ -2996,23 +3065,7 @@ object SparkEntry {
           |   coalesce(inh.n_in_hosts, 0) AS n_in_hosts
           | FROM r3 LEFT JOIN inh USING (host)""".stripMargin)
     },
-    "q109_url_policy" ->
-      (webdocCte +
-        """, hosts AS (SELECT DISTINCT host FROM webdoc)
-          |, rules AS (
-          |  SELECT host, '/' AS prefix, true AS allow FROM hosts
-          |  UNION ALL SELECT host, '/src2', false FROM hosts
-          |  UNION ALL SELECT host, '/src2/1', true FROM hosts WHERE length(host) % 2 = 0
-          |  UNION ALL SELECT host, '/src0', false FROM hosts WHERE host = 'popular.example.com')
-          |, d AS (SELECT doc_id, url, host,
-          |    regexp_extract(url, 'https://[^/]+(/.*)', 1) AS path FROM webdoc)
-          |, m AS (SELECT d.doc_id, d.url, r.prefix, r.allow,
-          |    row_number() OVER (PARTITION BY d.doc_id
-          |                       ORDER BY length(r.prefix) DESC, r.prefix) AS rn
-          |  FROM d JOIN rules r ON r.host = d.host AND starts_with(d.path, r.prefix))
-          | SELECT d.doc_id, d.url, m.prefix AS matched_prefix,
-          |   coalesce(m.allow, true) AS allowed
-          | FROM d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id, url)""".stripMargin),
+    "q109_url_policy" -> urlPolicyOracle,
     "q110_stopword_ratio" -> {
       val cases = graft.operators.TextStats.stopwords.map { case (l, ws) =>
         s"WHEN '$l' THEN [${ws.map(w => s"'$w'").mkString(", ")}]"

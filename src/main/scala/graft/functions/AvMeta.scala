@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real audio/video container-header decode over a `binary` column — the
+  * [[ImageMeta]] pattern extended to the other two multimodal families:
+  *
+  *  - WAV (RIFF, the public Microsoft/IBM spec): 'RIFF'+size+'WAVE', then
+  *    a chunk walk ('fmt ' → channels / sample rate / bits per sample,
+  *    'data' → payload size; odd chunk sizes pad to even). Duration is
+  *    derived, not stored: data_size·1000 / byte_rate.
+  *  - MP4 (ISO/IEC 14496-12 box structure): a size+fourcc box walk to
+  *    `moov`, then `mvhd` (v0/v1 timescale + duration → duration_ms) and
+  *    the first `trak`→`tkhd` with a nonzero width (16.16 fixed-point
+  *    width/height). 64-bit largesize boxes and size=0 ("to end of
+  *    file") are handled; anything malformed degrades to 'unknown'.
+  *
+  * Sample-level decode (PCM frames / codec bitstreams) is out of scope —
+  * no codecs in this container — but everything a metadata / shape /
+  * budget pipeline reads (format, dimensions, channel layout, duration)
+  * is parsed from the actual bytes. Returns struct(media_format, width,
+  * height, channels, sample_rate, bits_per_sample, duration_ms) with
+  * NULLs for fields the format doesn't carry; corrupt input yields
+  * ('unknown', nulls) rather than failing the task. Stays inside
+  * whole-stage codegen via a static kernel call (the TextSignals
+  * pattern).
+  */
+case class AvMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = AvMeta.schema
+  override def prettyName: String = "av_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AvMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AvMeta$$.MODULE$$.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): AvMeta =
+    copy(child = newChild)
+}
+
+object AvMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("media_format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(AvMeta(GraftBridge.expression(c)))
+
+  private def row(fmt: String, w: Any, h: Any, ch: Any, sr: Any, bits: Any,
+                  durMs: Any): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h, ch, sr, bits, durMs))
+
+  private val Unknown: InternalRow = row("unknown", null, null, null, null, null, null)
+
+  @inline private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  @inline private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  @inline private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  @inline private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+
+  @inline private def fourcc(b: Array[Byte], i: Int, c: String): Boolean =
+    b(i) == c.charAt(0) && b(i + 1) == c.charAt(1) &&
+      b(i + 2) == c.charAt(2) && b(i + 3) == c.charAt(3)
+
+  /** MP4 sniff: ftyp "shall be placed as early as possible" (ISO
+    * 14496-12 §4.3) but free/skip/wide padding boxes legitimately precede
+    * it in the wild, so accept any well-known top-level fourcc at offset
+    * 4 — the box walk's size validation plus the required moov still
+    * reject non-ISO bytes. */
+  private def mp4Sniff(b: Array[Byte]): Boolean =
+    fourcc(b, 4, "ftyp") || fourcc(b, 4, "free") || fourcc(b, 4, "skip") ||
+      fourcc(b, 4, "wide") || fourcc(b, 4, "moov") || fourcc(b, 4, "mdat") ||
+      fourcc(b, 4, "pdin")
+
+  /** The kernel, also called from generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    if (n >= 12 && fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) parseWav(b)
+    else if (n >= 8 && mp4Sniff(b)) parseMp4(b)
+    else Unknown
+  }
+
+  // ---- WAV: RIFF chunk walk; 'fmt ' gives the PCM geometry, 'data' the
+  // payload size; duration is data_size·1000/byte_rate (integer ms).
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    val n = math.min(b.length.toLong, 8L + u32le(b, 4)) // RIFF-declared extent
+    var i = 12L
+    var ch = -1; var sr = 0L; var bits = -1; var byteRate = 0L
+    var dataSize = -1L
+    while (i + 8 <= n) {
+      val size = u32le(b, i.toInt + 4)
+      val body = i + 8
+      if (body + size > n) return Unknown // truncated chunk
+      if (fourcc(b, i.toInt, "fmt ")) {
+        if (size < 16) return Unknown
+        ch = u16le(b, body.toInt + 2)
+        sr = u32le(b, body.toInt + 4)
+        byteRate = u32le(b, body.toInt + 8)
+        bits = u16le(b, body.toInt + 14)
+      } else if (fourcc(b, i.toInt, "data")) {
+        dataSize = size
+      }
+      i = body + size + (size & 1L) // odd sizes pad to even
+    }
+    if (ch <= 0 || sr <= 0 || bits <= 0 || dataSize < 0 || byteRate <= 0) Unknown
+    else row("wav", null, null, ch, sr.toInt, bits, dataSize * 1000L / byteRate)
+  }
+
+  // ---- MP4: ISO 14496-12 box walk. Returns -1 on malformed sizes.
+  private def boxSize(b: Array[Byte], i: Long, end: Long): Long = {
+    if (i + 8 > end) return -1
+    val s = u32be(b, i.toInt)
+    if (s == 0) end - i // "to end of enclosing"
+    else if (s == 1) { if (i + 16 > end) -1 else u64be(b, i.toInt + 8) }
+    else s
+  }
+  private def headerLen(b: Array[Byte], i: Long): Long =
+    if (u32be(b, i.toInt) == 1) 16L else 8L
+
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    val n = b.length.toLong
+    var w = 0; var h = 0; var durMs = -1L
+    var i = 0L
+    while (i + 8 <= n) {
+      val size = boxSize(b, i, n)
+      if (size < 8 || i + size > n) return Unknown
+      if (fourcc(b, i.toInt + 4, "moov")) {
+        // walk moov's children: mvhd for duration, trak→tkhd for geometry
+        var j = i + headerLen(b, i)
+        val end = i + size
+        while (j + 8 <= end) {
+          val cs = boxSize(b, j, end)
+          if (cs < 8 || j + cs > end) return Unknown
+          val body = j + headerLen(b, j)
+          if (fourcc(b, j.toInt + 4, "mvhd") && durMs < 0) {
+            if (body + 4 > end) return Unknown
+            val v = b(body.toInt) & 0xff
+            if (v == 0) {
+              if (body + 20 > end) return Unknown
+              val ts = u32be(b, body.toInt + 12); val dur = u32be(b, body.toInt + 16)
+              if (ts > 0) durMs = dur * 1000L / ts
+            } else {
+              if (body + 32 > end) return Unknown
+              val ts = u32be(b, body.toInt + 20); val dur = u64be(b, body.toInt + 24)
+              if (ts > 0) durMs = dur * 1000L / ts
+            }
+          } else if (fourcc(b, j.toInt + 4, "trak") && w == 0) {
+            var k = body
+            val tend = j + cs
+            while (k + 8 <= tend && w == 0) {
+              val ks = boxSize(b, k, tend)
+              if (ks < 8 || k + ks > tend) return Unknown
+              if (fourcc(b, k.toInt + 4, "tkhd")) {
+                val tb = k + headerLen(b, k)
+                if (tb + 4 > tend) return Unknown
+                val v = b(tb.toInt) & 0xff
+                // after version+flags: v0 = 20 bytes of times/ids, v1 = 32;
+                // then 52 bytes (reserved/layer/group/volume/matrix), then
+                // width and height as 16.16 fixed point
+                val off = tb + 4 + (if (v == 0) 20L else 32L) + 52L
+                if (off + 8 > tend) return Unknown
+                w = (u32be(b, off.toInt) >> 16).toInt
+                h = (u32be(b, off.toInt + 4) >> 16).toInt
+              }
+              k += ks
+            }
+          }
+          j += cs
+        }
+        return if (w > 0 && h > 0)
+          row("mp4", w, h, null, null, null, if (durMs >= 0) durMs else null)
+        else Unknown
+      }
+      i += size
+    }
+    Unknown // no moov box
+  }
+}

@@ -108,6 +108,78 @@ object HostGraph {
       .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
   }
 
+  /** Render a (host, prefix, allow) rules table as real robots.txt text —
+    * the differential-test twin of [[parseRobots]] (q163 proves
+    * rules→text→parse→decide ≡ rules→decide). The rendering is
+    * deliberately adversarial for a parser: a comment line, a decoy
+    * `badbot` group that disallows everything (the `*` parse must ignore
+    * it), a blank separator line, an unknown `Crawl-delay` directive, and
+    * CRLF line endings on even-length hosts (the parser must trim `\r`). */
+  def robotsText(rules: DataFrame): DataFrame = {
+    val perHost = rules.groupBy(col("host"))
+      .agg(array_sort(collect_list(struct(col("prefix"), col("allow")))).as("rs"))
+    val ruleLines = transform(col("rs"), r =>
+      concat(when(r("allow"), lit("Allow: ")).otherwise(lit("Disallow: ")), r("prefix")))
+    val lines = concat(
+      array(lit("# robots.txt (generated)"), lit("User-agent: badbot"),
+        lit("Disallow: /"), lit(""), lit("User-agent: *")),
+      ruleLines,
+      array(lit("Crawl-delay: 5")))
+    perHost.select(col("host"),
+      when(length(col("host")) % 2 === 0,
+        regexp_replace(array_join(lines, "\n"), "\n", "\r\n"))
+        .otherwise(array_join(lines, "\n")).as("robots_txt"))
+  }
+
+  /** Parse robots.txt text into the (host, prefix, allow) rules table
+    * [[policyDecide]] consumes — the real-format front half of the policy
+    * family (RFC 9309 / the public REP): `#` comments stripped, CR
+    * tolerated, groups formed by consecutive `User-agent` lines, rules
+    * taken from every group whose agents include `*`, `Allow`/`Disallow`
+    * keys case-insensitive, an empty `Disallow:` (allow-everything)
+    * producing no rule, unknown directives skipped. Wildcard rules
+    * (`*`/`$`, RFC 9309 §2.2.3) are OUT of the supported subset and are
+    * dropped — [[policyDecide]] is a longest-PREFIX engine; a corpus
+    * needing wildcard semantics extends the match lambda, not this
+    * parser.
+    *
+    * One aggregate-HOF fold over the line array per (host, robots.txt)
+    * row — a pure projection: robots files are KB-sized and one-per-host,
+    * so parsing is free next to the corpus scan, and the output feeds the
+    * same broadcast the synthetic rules did. */
+  def parseRobots(robots: DataFrame): DataFrame = {
+    val emptyRules = array().cast("array<struct<prefix:string,allow:boolean>>")
+    val folded = aggregate(
+      split(col("robots_txt"), "\n"),
+      struct(lit(false).as("active"), lit(false).as("afterAgent"),
+        emptyRules.as("rules")),
+      (st, l0) => {
+        val l = trim(regexp_replace(l0, "#.*$", "")) // comment + \r + padding
+        val key = lower(substring_index(l, ":", 1))
+        val value = trim(regexp_extract(l, "^[^:]*:(.*)$", 1))
+        val isAgent = key === "user-agent" && l.contains(":")
+        val isRule = (key === "allow" || key === "disallow") && l.contains(":")
+        val usable = value.startsWith("/") &&
+          !value.contains("*") && !value.contains("$")
+        struct(
+          when(isAgent,
+            when(st("afterAgent"), st("active") || (value === "*"))
+              .otherwise(value === "*"))
+            .otherwise(st("active")).as("active"),
+          // a User-agent line extends the agent run; blank/comment lines
+          // are transparent (RFC 9309); any directive ends the run, so
+          // the NEXT User-agent line starts a fresh group
+          when(isAgent, lit(true)).when(l === "", st("afterAgent"))
+            .otherwise(lit(false)).as("afterAgent"),
+          when(isRule && st("active") && usable,
+            array_append(st("rules"),
+              struct(value.as("prefix"), (key === "allow").as("allow"))))
+            .otherwise(st("rules")).as("rules"))
+      })
+    robots.select(col("host"), explode(folded("rules")).as("r"))
+      .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+  }
+
   /** Longest-prefix policy decision per document — robots semantics: of
     * the host's rules whose prefix starts the url path, the LONGEST
     * prefix wins (tie-broken lexicographically for determinism); no

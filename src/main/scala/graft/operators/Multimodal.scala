@@ -68,6 +68,93 @@ object Multimodal {
         .otherwise(jpeg))
   }
 
+  /** Deterministic format-conformant audio/video blobs — the
+    * [[syntheticImages]] discipline for the other two media families.
+    * Even doc_ids get a real WAV: RIFF/WAVE with a variable-length decoy
+    * LIST chunk (so 'fmt ' sits at a doc-dependent offset and the chunk
+    * walk is genuinely exercised), a spec-complete 16-byte fmt chunk and
+    * a data chunk whose size drives the derived duration. Odd doc_ids get
+    * a real MP4: a variable-length `free` box, `ftyp`, and a `moov`
+    * carrying mvhd (v0, timescale 1000) + trak/tkhd (v0, 16.16
+    * fixed-point dimensions). Closed forms (the q162 oracle re-derives
+    * them arithmetically):
+    *   wav: channels = (doc_id>>1)%2+1, sample_rate = 8000·(doc_id%3+1),
+    *        bits = 16, duration_ms = (doc_id%50+1)·1000 / sample_rate
+    *        (integer division — data = (doc_id%50+1) frames)
+    *   mp4: width = doc_id%1920+16, height = (7·doc_id)%1080+16,
+    *        duration_ms = (37·doc_id)%90000+500
+    * Pure Catalyst synthesis (unhex/lpad/hex/concat/repeat builtins) —
+    * fuses into the scan projection, no UDF. */
+  def syntheticAv(d: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    def be32(x: Column) = unhex(lpad(hex(x), 8, "0"))
+    def be16(x: Column) = unhex(lpad(hex(x), 4, "0"))
+    def le16(x: Column) = concat(
+      unhex(lpad(hex(pmod(x, lit(256L))), 2, "0")),
+      unhex(lpad(hex(shiftright(x, 8)), 2, "0")))
+    def le32(x: Column) = concat(le16(pmod(x, lit(65536L))), le16(shiftright(x, 16)))
+    def pad(nBytes: Column) = repeat(lit(" "), nBytes.cast("int")).cast("binary")
+
+    // ---- WAV
+    val ch = pmod(shiftright(did, 1), lit(2L)) + 1L
+    val sr = (pmod(did, lit(3L)) + 1L) * 8000L
+    val blockAlign = ch * 2L // 16-bit PCM
+    val frames = pmod(did, lit(50L)) + 1L
+    val dataSize = frames * blockAlign
+    // decoy chunk: variable (always even — odd RIFF chunks pad) offset
+    val listSize = pmod(did, lit(11L)) * 2L + 4L
+    val fmtChunk = concat(lit("fmt ").cast("binary"), le32(lit(16L)),
+      le16(lit(1L)), le16(ch), le32(sr), le32(sr * blockAlign),
+      le16(blockAlign), le16(lit(16L)))
+    val listChunk = concat(lit("LIST").cast("binary"), le32(listSize), pad(listSize))
+    val riffSize = lit(4L) + (lit(8L) + listSize) + lit(8L + 16L) + (lit(8L) + dataSize)
+    val wav = concat(lit("RIFF").cast("binary"), le32(riffSize),
+      lit("WAVE").cast("binary"), listChunk, fmtChunk,
+      lit("data").cast("binary"), le32(dataSize), pad(dataSize))
+
+    // ---- MP4
+    val w = pmod(did, lit(1920L)) + 16L
+    val h = pmod(did * 7L, lit(1080L)) + 16L
+    val dur = pmod(did * 37L, lit(90000L)) + 500L // timescale 1000 ⇒ ms
+    val freeSize = pmod(did, lit(13L)) + 8L
+    val free = concat(be32(freeSize), lit("free").cast("binary"), pad(freeSize - 8L))
+    val ftyp = concat(be32(lit(16L)), lit("ftypisom").cast("binary"), be32(lit(0L)))
+    val matrix = unhex(lit("000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"))
+    val mvhd = concat(be32(lit(108L)), lit("mvhd").cast("binary"),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0L)), // verflags, creation, mod
+      be32(lit(1000L)), be32(dur), // timescale, duration
+      unhex(lit("000100000100")), // rate 1.0, volume 1.0
+      unhex(lit("0000" + "00000000" + "00000000")), // reserved 10
+      matrix, unhex(lit("0" * 48)), be32(lit(2L))) // predefined 24, next track
+    val tkhd = concat(be32(lit(92L)), lit("tkhd").cast("binary"),
+      be32(lit(7L)), be32(lit(0L)), be32(lit(0L)), // verflags(enabled), creation, mod
+      be32(lit(1L)), be32(lit(0L)), be32(dur), // track id, reserved, duration
+      unhex(lit("0" * 16)), // reserved 8
+      unhex(lit("0000" + "0000" + "0000" + "0000")), // layer, group, volume, reserved
+      matrix, be32(w * 65536L), be32(h * 65536L))
+    val trak = concat(be32(lit(100L)), lit("trak").cast("binary"), tkhd)
+    val moov = concat(be32(lit(216L)), lit("moov").cast("binary"), mvhd, trak)
+    val mp4 = concat(free, ftyp, moov)
+
+    d.withColumn("av", when(pmod(did, lit(2L)) === 0, wav).otherwise(mp4))
+  }
+
+  /** Real audio/video container-header decode via the native
+    * [[graft.functions.AvMeta]] expression (RIFF chunk walk, ISO 14496-12
+    * box walk). One codegen'd projection — blob read once, pruned
+    * immediately. */
+  def avMeta(df: DataFrame, blob: Column): DataFrame =
+    df.withColumn("m", graft.functions.AvMeta(blob))
+      .withColumn("media_format", col("m.media_format"))
+      .withColumn("width", col("m.width"))
+      .withColumn("height", col("m.height"))
+      .withColumn("channels", col("m.channels"))
+      .withColumn("sample_rate", col("m.sample_rate"))
+      .withColumn("bits_per_sample", col("m.bits_per_sample"))
+      .withColumn("duration_ms", col("m.duration_ms"))
+      .drop("m")
+
   /** Real container-header decode: format + dimensions parsed out of the
     * blob bytes by the native [[graft.functions.ImageMeta]] expression
     * (PNG IHDR with CRC check, GIF LSD, JPEG SOF marker walk). One

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{HostGraph, Multimodal}
+
+/** r5 features, second batch: real audio/video container-header decode
+  * (AvMeta — RIFF chunk walk, ISO 14496-12 box walk) and real robots.txt
+  * text parsing (RFC 9309 group semantics). As in [[HrefImageSpec]], the
+  * byte/text fixtures here are built INDEPENDENTLY of the engine's own
+  * synthesis (hand-laid chunk/box layouts, hand-written robots files), so
+  * the parsers are tested against the public specs, not against
+  * themselves; the synthesize→parse round-trips then pin the closed
+  * forms the q162/q163 oracles re-derive. */
+class AvRobotsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ AvMeta
+
+  private case class Av(fmt: String, w: Option[Int], h: Option[Int],
+                        ch: Option[Int], sr: Option[Int], bits: Option[Int],
+                        durMs: Option[Long])
+
+  private def parse(b: Array[Byte]): Av = {
+    val r = graft.functions.AvMeta.parse(b)
+    def oi(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+    Av(r.getUTF8String(0).toString, oi(1), oi(2), oi(3), oi(4), oi(5),
+      if (r.isNullAt(6)) None else Some(r.getLong(6)))
+  }
+
+  /** Independent minimal-WAV builder: chunks laid by hand, with an
+    * optional odd-sized decoy chunk BEFORE fmt to force pad-to-even
+    * handling in the walk. */
+  private def wavBytes(ch: Int, sr: Int, bits: Int, frames: Int,
+                       oddDecoy: Boolean = false,
+                       dropData: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    def le16(x: Int): Unit = { out.write(x & 0xff); out.write((x >> 8) & 0xff) }
+    def le32(x: Long): Unit = { le16((x & 0xffff).toInt); le16(((x >> 16) & 0xffff).toInt) }
+    val blockAlign = ch * bits / 8
+    val dataSize = frames.toLong * blockAlign
+    val decoySize = if (oddDecoy) 7L else 0L
+    val decoyTotal = if (oddDecoy) 8L + decoySize + 1L else 0L // header+body+pad
+    val riffSize = 4L + decoyTotal + 24L + (if (dropData) 0L else 8L + dataSize)
+    out.write("RIFF".getBytes("US-ASCII")); le32(riffSize)
+    out.write("WAVE".getBytes("US-ASCII"))
+    if (oddDecoy) {
+      out.write("JUNK".getBytes("US-ASCII")); le32(decoySize)
+      out.write(Array.fill[Byte](decoySize.toInt + 1)(0)) // body + pad byte
+    }
+    out.write("fmt ".getBytes("US-ASCII")); le32(16L)
+    le16(1); le16(ch); le32(sr.toLong); le32(sr.toLong * blockAlign)
+    le16(blockAlign); le16(bits)
+    if (!dropData) {
+      out.write("data".getBytes("US-ASCII")); le32(dataSize)
+      out.write(Array.fill[Byte](dataSize.toInt)(0))
+    }
+    out.toByteArray
+  }
+
+  test("AvMeta: WAV chunk walk — geometry, derived duration, odd-chunk pad, corruption") {
+    // 2ch 44100Hz 16-bit, 44100 frames = exactly 1000 ms
+    assert(parse(wavBytes(2, 44100, 16, 44100)) ==
+      Av("wav", None, None, Some(2), Some(44100), Some(16), Some(1000L)))
+    // odd decoy chunk before fmt: pad-to-even must keep the walk aligned
+    assert(parse(wavBytes(1, 8000, 16, 4000, oddDecoy = true)) ==
+      Av("wav", None, None, Some(1), Some(8000), Some(16), Some(500L)))
+    // duration is integer ms: 3 frames @ 8000 Hz = 0 ms
+    assert(parse(wavBytes(1, 8000, 16, 3)).durMs.contains(0L))
+    // no data chunk → unknown; truncated mid-chunk → unknown
+    assert(parse(wavBytes(2, 44100, 16, 100, dropData = true)).fmt == "unknown")
+    assert(parse(wavBytes(2, 44100, 16, 100).dropRight(37)).fmt == "unknown")
+    // RIFF but not WAVE (e.g. AVI 'AVI ') → unknown under this decoder
+    val avi = wavBytes(2, 44100, 16, 10)
+    System.arraycopy("AVI ".getBytes("US-ASCII"), 0, avi, 8, 4)
+    assert(parse(avi).fmt == "unknown")
+  }
+
+  /** Independent minimal-MP4 builder: ftyp + moov(mvhd, trak(tkhd)), with
+    * switches for mvhd/tkhd version 1 (64-bit times) and a largesize
+    * (size=1) moov header. */
+  private def mp4Bytes(w: Int, h: Int, timescale: Long, dur: Long,
+                       v1: Boolean = false, largesize: Boolean = false): Array[Byte] = {
+    def be32(x: Long): Array[Byte] =
+      Array((x >> 24).toByte, (x >> 16).toByte, (x >> 8).toByte, x.toByte)
+    def be64(x: Long): Array[Byte] = be32(x >>> 32) ++ be32(x & 0xffffffffL)
+    def box(cc: String, body: Array[Byte], large: Boolean = false): Array[Byte] =
+      if (large) be32(1L) ++ cc.getBytes("US-ASCII") ++ be64(16L + body.length) ++ body
+      else be32(8L + body.length) ++ cc.getBytes("US-ASCII") ++ body
+    val matrix = Array.fill[Byte](36)(0)
+    val mvhdBody =
+      if (v1) be32(0x01000000L) ++ be64(0) ++ be64(0) ++ be32(timescale) ++ be64(dur) ++
+        Array.fill[Byte](80)(0)
+      else be32(0L) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(dur) ++
+        Array.fill[Byte](80)(0)
+    val tkhdBody =
+      if (v1) be32(0x01000000L) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++ be64(dur) ++
+        Array.fill[Byte](16)(0) ++ matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16)
+      else be32(0L) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(dur) ++
+        Array.fill[Byte](16)(0) ++ matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16)
+    val moov = box("moov",
+      box("mvhd", mvhdBody) ++ box("trak", box("tkhd", tkhdBody)), large = largesize)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0))
+    ftyp ++ moov
+  }
+
+  test("AvMeta: MP4 box walk — v0/v1 headers, largesize, fixed-point dims, corruption") {
+    assert(parse(mp4Bytes(1920, 1080, 1000L, 90500L)) ==
+      Av("mp4", Some(1920), Some(1080), None, None, None, Some(90500L)))
+    // v1 (64-bit) mvhd/tkhd; timescale 90000 → ms derivation
+    assert(parse(mp4Bytes(640, 480, 90000L, 450000L, v1 = true)) ==
+      Av("mp4", Some(640), Some(480), None, None, None, Some(5000L)))
+    // largesize (size=1, 64-bit) moov header
+    assert(parse(mp4Bytes(320, 240, 1000L, 1L, largesize = true)).w.contains(320))
+    // truncated moov → unknown; no moov at all → unknown; garbage → unknown
+    val full = mp4Bytes(1920, 1080, 1000L, 1000L)
+    assert(parse(full.dropRight(12)).fmt == "unknown")
+    assert(parse(full.take(24)).fmt == "unknown")
+    assert(parse("not a container at all".getBytes("US-ASCII")).fmt == "unknown")
+    assert(parse(Array[Byte]()).fmt == "unknown")
+  }
+
+  test("syntheticAv → AvMeta round-trips the closed form for both containers") {
+    import spark.implicits._
+    val ids = (0L to 60L) ++ Seq(961L, 1904L, 1905L, 44999L, 45000L, 123457L)
+    val got = Multimodal.avMeta(Multimodal.syntheticAv(ids.toDF("doc_id")), col("av"))
+      .select(col("doc_id"), col("media_format"), col("width"), col("height"),
+        col("channels"), col("sample_rate"), col("bits_per_sample"), col("duration_ms"))
+      .collect().map { r =>
+        r.getLong(0) -> Av(r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          if (r.isNullAt(5)) None else Some(r.getInt(5)),
+          if (r.isNullAt(6)) None else Some(r.getInt(6)),
+          if (r.isNullAt(7)) None else Some(r.getLong(7)))
+      }.toMap
+    ids.foreach { id =>
+      val exp = if (id % 2 == 0) {
+        val sr = ((id % 3) + 1) * 8000
+        Av("wav", None, None, Some(((id >> 1) % 2 + 1).toInt), Some(sr.toInt),
+          Some(16), Some((id % 50 + 1) * 1000L / sr))
+      } else
+        Av("mp4", Some((id % 1920 + 16).toInt), Some((id * 7 % 1080 + 16).toInt),
+          None, None, None, Some(id * 37 % 90000 + 500))
+      assert(got(id) == exp, s"doc_id=$id got=${got(id)} exp=$exp")
+    }
+  }
+
+  // ------------------------------------------------------- robots parse
+
+  private def parseText(host: String, txt: String): Set[(String, Boolean)] = {
+    import spark.implicits._
+    HostGraph.parseRobots(Seq((host, txt)).toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+  }
+
+  test("parseRobots: RFC 9309 group semantics on a hand-written file") {
+    val txt =
+      """# banner comment
+        |User-agent: googlebot
+        |User-agent: *
+        |Disallow: /private
+        |Allow: /private/ok   # trailing comment
+        |
+        |User-agent: badbot
+        |Disallow: /
+        |
+        |user-AGENT: *
+        |Crawl-delay: 10
+        |DISALLOW: /tmp
+        |Disallow:
+        |Disallow: /a*b
+        |Disallow: /c$
+        |Sitemap: https://x.example.com/sitemap.xml
+        |Disallow: relative-no-slash
+        |""".stripMargin
+    // the * group via a multi-agent run is active; badbot's '/' is NOT
+    // taken; the second * group contributes /tmp; empty Disallow,
+    // wildcard rules, unknown directives, non-/ values all drop
+    assert(parseText("h", txt) == Set(
+      ("/private", false), ("/private/ok", true), ("/tmp", false)))
+    // CRLF + a directive ending the agent run: the User-agent AFTER a
+    // rule starts a FRESH group (otherbot), deactivating *
+    val crlf = "User-agent: *\r\nDisallow: /x\r\nUser-agent: otherbot\r\nDisallow: /y\r\n"
+    assert(parseText("h", crlf) == Set(("/x", false)))
+    // blank lines inside an agent run are transparent
+    val blanks = "User-agent: otherbot\n\nUser-agent: *\nDisallow: /z\n"
+    assert(parseText("h", blanks) == Set(("/z", false)))
+    // no * group at all → no rules
+    assert(parseText("h", "User-agent: somebot\nDisallow: /\n") == Set.empty)
+  }
+
+  test("robotsText → parseRobots round-trips syntheticRules exactly (both host parities)") {
+    val docs = sources.WebDocs.build(spark, sfDir)
+    val rules = HostGraph.syntheticRules(docs)
+    val roundTripped = HostGraph.parseRobots(HostGraph.robotsText(rules))
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    val exp = toSet(rules)
+    assert(exp.nonEmpty)
+    // both parities present, so both the CRLF and LF renderings are hit
+    val hosts = exp.map(_._1)
+    assert(hosts.exists(_.length % 2 == 0) && hosts.exists(_.length % 2 == 1))
+    assert(toSet(roundTripped) == exp)
+    plans.TrackedCache.releaseAll()
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
 /** Physical-plan shape assertions — the 100 TB contract, pinned so a
@@ -679,5 +680,29 @@ class PlanSpec extends SparkSpec {
       plan.toString.take(2000))
     // the published frame must not retain the img blob column
     assert(!plan.output.map(_.name).contains("img"), plan.output.map(_.name).toString)
+  }
+
+  test("q162: av synthesize→parse is exchange-free and the blob never outlives its projection") {
+    // same contract as q160 for the audio/video family: WAV/MP4 synthesis
+    // and the AvMeta chunk/box walk fuse into one scan-stage projection
+    val plan = staticPlan(SparkEntry.queries("q162_av_meta")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(!plan.output.map(_.name).contains("av"), plan.output.map(_.name).toString)
+  }
+
+  test("q163: robots round-trip decides via one broadcast — no corpus-side exchange, no robots text past the parse") {
+    // the rules table is hosts-sized: rendering to robots.txt and parsing
+    // back must stay on the tiny side of a broadcast join; the corpus
+    // never shuffles for a policy decision, and the robots_txt blob is
+    // consumed by the parse, never joined against the corpus
+    val plan = staticPlan(SparkEntry.queries("q163_robots_policy")(spark, sfDir))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      plan.toString.take(2000))
+    val shuffled = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffled.forall(cols => !cols.exists(c => c.contains("text") || c.contains("html"))),
+      s"corpus text/html must never exchange for a policy decision: $shuffled")
+    assert(shuffled.forall(cols => !cols.exists(_.contains("robots_txt"))),
+      s"robots text must not outlive the parse: $shuffled")
   }
 }
