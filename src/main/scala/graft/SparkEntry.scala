@@ -406,6 +406,21 @@ object SparkEntry {
             graft.operators.HostGraph.syntheticRules(wd))))
     }),
 
+    // Real WARC record decode — the container format Common Crawl
+    // actually ships (ISO 28500): synthesize spec-conformant records
+    // (case-varied named fields, decoy headers, HTTP-message bodies) and
+    // parse type/uri/date/length/status/media-type back out of the BYTES
+    // with the native WarcMeta expression; the oracle recomputes every
+    // field arithmetically — synthesize→parse must round-trip
+    "q164_warc_meta" -> ((s, dir) =>
+      graft.operators.Multimodal.warcMeta(
+        graft.operators.Multimodal.syntheticWarc(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        col("warc"))
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("warc_date_ms"), col("content_length"), col("http_status"),
+          col("http_content_type"))),
+
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
     // corpus-sized join — the snapshot-overlap monitor at scale
@@ -2435,6 +2450,46 @@ object SparkEntry {
     // q163 shares q109's oracle VERBATIM: the rules→robots.txt→parse
     // round trip must be decision-invisible
     "q163_robots_policy" -> urlPolicyOracle,
+    "q164_warc_meta" ->
+      // arithmetic re-derivation of the WARC generator's closed forms;
+      // the date goes through DuckDB's own calendar (make_timestamp /
+      // epoch_ms) against the kernel's days-from-civil — two independent
+      // calendar implementations must agree, leap years included
+      """WITH f AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS INT) AS t3,
+        |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' AS host,
+        |    CASE CAST((doc_id % 9) // 3 AS INT)
+        |         WHEN 0 THEN 'text/html; charset=UTF-8'
+        |         WHEN 1 THEN 'text/plain'
+        |         ELSE 'application/json' END AS ctype,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 301
+        |         WHEN 2 THEN 404 ELSE 503 END AS st
+        |  FROM documents)
+        |, p AS (SELECT *,
+        |    CASE t3
+        |      WHEN 0 THEN 'HTTP/1.1 ' || CAST(st AS VARCHAR) || ' S'
+        |        || chr(13) || chr(10) || 'Content-Type: ' || ctype
+        |        || chr(13) || chr(10) || 'X-Cache: HIT'
+        |        || chr(13) || chr(10) || chr(13) || chr(10)
+        |        || repeat('a', CAST(doc_id % 100 AS INT))
+        |      WHEN 1 THEN 'GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
+        |        || chr(13) || chr(10) || 'Host: ' || host
+        |        || chr(13) || chr(10) || chr(13) || chr(10)
+        |      ELSE 'via: crawler' || chr(13) || chr(10) END AS payload
+        |  FROM f)
+        | SELECT doc_id,
+        |   CASE t3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |        ELSE 'metadata' END AS warc_type,
+        |   'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |   epoch_ms(make_timestamp(
+        |     CAST(2020 + doc_id % 6 AS BIGINT), CAST(doc_id % 12 + 1 AS BIGINT),
+        |     CAST(doc_id % 28 + 1 AS BIGINT), CAST(doc_id % 24 AS BIGINT),
+        |     CAST((doc_id * 7) % 60 AS BIGINT),
+        |     CAST((doc_id * 13) % 60 AS DOUBLE))) AS warc_date_ms,
+        |   CAST(length(payload) AS BIGINT) AS content_length,
+        |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
+        |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
+        | FROM p""".stripMargin,
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate

@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real WARC record-header decode over a `binary` column — the container
+  * format Common Crawl actually ships (ISO 28500 / WARC 1.0/1.1), decoded
+  * with the [[ImageMeta]]/[[AvMeta]] discipline: parse the public format
+  * byte-for-byte from the blob, degrade to ('unknown', NULLs) on anything
+  * malformed, stay inside whole-stage codegen via a static kernel call.
+  *
+  * What is parsed (ISO 28500-1 §4-5):
+  *  - the version line `WARC/1.0` or `WARC/1.1` terminated by CRLF;
+  *  - the named-field block: `name: value` lines, names case-INsensitive
+  *    (§5: "Named fields ... are case-insensitive"), value whitespace
+  *    trimmed, block terminated by an empty CRLF line. Extracted:
+  *    WARC-Type, WARC-Target-URI, WARC-Date (ISO-8601 `Z` instant →
+  *    epoch ms via days-from-civil — no java.time in the hot path),
+  *    Content-Length (the record body size in bytes);
+  *  - for records whose Content-Type is `application/http` (response /
+  *    request captures), the HTTP-message head inside the body: the
+  *    status line's 3-digit code (responses only) and the HTTP
+  *    `Content-Type` header, again a case-insensitive CRLF header walk
+  *    terminated by the empty line.
+  *
+  * The body's payload bytes themselves are left in place (a downstream
+  * extractor's job); everything a curation pipeline routes on — record
+  * type, target url, capture instant, size, HTTP status, media type — is
+  * parsed from the actual bytes. A declared Content-Length that overruns
+  * the blob marks the record malformed ('unknown'), the same
+  * truncated-record rule the AvMeta chunk walk applies.
+  *
+  * Reference tie: the reference walks a remote listing and keys every
+  * record on (uri, timestamp) before deciding work (data_source.py:
+  * 294-346, state-file bookmarks); a WARC record head carries exactly
+  * that routing tuple for web captures, so this is the ingest-side
+  * analogue of its per-file name/timestamp parse.
+  */
+case class WarcMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WarcMeta.schema
+  override def prettyName: String = "warc_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WarcMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WarcMeta$$.MODULE$$.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): WarcMeta =
+    copy(child = newChild)
+}
+
+object WarcMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date_ms", LongType, nullable = true),
+    StructField("content_length", LongType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true)))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(WarcMeta(GraftBridge.expression(c)))
+
+  private val Unknown: InternalRow = new GenericInternalRow(
+    Array[Any](UTF8String.fromString("unknown"), null, null, null, null, null))
+
+  /** Index of the next CRLF at or after `i`, or -1; bounded by `n`. */
+  @inline private def crlf(b: Array[Byte], i: Int, n: Int): Int = {
+    var j = i
+    while (j + 1 < n) {
+      if (b(j) == '\r' && b(j + 1) == '\n') return j
+      j += 1
+    }
+    -1
+  }
+
+  @inline private def lowEq(x: Byte, c: Char): Boolean = {
+    val v = x & 0xff
+    (if (v >= 'A' && v <= 'Z') v + 32 else v) == c.toInt
+  }
+
+  /** b[i..j) equals `name` (ASCII, case-insensitive)? */
+  private def nameEq(b: Array[Byte], i: Int, j: Int, name: String): Boolean = {
+    if (j - i != name.length) return false
+    var k = 0
+    while (k < name.length) {
+      if (!lowEq(b(i + k), name.charAt(k))) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Parse a non-negative decimal in b[i..j) with surrounding spaces
+    * trimmed; -1 if empty/non-digit. */
+  private def decimal(b: Array[Byte], i0: Int, j0: Int): Long = {
+    var i = i0; var j = j0
+    while (i < j && b(i) == ' ') i += 1
+    while (j > i && b(j - 1) == ' ') j -= 1
+    if (i >= j) return -1L
+    var v = 0L
+    while (i < j) {
+      val d = b(i) - '0'
+      if (d < 0 || d > 9) return -1L
+      v = v * 10 + d
+      i += 1
+    }
+    v
+  }
+
+  /** Epoch ms of an ISO-8601 `YYYY-MM-DDTHH:MM:SSZ` instant in
+    * b[i..j), or Long.MinValue if malformed. Civil→days per the public
+    * days_from_civil algorithm (Howard Hinnant, "chrono-Compatible
+    * Low-Level Date Algorithms") — branch-free calendar math, no
+    * java.time allocation per row. */
+  private def isoInstantMs(b: Array[Byte], i: Int, j: Int): Long = {
+    if (j - i != 20) return Long.MinValue
+    @inline def dig(k: Int): Int = {
+      val d = b(i + k) - '0'
+      if (d < 0 || d > 9) Int.MinValue else d
+    }
+    if (b(i + 4) != '-' || b(i + 7) != '-' || b(i + 10) != 'T' ||
+        b(i + 13) != ':' || b(i + 16) != ':' || b(i + 19) != 'Z') return Long.MinValue
+    val y0 = dig(0) * 1000 + dig(1) * 100 + dig(2) * 10 + dig(3)
+    val mo = dig(5) * 10 + dig(6)
+    val da = dig(8) * 10 + dig(9)
+    val hh = dig(11) * 10 + dig(12)
+    val mi = dig(14) * 10 + dig(15)
+    val ss = dig(17) * 10 + dig(18)
+    if (y0 < 0 || mo < 1 || mo > 12 || da < 1 || da > 31 ||
+        hh > 23 || mi > 59 || ss > 59) return Long.MinValue
+    val y = if (mo <= 2) y0 - 1 else y0
+    val era = (if (y >= 0) y else y - 399) / 400
+    val yoe = y - era * 400
+    val doy = (153 * (if (mo > 2) mo - 3 else mo + 9) + 2) / 5 + da - 1
+    val doe = yoe * 365 + yoe / 4 - yoe / 100 + doy
+    val days = era * 146097L + doe - 719468L
+    (((days * 24 + hh) * 60 + mi) * 60 + ss) * 1000L
+  }
+
+  private def utf8(b: Array[Byte], i0: Int, j0: Int): UTF8String = {
+    var i = i0; var j = j0
+    while (i < j && b(i) == ' ') i += 1
+    while (j > i && b(j - 1) == ' ') j -= 1
+    UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, i, j))
+  }
+
+  private def lowerAscii(s: UTF8String): UTF8String = s.toLowerCase
+
+  /** The kernel, also called from generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // version line: WARC/1.0 or WARC/1.1, CRLF-terminated
+    if (n < 10 || b(0) != 'W' || b(1) != 'A' || b(2) != 'R' || b(3) != 'C' ||
+        b(4) != '/' || b(5) != '1' || b(6) != '.' ||
+        (b(7) != '0' && b(7) != '1')) return Unknown
+    val v = crlf(b, 0, n)
+    if (v != 8) return Unknown
+
+    var warcType: UTF8String = null
+    var targetUri: UTF8String = null
+    var dateMs: Any = null
+    var contentLength = -1L
+    var recCt: UTF8String = null
+
+    // named-field walk to the empty line
+    var i = v + 2
+    var bodyAt = -1
+    while (bodyAt < 0) {
+      val e = crlf(b, i, n)
+      if (e < 0) return Unknown // header block never terminates
+      if (e == i) bodyAt = e + 2 // empty line → body follows
+      else {
+        // split on the first ':'
+        var c = i
+        while (c < e && b(c) != ':') c += 1
+        if (c < e) {
+          val vs = c + 1
+          if (nameEq(b, i, c, "warc-type")) warcType = lowerAscii(utf8(b, vs, e))
+          else if (nameEq(b, i, c, "warc-target-uri")) targetUri = utf8(b, vs, e)
+          else if (nameEq(b, i, c, "warc-date")) {
+            val t = utf8(b, vs, e)
+            val tb = t.getBytes
+            val ms = isoInstantMs(tb, 0, tb.length)
+            if (ms != Long.MinValue) dateMs = ms
+          } else if (nameEq(b, i, c, "content-length"))
+            contentLength = decimal(b, vs, e)
+          else if (nameEq(b, i, c, "content-type")) recCt = utf8(b, vs, e)
+        }
+        i = e + 2
+      }
+    }
+    if (warcType == null) return Unknown
+    if (contentLength < 0 || bodyAt + contentLength > n) return Unknown // truncated
+
+    // HTTP-message head inside the body, only for application/http records
+    var httpStatus: Any = null
+    var httpCt: UTF8String = null
+    val isHttp = recCt != null && {
+      val cb = recCt.getBytes
+      cb.length >= 16 && nameEq(cb, 0, 16, "application/http")
+    }
+    if (isHttp) {
+      val bn = bodyAt + contentLength.toInt // header walk bounded by the record body
+      val sl = crlf(b, bodyAt, bn)
+      if (sl > bodyAt) {
+        // response status line: HTTP/1.x SP 3DIGIT
+        if (sl - bodyAt >= 12 && b(bodyAt) == 'H' && b(bodyAt + 1) == 'T' &&
+            b(bodyAt + 2) == 'T' && b(bodyAt + 3) == 'P' && b(bodyAt + 4) == '/' &&
+            b(bodyAt + 8) == ' ') {
+          val st = decimal(b, bodyAt + 9, bodyAt + 12)
+          if (st >= 100 && st <= 999) httpStatus = st.toInt
+        }
+        var j = sl + 2
+        var open = true
+        while (open) {
+          val e = crlf(b, j, bn)
+          if (e < 0 || e == j) open = false
+          else {
+            var c = j
+            while (c < e && b(c) != ':') c += 1
+            if (c < e && nameEq(b, j, c, "content-type")) httpCt = utf8(b, c + 1, e)
+            j = e + 2
+          }
+        }
+      }
+    }
+
+    new GenericInternalRow(Array[Any](
+      warcType, targetUri, dateMs,
+      if (contentLength < 0) null else contentLength,
+      httpStatus, httpCt))
+  }
+}

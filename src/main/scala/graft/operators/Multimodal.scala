@@ -140,6 +140,86 @@ object Multimodal {
     d.withColumn("av", when(pmod(did, lit(2L)) === 0, wav).otherwise(mp4))
   }
 
+  /** Deterministic format-conformant WARC records (ISO 28500 — the
+    * container Common Crawl actually distributes): version line, a
+    * named-field block with decoy fields (WARC-Record-ID urn:uuid,
+    * WARC-Payload-Digest) and doc-dependent header-name CASE (odd
+    * doc_ids emit `warc-type`/`WARC-DATE`/`CONTENT-LENGTH` — §5 makes
+    * names case-insensitive, so the parser's fold is genuinely
+    * exercised), then the Content-Length-delimited body: a real
+    * HTTP-message head for response/request captures, warc-fields text
+    * for metadata records. Closed forms (the q164 oracle re-derives
+    * every field arithmetically):
+    *   warc_type   = [response, request, metadata][doc_id%3]
+    *   target_uri  = https://h{doc_id%97}.example.com/p/{doc_id}
+    *   date        = 2020+id%6 / id%12+1 / id%28+1 T id%24 : 7id%60 : 13id%60 Z
+    *   http_status = [200,301,404,503][doc_id%4]   (responses)
+    *   http_ct     = [text/html; charset=UTF-8, text/plain,
+    *                  application/json][(doc_id%9)/3] (responses)
+    *   content_length = byte length of the constructed body
+    * Pure Catalyst synthesis (concat/lpad/repeat/md5 builtins) — fuses
+    * into the scan projection, no UDF. */
+  def syntheticWarc(d: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val odd = pmod(did, lit(2L)) === 1L
+    val crlf = "\r\n"
+    val host = concat(lit("h"), pmod(did, lit(97L)).cast("string"), lit(".example.com"))
+    val uri = concat(lit("https://"), host, lit("/p/"), did.cast("string"))
+    def p2(x: Column) = lpad(x.cast("string"), 2, "0")
+    val dateStr = concat(
+      (pmod(did, lit(6L)) + 2020L).cast("string"), lit("-"),
+      p2(pmod(did, lit(12L)) + 1L), lit("-"), p2(pmod(did, lit(28L)) + 1L),
+      lit("T"), p2(pmod(did, lit(24L))), lit(":"), p2(pmod(did * 7L, lit(60L))),
+      lit(":"), p2(pmod(did * 13L, lit(60L))), lit("Z"))
+    val t3 = pmod(did, lit(3L))
+    val typeStr = when(t3 === 0L, "response").when(t3 === 1L, "request")
+      .otherwise("metadata")
+    val status = when(pmod(did, lit(4L)) === 0L, "200")
+      .when(pmod(did, lit(4L)) === 1L, "301")
+      .when(pmod(did, lit(4L)) === 2L, "404").otherwise("503")
+    val ctIdx = pmod(did, lit(9L)) / 3L // responses have id%3=0 ⇒ id%9 ∈ {0,3,6}
+    val ctype = when(ctIdx < 1L, "text/html; charset=UTF-8")
+      .when(ctIdx < 2L, "text/plain").otherwise("application/json")
+    val payload = when(t3 === 0L, concat(
+        lit("HTTP/1.1 "), status, lit(" S" + crlf + "Content-Type: "), ctype,
+        lit(crlf + "X-Cache: HIT" + crlf + crlf),
+        repeat(lit("a"), pmod(did, lit(100L)).cast("int"))))
+      .when(t3 === 1L, concat(
+        lit("GET /p/"), did.cast("string"), lit(" HTTP/1.1" + crlf + "Host: "),
+        host, lit(crlf + crlf)))
+      .otherwise(lit("via: crawler" + crlf))
+    val recCt = when(t3 === 0L, "application/http;msgtype=response")
+      .when(t3 === 1L, "application/http;msgtype=request")
+      .otherwise("application/warc-fields")
+    val headers = concat(
+      lit("WARC/1.0" + crlf),
+      when(odd, "warc-type: ").otherwise("WARC-Type: "), typeStr, lit(crlf),
+      lit("WARC-Record-ID: <urn:uuid:"), md5(did.cast("string")), lit(">" + crlf),
+      lit("WARC-Target-URI: "), uri, lit(crlf),
+      when(odd, "WARC-DATE: ").otherwise("WARC-Date: "), dateStr, lit(crlf),
+      lit("WARC-Payload-Digest: sha1:"), md5(concat(lit("pd"), did.cast("string"))),
+      lit(crlf),
+      lit("Content-Type: "), recCt, lit(crlf),
+      when(odd, "CONTENT-LENGTH: ").otherwise("Content-Length: "),
+      length(payload).cast("string"), lit(crlf), lit(crlf))
+    d.withColumn("warc",
+      concat(headers, payload, lit(crlf + crlf)).cast("binary"))
+  }
+
+  /** Real WARC record-header decode via the native
+    * [[graft.functions.WarcMeta]] expression (version line, case-folded
+    * named-field walk, HTTP-message head). One codegen'd projection —
+    * blob read once, pruned immediately. */
+  def warcMeta(df: DataFrame, blob: Column): DataFrame =
+    df.withColumn("m", graft.functions.WarcMeta(blob))
+      .withColumn("warc_type", col("m.warc_type"))
+      .withColumn("target_uri", col("m.target_uri"))
+      .withColumn("warc_date_ms", col("m.warc_date_ms"))
+      .withColumn("content_length", col("m.content_length"))
+      .withColumn("http_status", col("m.http_status"))
+      .withColumn("http_content_type", col("m.http_content_type"))
+      .drop("m")
+
   /** Real audio/video container-header decode via the native
     * [[graft.functions.AvMeta]] expression (RIFF chunk walk, ISO 14496-12
     * box walk). One codegen'd projection — blob read once, pruned

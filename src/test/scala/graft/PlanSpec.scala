@@ -691,6 +691,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.output.map(_.name).contains("av"), plan.output.map(_.name).toString)
   }
 
+  test("q164: warc synthesize→parse is exchange-free and the blob never outlives its projection") {
+    // same contract as q160/q162 for the record-container family: WARC
+    // synthesis and the WarcMeta header walk fuse into one scan-stage
+    // projection
+    val plan = staticPlan(SparkEntry.queries("q164_warc_meta")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(!plan.output.map(_.name).contains("warc"), plan.output.map(_.name).toString)
+  }
+
   test("q163: robots round-trip decides via one broadcast — no corpus-side exchange, no robots text past the parse") {
     // the rules table is hosts-sized: rendering to robots.txt and parsing
     // back must stay on the tiny side of a broadcast join; the corpus
