@@ -421,6 +421,21 @@ object SparkEntry {
           col("warc_date_ms"), col("content_length"), col("http_status"),
           col("http_content_type"))),
 
+    // Character-encoding sniff + decode (WHATWG subset: BOM beats a
+    // conflicting meta; bounded 1024-byte prescan; iso-8859-1 aliased to
+    // windows-1252; unrecognized labels skipped) — synthesize pages that
+    // exercise every branch, decode with the native CharsetMeta
+    // expression, and round-trip against an oracle that rebuilds the
+    // DECODED string independently: the curly quote that byte 0x93 must
+    // become exists only in the oracle's UTF-8 literal
+    "q165_charset" -> ((s, dir) =>
+      graft.operators.Multimodal.charsetMeta(
+        graft.operators.Multimodal.syntheticCharsetHtml(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        col("page"))
+        .select(col("doc_id"), col("encoding"), col("enc_source"),
+          col("html_text"))),
+
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
     // corpus-sized join — the snapshot-overlap monitor at scale
@@ -2490,6 +2505,34 @@ object SparkEntry {
         |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
         |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
         | FROM p""".stripMargin,
+    "q165_charset" ->
+      // independent re-derivation of the sniff outcome AND the decoded
+      // text: the oracle never sees the bytes — it rebuilds the logical
+      // string from UTF-8 literals (curly quotes, é, €), so the Spark
+      // side's byte-level decode must land on exactly these characters
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+        |    ELSE 'windows-1252' END AS encoding,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'bom' WHEN 1 THEN 'meta' WHEN 2 THEN 'meta'
+        |    ELSE 'default' END AS enc_source,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN '<html><head><meta charset="windows-1252"></head><body>caf' || chr(233) || ' n' || CAST(doc_id AS VARCHAR) || '</body></html>'
+        |    WHEN 1 THEN '<html><head><meta charset=''klingon''>'
+        |      || CASE WHEN doc_id % 2 = 1 THEN '<META CHARSET=''UTF-8''>'
+        |              ELSE '<meta charset=utf-8>' END
+        |      || '</head><body>caf' || chr(233) || ' ' || chr(8364) || ' n'
+        |      || CAST(doc_id AS VARCHAR) || '</body></html>'
+        |    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head><body>'
+        |      || chr(8220) || chr(233) || chr(8221) || ' n'
+        |      || CAST(doc_id AS VARCHAR) || '</body></html>'
+        |    WHEN 3 THEN '<html><body>the charset word alone is not a declaration n'
+        |      || CAST(doc_id AS VARCHAR) || chr(233) || '</body></html>'
+        |    ELSE '<html><body>' || repeat('a', 1030)
+        |      || '<meta charset="utf-8"> late n' || CAST(doc_id AS VARCHAR)
+        |      || chr(233) || '</body></html>' END AS html_text
+        |FROM documents""".stripMargin,
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate

@@ -1,0 +1,174 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-encoding sniff + decode over raw page bytes — the step every
+  * crawl pipeline runs between the WARC record ([[WarcMeta]]) and text
+  * extraction, implemented per the public WHATWG Encoding sniffing
+  * algorithm (the subset that needs only the bytes):
+  *
+  *  1. **BOM** (highest precedence, overrides any declaration): EF BB BF →
+  *     utf-8; FF FE → utf-16le; FE FF → utf-16be.
+  *  2. **Meta prescan, bounded at 1024 bytes**: an ASCII-case-insensitive
+  *     scan for `charset` followed by `=` and a (optionally quoted) label
+  *     — this covers both `<meta charset="x">` and
+  *     `<meta http-equiv="Content-Type" content="text/html; charset=x">`.
+  *     Labels go through the WHATWG label table: `utf8`→utf-8;
+  *     `iso-8859-1`/`latin1`/`ascii`/`cp1252`-family → windows-1252 (the
+  *     spec aliases ALL of latin-1 to windows-1252, so byte 0x93 decodes
+  *     as a curly quote even under a declared iso-8859-1); a meta-declared
+  *     `utf-16*` is treated as utf-8 (spec: the content is evidently not
+  *     utf-16 if an ASCII meta tag was readable). An unrecognized label is
+  *     NOT a declaration — the scan continues (so `charset=klingon` or a
+  *     bare "charset" word in body text never wins).
+  *  3. **Default**: windows-1252 (the WHATWG default for Western locales,
+  *     and the de-facto web default Common Crawl assumes).
+  *
+  * The bytes are then actually DECODED under the sniffed encoding
+  * (windows-1252 via the JDK's public cp1252 table; utf-8/utf-16 with
+  * U+FFFD substitution on malformed sequences — deterministic, never a
+  * task failure), so downstream text operators see real characters, not
+  * mojibake. The transport-layer charset (HTTP `Content-Type` — parsed by
+  * [[WarcMeta]]) slots between BOM and prescan when composing the two
+  * operators; this expression is deliberately bytes-only so the scan
+  * projection stays a single codegen'd kernel call.
+  *
+  * Reference tie: the reference normalizes every ingested file's header
+  * representation before keying work on it (fits2caom2 header read,
+  * main_app.py:331-360); charset sniffing is the webtext analogue — the
+  * normalization that makes the rest of the pipeline see one encoding.
+  */
+case class CharsetMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = CharsetMeta.schema
+  override def prettyName: String = "charset_meta"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharsetMeta.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharsetMeta$$.MODULE$$.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharsetMeta =
+    copy(child = newChild)
+}
+
+object CharsetMeta {
+
+  val schema: StructType = StructType(Seq(
+    StructField("encoding", StringType, nullable = false),
+    StructField("enc_source", StringType, nullable = false),
+    StructField("html_text", StringType, nullable = false)))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(CharsetMeta(GraftBridge.expression(c)))
+
+  private val Utf8 = UTF8String.fromString("utf-8")
+  private val Utf16le = UTF8String.fromString("utf-16le")
+  private val Utf16be = UTF8String.fromString("utf-16be")
+  private val Win1252 = UTF8String.fromString("windows-1252")
+  private val SrcBom = UTF8String.fromString("bom")
+  private val SrcMeta = UTF8String.fromString("meta")
+  private val SrcDefault = UTF8String.fromString("default")
+
+  private val Cp1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  @inline private def low(x: Byte): Int = {
+    val v = x & 0xff
+    if (v >= 'A' && v <= 'Z') v + 32 else v
+  }
+
+  /** WHATWG label table, recognized subset → canonical name, or null if
+    * the label is not a declaration at all. */
+  private def canonLabel(s: String): String = s match {
+    case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
+    case "iso-8859-1" | "iso8859-1" | "latin1" | "latin-1" | "l1" |
+         "ascii" | "us-ascii" | "windows-1252" | "cp1252" | "x-cp1252" |
+         "iso-ir-100" => "windows-1252"
+    // spec: a meta-declared utf-16 cannot be true (the meta tag itself was
+    // readable as ASCII) — treat as utf-8
+    case "utf-16" | "utf-16le" | "utf-16be" => "utf-8"
+    case _ => null
+  }
+
+  /** Prescan b[0, min(n,1024)) for `charset` `=` label; canonical name or
+    * null. Unrecognized labels continue the scan (WHATWG: not a
+    * declaration). */
+  private def prescan(b: Array[Byte], n: Int): String = {
+    val lim = math.min(n, 1024)
+    var i = 0
+    while (i + 7 <= lim) {
+      if (low(b(i)) == 'c' && low(b(i + 1)) == 'h' && low(b(i + 2)) == 'a' &&
+          low(b(i + 3)) == 'r' && low(b(i + 4)) == 's' && low(b(i + 5)) == 'e' &&
+          low(b(i + 6)) == 't') {
+        var j = i + 7
+        while (j < lim && (b(j) == ' ' || b(j) == '\t' || b(j) == '\n' || b(j) == '\r')) j += 1
+        if (j < lim && b(j) == '=') {
+          j += 1
+          while (j < lim && (b(j) == ' ' || b(j) == '\t' || b(j) == '\n' || b(j) == '\r')) j += 1
+          var quote: Byte = 0
+          if (j < lim && (b(j) == '"' || b(j) == '\'')) { quote = b(j); j += 1 }
+          val s = j
+          while (j < lim && {
+            val c = b(j)
+            if (quote != 0) c != quote
+            else c != ' ' && c != '\t' && c != '\n' && c != '\r' &&
+              c != ';' && c != '>' && c != '"' && c != '\''
+          }) j += 1
+          if (j > s && (quote == 0 || j < lim)) { // unterminated quote ⇒ no declaration
+            val sb = new java.lang.StringBuilder(j - s)
+            var k = s
+            while (k < j) { sb.append(low(b(k)).toChar); k += 1 }
+            val c = canonLabel(sb.toString)
+            if (c != null) return c
+          }
+        }
+        i += 7 // not a declaration here — keep scanning past this word
+      } else i += 1
+    }
+    null
+  }
+
+  /** The kernel, also called from generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // 1. BOM
+    if (n >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf)
+      return row(Utf8, SrcBom, decode(b, 3, n, "utf-8"))
+    if (n >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      return row(Utf16le, SrcBom, decode(b, 2, n, "utf-16le"))
+    if (n >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      return row(Utf16be, SrcBom, decode(b, 2, n, "utf-16be"))
+    // 2. bounded meta prescan
+    val m = prescan(b, n)
+    if (m != null)
+      return row(if (m == "utf-8") Utf8 else Win1252, SrcMeta, decode(b, 0, n, m))
+    // 3. default
+    row(Win1252, SrcDefault, decode(b, 0, n, "windows-1252"))
+  }
+
+  private def decode(b: Array[Byte], i: Int, n: Int, enc: String): UTF8String = {
+    val len = n - i
+    if (len <= 0) return UTF8String.EMPTY_UTF8
+    val s = enc match {
+      case "utf-8" => new String(b, i, len, StandardCharsets.UTF_8)
+      case "utf-16le" => new String(b, i, len, StandardCharsets.UTF_16LE)
+      case "utf-16be" => new String(b, i, len, StandardCharsets.UTF_16BE)
+      case _ => new String(b, i, len, Cp1252)
+    }
+    UTF8String.fromString(s)
+  }
+
+  private def row(e: UTF8String, src: UTF8String, t: UTF8String): InternalRow =
+    new GenericInternalRow(Array[Any](e, src, t))
+}

@@ -220,6 +220,70 @@ object Multimodal {
       .withColumn("http_content_type", col("m.http_content_type"))
       .drop("m")
 
+  /** Deterministic page blobs exercising every branch of the WHATWG
+    * encoding sniff in [[graft.functions.CharsetMeta]]. doc_id%5 picks
+    * the regime (closed forms the q165 oracle re-derives):
+    *   0: UTF-8 BOM + a CONFLICTING `<meta charset="windows-1252">` —
+    *      the BOM must win; body carries a 2-byte UTF-8 é.
+    *   1: `<meta charset=utf-8>` (odd ids upper-case the attribute and
+    *      single-quote it — the scan is ASCII-case-insensitive), behind
+    *      a decoy `<meta charset='klingon'>` whose unrecognized label
+    *      must NOT terminate the prescan; body carries é and a 3-byte €.
+    *   2: `http-equiv Content-Type` declaring **iso-8859-1** with 0x93/
+    *      0xE9/0x94 body bytes — WHATWG aliases all of latin-1 to
+    *      windows-1252, so 0x93 must decode to a curly quote, not a C1
+    *      control.
+    *   3: no declaration at all, plus a bare "charset" WORD in body text
+    *      (no `=` follows — not a declaration) → windows-1252 default.
+    *   4: a real `<meta charset="utf-8">` placed AFTER 1030 filler bytes
+    *      — beyond the spec's 1024-byte prescan window, so it must be
+    *      ignored → windows-1252 default.
+    * Pure Catalyst synthesis (concat/unhex/repeat builtins, all binary
+    * args) — fuses into the scan projection, no UDF. */
+  def syntheticCharsetHtml(d: DataFrame): DataFrame = {
+    val did = col("doc_id")
+    val m5 = pmod(did, lit(5L))
+    val odd = pmod(did, lit(2L)) === 1L
+    def b(s: String): Column = lit(s).cast("binary")
+    def bc(c: Column): Column = c.cast("binary")
+    val idb = bc(did.cast("string"))
+    val eAcute = unhex(lit("C3A9")) // é in UTF-8
+    val euro = unhex(lit("E282AC")) // € in UTF-8
+    val blob = when(m5 === 0L, concat(
+        unhex(lit("EFBBBF")),
+        b("<html><head><meta charset=\"windows-1252\"></head><body>caf"),
+        eAcute, b(" n"), idb, b("</body></html>")))
+      .when(m5 === 1L, concat(
+        b("<html><head><meta charset='klingon'>"),
+        when(odd, b("<META CHARSET='UTF-8'>")).otherwise(b("<meta charset=utf-8>")),
+        b("</head><body>caf"), eAcute, b(" "), euro, b(" n"), idb,
+        b("</body></html>")))
+      .when(m5 === 2L, concat(
+        b("<html><head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=iso-8859-1\"></head><body>"),
+        unhex(lit("93E994")), b(" n"), idb, b("</body></html>")))
+      .when(m5 === 3L, concat(
+        b("<html><body>the charset word alone is not a declaration n"),
+        idb, unhex(lit("E9")), b("</body></html>")))
+      .otherwise(concat(
+        b("<html><body>"), bc(repeat(lit("a"), 1030)),
+        b("<meta charset=\"utf-8\"> late n"), idb, unhex(lit("E9")),
+        b("</body></html>")))
+    d.withColumn("page", blob)
+  }
+
+  /** Encoding sniff + decode via the native
+    * [[graft.functions.CharsetMeta]] expression (BOM → bounded meta
+    * prescan with WHATWG label aliasing → windows-1252 default, then an
+    * actual decode). One codegen'd projection — blob read once, pruned
+    * immediately. */
+  def charsetMeta(df: DataFrame, blob: Column): DataFrame =
+    df.withColumn("m", graft.functions.CharsetMeta(blob))
+      .withColumn("encoding", col("m.encoding"))
+      .withColumn("enc_source", col("m.enc_source"))
+      .withColumn("html_text", col("m.html_text"))
+      .drop("m")
+
   /** Real audio/video container-header decode via the native
     * [[graft.functions.AvMeta]] expression (RIFF chunk walk, ISO 14496-12
     * box walk). One codegen'd projection — blob read once, pruned

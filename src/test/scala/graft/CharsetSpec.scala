@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** r5 features, fourth batch: character-encoding sniff + decode (the
+  * WHATWG encoding sniffing algorithm, bytes-only subset). Fixtures are
+  * hand-laid byte sequences per the public spec — built with the JDK's
+  * charsets as the INDEPENDENT encoder, so CharsetMeta is tested against
+  * the format, not against the engine's own synthesis; the
+  * synthesize→parse round-trip then pins the closed forms the q165
+  * oracle re-derives. */
+class CharsetSpec extends SparkSpec {
+
+  private case class C(enc: String, src: String, text: String)
+
+  private def parse(b: Array[Byte]): C = {
+    val r = graft.functions.CharsetMeta.parse(b)
+    C(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+      r.getUTF8String(2).toString)
+  }
+
+  private def utf8(s: String) = s.getBytes("UTF-8")
+  private def w1252(s: String) = s.getBytes("windows-1252")
+
+  test("CharsetMeta: BOMs win over any declaration, and each BOM decodes its own family") {
+    // UTF-8 BOM + a conflicting meta — BOM wins (spec precedence)
+    val b = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      utf8("<meta charset=\"windows-1252\">café")
+    assert(parse(b) == C("utf-8", "bom", "<meta charset=\"windows-1252\">café"))
+    // UTF-16LE / BE BOMs — decoded by the right byte order
+    val le = Array[Byte](0xff.toByte, 0xfe.toByte) ++ "h€llo".getBytes("UTF-16LE")
+    assert(parse(le) == C("utf-16le", "bom", "h€llo"))
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++ "h€llo".getBytes("UTF-16BE")
+    assert(parse(be) == C("utf-16be", "bom", "h€llo"))
+  }
+
+  test("CharsetMeta: meta prescan — both declaration forms, case/quote variants") {
+    assert(parse(utf8("<html><meta charset=\"utf-8\">café")).enc == "utf-8")
+    assert(parse(utf8("<META CHARSET='UTF-8'>x")) == C("utf-8", "meta", "<META CHARSET='UTF-8'>x"))
+    assert(parse(utf8("<meta charset=utf-8>x")).src == "meta")
+    val httpEquiv = "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">"
+    assert(parse(w1252(httpEquiv + "“x”")) ==
+      C("windows-1252", "meta", httpEquiv + "“x”"))
+    // whitespace around '=' is allowed
+    assert(parse(utf8("<meta charset = \"utf-8\">x")).enc == "utf-8")
+  }
+
+  test("CharsetMeta: WHATWG label aliasing — latin-1 IS windows-1252, meta utf-16 IS utf-8") {
+    // declared iso-8859-1, but 0x93/0x94 must decode as curly quotes (the
+    // cp1252 80-9F block), not C1 controls — the aliasing is observable
+    val decl = "<meta charset=\"iso-8859-1\">"
+    val b = utf8(decl) ++ Array[Byte](0x93.toByte, 0xe9.toByte, 0x94.toByte)
+    assert(parse(b) == C("windows-1252", "meta", decl + "“é”"))
+    for (l <- Seq("latin1", "ascii", "us-ascii", "cp1252", "ISO-8859-1"))
+      assert(parse(utf8(s"<meta charset=$l>x")).enc == "windows-1252", l)
+    // a meta-declared utf-16 cannot be true (the tag was readable as
+    // ASCII) — spec says treat as utf-8
+    assert(parse(utf8("<meta charset=\"utf-16\">café")) ==
+      C("utf-8", "meta", "<meta charset=\"utf-16\">café"))
+  }
+
+  test("CharsetMeta: non-declarations — bare word, unknown label, unterminated quote") {
+    // "charset" with no '=' after it is just text → default
+    assert(parse(utf8("charset sniffing is fun")) ==
+      C("windows-1252", "default", "charset sniffing is fun"))
+    // unrecognized label does NOT stop the scan; a later real one wins
+    assert(parse(utf8("<meta charset='klingon'><meta charset=utf-8>café")).enc == "utf-8")
+    // unrecognized label and nothing after → default
+    assert(parse(utf8("<meta charset='klingon'>x")).src == "default")
+    // unterminated quoted label → not a declaration
+    assert(parse(utf8("<meta charset=\"utf-8")).src == "default")
+    // empty blob
+    assert(parse(Array.emptyByteArray) == C("windows-1252", "default", ""))
+  }
+
+  test("CharsetMeta: the prescan window is 1024 bytes; malformed UTF-8 degrades to U+FFFD") {
+    val late = utf8("<body>" + "a" * 1030 + "<meta charset=\"utf-8\">") ++
+      Array[Byte](0xe9.toByte)
+    val r = parse(late)
+    assert(r.enc == "windows-1252" && r.src == "default")
+    assert(r.text.endsWith("<meta charset=\"utf-8\">é")) // 0xE9 via cp1252
+    // declared utf-8 but a stray cp1252 byte inside → U+FFFD, never a crash
+    val bad = utf8("<meta charset=utf-8>x") ++ Array[Byte](0xe9.toByte) ++ utf8("y")
+    assert(parse(bad).text == "<meta charset=utf-8>x�y")
+  }
+
+  test("syntheticCharsetHtml → CharsetMeta round-trips the closed form for all five regimes") {
+    import spark.implicits._
+    val ids = (0L to 24L) ++ Seq(100L, 101L, 1234L, 99999L)
+    val got = Multimodal.charsetMeta(
+        Multimodal.syntheticCharsetHtml(ids.toDF("doc_id")), col("page"))
+      .select(col("doc_id"), col("encoding"), col("enc_source"), col("html_text"))
+      .collect().map(r => r.getLong(0) -> C(r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    ids.foreach { id =>
+      val exp = (id % 5) match {
+        case 0 => C("utf-8", "bom",
+          s"""<html><head><meta charset="windows-1252"></head><body>café n$id</body></html>""")
+        case 1 =>
+          val m = if (id % 2 == 1) "<META CHARSET='UTF-8'>" else "<meta charset=utf-8>"
+          C("utf-8", "meta",
+            s"<html><head><meta charset='klingon'>$m</head><body>café € n$id</body></html>")
+        case 2 => C("windows-1252", "meta",
+          "<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; " +
+            s"charset=iso-8859-1\"></head><body>“é” n$id</body></html>")
+        case 3 => C("windows-1252", "default",
+          s"<html><body>the charset word alone is not a declaration n${id}é</body></html>")
+        case _ => C("windows-1252", "default",
+          s"<html><body>${"a" * 1030}<meta charset=\"utf-8\"> late n${id}é</body></html>")
+      }
+      assert(got(id) == exp, s"doc_id=$id got=${got(id)}")
+    }
+  }
+}

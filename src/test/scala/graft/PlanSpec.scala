@@ -701,6 +701,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.output.map(_.name).contains("warc"), plan.output.map(_.name).toString)
   }
 
+  test("q165: charset synthesize→sniff→decode is exchange-free and the page blob never outlives its projection") {
+    val plan = staticPlan(SparkEntry.queries("q165_charset")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      plan.toString.take(2000))
+    assert(!plan.output.map(_.name).contains("page"), plan.output.map(_.name).toString)
+  }
+
   test("q163: robots round-trip decides via one broadcast — no corpus-side exchange, no robots text past the parse") {
     // the rules table is hosts-sized: rendering to robots.txt and parsing
     // back must stay on the tiny side of a broadcast join; the corpus
