@@ -436,6 +436,14 @@ object SparkEntry {
         .select(col("doc_id"), col("encoding"), col("enc_source"),
           col("html_text"))),
 
+    // Structural template clusters: the DOM tag-sequence fingerprint
+    // (md5 of the opening-tag path — text ignored) groups pages by
+    // SKELETON, the near-dup class content-level dedup can't see; per
+    // (host, template) doc count + host share. The oracle re-extracts
+    // the tag path with DuckDB's own regexp engine and the same md5
+    "q166_template_clusters" -> ((s, dir) =>
+      graft.operators.Extract.templateClusters(Pipeline.webdoc(s, dir))),
+
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
     // corpus-sized join — the snapshot-overlap monitor at scale
@@ -2533,6 +2541,26 @@ object SparkEntry {
         |      || '<meta charset="utf-8"> late n' || CAST(doc_id AS VARCHAR)
         |      || chr(233) || '</body></html>' END AS html_text
         |FROM documents""".stripMargin,
+    "q166_template_clusters" ->
+      // independent extraction path: DuckDB's regexp engine walks the
+      // same html for opening-tag names, md5-hashes the same '>'-joined
+      // path, and re-derives count/exemplar/share; the share is the
+      // repo's floor-quantized 6-dp ratio on an identical IEEE DAG
+      (graft.oracle.OracleDdl.webdocCte +
+        """, t AS (SELECT host, doc_id,
+          |    md5(array_to_string(list_transform(
+          |      regexp_extract_all(html_str, '<([a-zA-Z][a-zA-Z0-9]*)', 1),
+          |      x -> lower(x)), '>')) AS template_fp
+          |  FROM webdoc)
+          |, g AS (SELECT host, template_fp,
+          |    CAST(count(*) AS BIGINT) AS docs,
+          |    min(doc_id) AS exemplar
+          |  FROM t GROUP BY 1, 2)
+          |, h AS (SELECT host, CAST(sum(docs) AS BIGINT) AS total
+          |  FROM g GROUP BY 1)
+          | SELECT g.host, g.template_fp, g.docs, g.exemplar,
+          |   floor(g.docs * 1e6 / h.total) / 1e6 AS host_share
+          | FROM g JOIN h ON g.host = h.host""".stripMargin),
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate

@@ -30,4 +30,44 @@ object Extract {
     webdoc
       .withColumn("extracted_text", extractText(col("html")))
       .withColumn("text_identical", col("extracted_text") === col("text"))
+
+  /** Structural template fingerprint: the page's tag SEQUENCE (every
+    * opening-tag name in document order, lower-cased, text ignored),
+    * hashed to a 32-hex md5 — two pages share a fingerprint iff their
+    * DOM skeletons are identical. This is structure-level near-dup
+    * detection: templated listings / tag pages / pagination shells differ
+    * only in text, so they collapse to one fingerprint even when every
+    * content-level dedup (shingles, minhash) keeps them apart. md5 is the
+    * repo's cross-engine hash (DuckDB computes the identical hex). */
+  def templateFp(html: Column): Column =
+    md5(concat_ws(">",
+      transform(
+        regexp_extract_all(html.cast("string"),
+          lit("<([a-zA-Z][a-zA-Z0-9]*)"), lit(1)),
+        t => lower(t))))
+
+  /** Per-(host, template) clusters: doc count, the smallest doc_id as the
+    * exemplar, and the cluster's share of its host (floor-quantized at
+    * 6 dp on an identical IEEE DAG to the oracle's). A high-share cluster
+    * is a host serving one skeleton over and over — the boilerplate /
+    * listing-farm signal a curation pipeline down-weights.
+    *
+    * Scale shape: the fingerprint is computed in the scan projection and
+    * the html column dies there — the corpus-sized exchange carries only
+    * (host, 16-byte fp) with map-side partial aggregation; host totals
+    * re-aggregate the already-cluster-sized frame and come back via one
+    * broadcast join. No text, no tag arrays, nothing row-sized shuffles. */
+  def templateClusters(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("host"),
+      unhex(templateFp(col("html"))).as("fpb"), col("doc_id"))
+    val clusters = fp.groupBy(col("host"), col("fpb"))
+      .agg(count(lit(1)).as("docs"), min(col("doc_id")).as("exemplar"))
+    val totals = clusters.groupBy(col("host"))
+      .agg(sum(col("docs")).as("total"))
+    clusters.join(broadcast(totals), "host")
+      .select(col("host"), lower(hex(col("fpb"))).as("template_fp"),
+        col("docs"), col("exemplar"),
+        (floor(col("docs") * lit(1e6) / col("total")) / lit(1e6))
+          .as("host_share"))
+  }
 }

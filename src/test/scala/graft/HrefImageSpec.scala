@@ -130,4 +130,47 @@ class HrefImageSpec extends SparkSpec {
     assert(real == exp)
     plans.TrackedCache.releaseAll()
   }
+
+  // --------------------------------------------- template fingerprinting
+
+  test("templateFp: same skeleton collapses, any structural change splits, case/text ignored") {
+    import spark.implicits._
+    val pages = Seq(
+      1L -> "<html><body><p>alpha</p><p>beta</p></body></html>",
+      2L -> "<HTML><BODY><P>totally different words</P><P>x</P></BODY></HTML>", // case-folded ⇒ same skeleton
+      3L -> "<html><body><p>one paragraph only</p></body></html>", // fewer <p> ⇒ different
+      4L -> "<html><body><div><p>a</p><p>b</p></div></body></html>") // extra <div> ⇒ different
+      .toDF("doc_id", "h")
+    val fps = pages.select(col("doc_id"),
+        graft.operators.Extract.templateFp(col("h")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(Set(fps(1L), fps(3L), fps(4L)).size == 3)
+    // the fingerprint is the md5 the oracle computes: verify one by hand
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("html>body>p>p".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(fps(1L) == md)
+  }
+
+  test("templateClusters: counts, exemplar and floor-quantized host share") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "h1", "<html><p>a</p></html>"),
+      (11L, "h1", "<html><p>b</p></html>"),
+      (12L, "h1", "<html><div>c</div></html>"),
+      (20L, "h2", "<html><p>z</p></html>"))
+      .toDF("doc_id", "host", "html")
+    val got = graft.operators.Extract.templateClusters(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val pFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("html>p".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val dFp = java.security.MessageDigest.getInstance("MD5")
+      .digest("html>div".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got(("h1", pFp)) == ((2L, 10L, 0.666666))) // floor(2/3·1e6)/1e6
+    assert(got(("h1", dFp)) == ((1L, 12L, 0.333333)))
+    assert(got(("h2", pFp)) == ((1L, 20L, 1.0)))
+    assert(got.size == 3)
+  }
 }

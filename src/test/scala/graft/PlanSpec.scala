@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import org.apache.spark.sql.functions._
 
@@ -672,6 +672,20 @@ class PlanSpec extends SparkSpec {
     assert(!shuffles.head.exists(c =>
       c.contains("html") || c.contains("href") || c.contains("text") || c.contains("url")),
       s"edge exchange must carry only (src, dst, count): ${shuffles.head}")
+  }
+
+  test("q166: template clustering shuffles only (host, 16-byte fp) — html and tag arrays stay map-side") {
+    // the 100 TB contract for structural dedup: the fingerprint is
+    // computed in the scan projection, the corpus-sized exchange carries
+    // only (host, fpb, partial agg), host totals come back by broadcast
+    val plan = staticPlan(SparkEntry.queries("q166_template_clusters")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.nonEmpty, plan.toString.take(1500))
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c.contains("html") || c.contains("text") || c.contains("url")),
+      s"exchange must never carry page bytes: $cols"))
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "host totals must come back via broadcast")
   }
 
   test("q160: image synthesize→parse is exchange-free and the blob never outlives its projection") {
