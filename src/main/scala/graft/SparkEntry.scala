@@ -444,6 +444,19 @@ object SparkEntry {
     "q166_template_clusters" -> ((s, dir) =>
       graft.operators.Extract.templateClusters(Pipeline.webdoc(s, dir))),
 
+    // Anchor-text index: (dst_host, anchor) link counts + distinct
+    // linking hosts — the off-page page-description signal (and the
+    // anchor-spam detector: 1 src host repeating vs many agreeing).
+    // Oracle zips href/anchor positionally with DuckDB parallel unnest
+    "q167_anchor_text" -> ((s, dir) =>
+      graft.operators.HostGraph.anchorIndex(Pipeline.webdoc(s, dir))),
+
+    // Template-free boilerplate scoring (Boilerpipe/jusText family):
+    // per-block text mass + anchor-character density verdict; integer
+    // arithmetic only, exchange-free scan-side generation
+    "q168_block_density" -> ((s, dir) =>
+      graft.operators.Extract.blockScores(Pipeline.webdoc(s, dir))),
+
     // Cross-corpus overlap from KMV sketches alone (base docs vs the
     // clone snapshot): union/Jaccard/intersection estimates with no
     // corpus-sized join — the snapshot-overlap monitor at scale
@@ -2561,6 +2574,60 @@ object SparkEntry {
           | SELECT g.host, g.template_fp, g.docs, g.exemplar,
           |   floor(g.docs * 1e6 / h.total) / 1e6 AS host_share
           | FROM g JOIN h ON g.host = h.host""".stripMargin),
+    "q167_anchor_text" ->
+      // positional zip of the two capture groups via DuckDB's parallel
+      // unnest (the engine zips multiple unnests in one SELECT), an
+      // independent path from Spark's transform-with-index zip
+      (webdocCte +
+        """, l AS (SELECT doc_id, host,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)">([^<]*)</a>', 1)) AS href,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)">([^<]*)</a>', 2)) AS anchor
+          |  FROM webdoc)
+          |, r AS (SELECT host AS src, anchor,
+          |    CASE WHEN regexp_matches(href, '^https?://')
+          |         THEN regexp_extract(href, '^https?://([^/]+)', 1)
+          |         ELSE host END AS dst_host
+          |  FROM l)
+          | SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS n_links,
+          |   CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts
+          | FROM r GROUP BY 1, 2""".stripMargin),
+    "q168_block_density" ->
+      // independent block walk: per-tag regexp block extraction with
+      // parallel unnest/subscripts, RE2 tag-strip with the explicit 'g'
+      // flag (DuckDB replaces first-match-only by default), list_sum
+      // over anchor lengths; the keep verdict is the same integer
+      // inequality — no doubles anywhere in this query
+      (webdocCte +
+        """, b AS (
+          |  SELECT doc_id, 'nav' AS tag,
+          |    generate_subscripts(regexp_extract_all(html_str, '<nav>(.*?)</nav>', 1), 1) - 1 AS pos,
+          |    unnest(regexp_extract_all(html_str, '<nav>(.*?)</nav>', 1)) AS blk
+          |  FROM webdoc
+          |  UNION ALL
+          |  SELECT doc_id, 'h1' AS tag,
+          |    generate_subscripts(regexp_extract_all(html_str, '<h1>(.*?)</h1>', 1), 1) - 1 AS pos,
+          |    unnest(regexp_extract_all(html_str, '<h1>(.*?)</h1>', 1)) AS blk
+          |  FROM webdoc
+          |  UNION ALL
+          |  SELECT doc_id, 'p' AS tag,
+          |    generate_subscripts(regexp_extract_all(html_str, '<p>(.*?)</p>', 1), 1) - 1 AS pos,
+          |    unnest(regexp_extract_all(html_str, '<p>(.*?)</p>', 1)) AS blk
+          |  FROM webdoc
+          |  UNION ALL
+          |  SELECT doc_id, 'footer' AS tag,
+          |    generate_subscripts(regexp_extract_all(html_str, '<footer>(.*?)</footer>', 1), 1) - 1 AS pos,
+          |    unnest(regexp_extract_all(html_str, '<footer>(.*?)</footer>', 1)) AS blk
+          |  FROM webdoc)
+          |, m AS (SELECT doc_id, tag, CAST(pos AS INT) AS pos,
+          |    CAST(length(regexp_replace(blk, '<[^>]+>', '', 'g')) AS BIGINT) AS text_len,
+          |    CAST(coalesce(list_sum(list_transform(
+          |      regexp_extract_all(blk, '<a href="[^"]*">([^<]*)</a>', 1),
+          |      x -> length(x))), 0) AS BIGINT) AS anchor_chars,
+          |    CAST(len(regexp_extract_all(blk, '<a href="[^"]*">([^<]*)</a>', 1)) AS BIGINT) AS n_anchors
+          |  FROM b)
+          | SELECT doc_id, tag, pos, text_len, n_anchors, anchor_chars,
+          |   (text_len >= 15 AND anchor_chars * 3 < text_len) AS keep
+          | FROM m""".stripMargin),
     "q153_kmv_overlap" ->
       // the sketch is deterministic (k smallest distinct hashes), so the
       // oracle replays it literally; ONE fused ratio per estimate

@@ -70,4 +70,45 @@ object Extract {
         (floor(col("docs") * lit(1e6) / col("total")) / lit(1e6))
           .as("host_share"))
   }
+
+  /** Block-level link-density boilerplate scoring — the shallow-text-
+    * features heuristic of the Boilerpipe / jusText line (public
+    * algorithms: Kohlschütter et al., WSDM 2010): split the page into
+    * markup blocks, score each by text mass and the fraction of its
+    * characters living inside anchors, and KEEP only text-dense blocks.
+    * Unlike [[extractText]]'s rule chain (which knows the site's
+    * template), this is the template-FREE extractor a curation pipeline
+    * runs on unknown sites: nav bars die by link density, headings and
+    * short chrome die by length, body paragraphs survive.
+    *
+    * keep ≡ text_len ≥ 15 ∧ 3·anchor_chars < text_len — pure integer
+    * arithmetic, so the decision is bit-identical cross-engine with no
+    * rounding discipline needed.
+    *
+    * Scale shape: block splitting, tag stripping, anchor measurement and
+    * the verdict all happen in one scan-side projection (generated rows
+    * ≈ blocks, never materialized page-wide); nothing here shuffles at
+    * all — output is exchange-free and composes with any downstream agg. */
+  def blockScores(docs: DataFrame): DataFrame = {
+    val s = col("html").cast("string")
+    def blocksOf(tag: String): Column =
+      transform(regexp_extract_all(s, lit(s"<$tag>(.*?)</$tag>"), lit(1)),
+        (b, i) => struct(lit(tag).as("tag"), i.as("pos"), b.as("blk")))
+    val all = concat(blocksOf("nav"), blocksOf("h1"),
+      blocksOf("p"), blocksOf("footer"))
+    val anchors = regexp_extract_all(col("blk"),
+      lit("<a href=\"[^\"]*\">([^<]*)</a>"), lit(1))
+    docs
+      .select(col("doc_id"), explode(all).as("b"))
+      .select(col("doc_id"), col("b.tag").as("tag"), col("b.pos").as("pos"),
+        col("b.blk").as("blk"))
+      .select(col("doc_id"), col("tag"), col("pos"),
+        length(regexp_replace(col("blk"), "<[^>]+>", ""))
+          .cast("long").as("text_len"),
+        size(anchors).cast("long").as("n_anchors"),
+        aggregate(anchors, lit(0L),
+          (acc, x) => acc + length(x).cast("long")).as("anchor_chars"))
+      .withColumn("keep",
+        col("text_len") >= 15 && col("anchor_chars") * 3 < col("text_len"))
+  }
 }

@@ -43,6 +43,37 @@ object HostGraph {
           regexp_extract(col("href"), "^https?://([^/]+)", 1))
           .otherwise(col("host")))
 
+  /** Anchor-text index: every (destination host, anchor text) pair with
+    * its link count and the number of DISTINCT linking hosts. Anchor text
+    * is the strongest off-page description of a target the web offers —
+    * search and curation pipelines aggregate it per target to label
+    * pages their own content doesn't describe (and to spot anchor spam:
+    * one host repeating one anchor vs many independent hosts agreeing).
+    *
+    * Scale shape: href+anchor pairs are zipped positionally inside the
+    * scan projection and the html blob dies there; the exchange carries
+    * only (dst_host, anchor, src_host) short strings, and the distinct-
+    * src count is a two-phase partial-agg distinct, never a row-sized
+    * shuffle. */
+  def anchorIndex(docs: DataFrame): DataFrame = {
+    val s = col("html").cast("string")
+    val pat = "<a href=\"([^\"]+)\">([^<]*)</a>"
+    val hrefs = regexp_extract_all(s, lit(pat), lit(1))
+    val anchors = regexp_extract_all(s, lit(pat), lit(2))
+    val pairs = transform(hrefs, (h, i) =>
+      struct(h.as("href"), get(anchors, i).as("anchor")))
+    docs
+      .select(col("host"), explode(pairs).as("a"))
+      .select(col("host").as("src"),
+        when(col("a.href").rlike("^https?://"),
+          regexp_extract(col("a.href"), "^https?://([^/]+)", 1))
+          .otherwise(col("host")).as("dst_host"),
+        col("a.anchor").as("anchor"))
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("src")).as("n_src_hosts"))
+  }
+
   /** Weighted host→host edges from the extracted hrefs. Self-loops
     * dropped, parallel doc-level links collapse to one weighted edge.
     * Only (src, dst) host pairs reach the exchange (partial aggregation

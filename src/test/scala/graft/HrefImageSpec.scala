@@ -173,4 +173,54 @@ class HrefImageSpec extends SparkSpec {
     assert(got(("h2", pFp)) == ((1L, 20L, 1.0)))
     assert(got.size == 3)
   }
+
+  // --------------------------------------------------- anchor-text index
+
+  test("anchorIndex: positional href/anchor zip, relative resolution, distinct src hosts") {
+    import spark.implicits._
+    val docs = Seq(
+      // two hosts both describe t.example.com as "target docs"
+      (1L, "a.example.com",
+        """<a href="https://t.example.com/x">target docs</a> <a href="/self">me</a>"""),
+      (2L, "b.example.com",
+        """<a href="https://t.example.com/y">target docs</a>"""),
+      // same host links twice with the same anchor: n_links=2, n_src=1
+      (3L, "a.example.com",
+        """<a href="https://t.example.com/z">spam</a><a href="https://t.example.com/w">spam</a>"""))
+      .toDF("doc_id", "host", "html")
+    val got = graft.operators.HostGraph.anchorIndex(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("t.example.com", "target docs")) == ((2L, 2L)))
+    assert(got(("t.example.com", "spam")) == ((2L, 1L)))
+    // relative href resolves to the page's own host
+    assert(got(("a.example.com", "me")) == ((1L, 1L)))
+    assert(got.size == 3)
+  }
+
+  // ------------------------------------------- block link-density verdict
+
+  test("blockScores: nav dies by link density, h1 by length, paragraphs survive") {
+    import spark.implicits._
+    val html = "<html><head><title>T</title></head><body>" +
+      """<nav><a href="/a">about</a> | <a href="https://x/1">l1</a></nav>""" +
+      "<h1>Doc 7</h1>" +
+      "<p>a body paragraph easily past the length floor</p>" +
+      "<p>tiny</p>" +
+      "<footer>(c) 2024 example.com</footer></body></html>"
+    val rows = graft.operators.Extract.blockScores(
+        Seq((7L, html)).toDF("doc_id", "html"))
+      .collect().map(r => (r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // nav: stripped text "about | l1" = 10 chars, anchors "about"+"l1" = 7
+    // chars → fails BOTH the length floor and 3·7=21 > 10
+    assert(rows(("nav", 0)) == ((10L, 2L, 7L, false)))
+    assert(rows(("h1", 0)) == ((5L, 0L, 0L, false))) // "Doc 7" too short
+    assert(rows(("p", 0))._4 === true)               // dense body text
+    assert(rows(("p", 1)) == ((4L, 0L, 0L, false)))  // "tiny"
+    // footer: 20 chars, no anchors → the density heuristic KEEPS it (the
+    // documented recall/precision gap vs the template-aware extractText)
+    assert(rows(("footer", 0)) == ((20L, 0L, 0L, true)))
+    assert(rows.size == 5)
+  }
 }

@@ -688,6 +688,21 @@ class PlanSpec extends SparkSpec {
       "host totals must come back via broadcast")
   }
 
+  test("q167: anchor index shuffles only short strings — html never reaches an exchange") {
+    val plan = staticPlan(SparkEntry.queries("q167_anchor_text")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.nonEmpty, plan.toString.take(1500))
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c.contains("html") || c.contains("text") || c.contains("href")),
+      s"exchange must carry only (dst_host, anchor, src) + partials: $cols"))
+  }
+
+  test("q168: block density is exchange-free — split/strip/measure/verdict all scan-side") {
+    val plan = staticPlan(SparkEntry.queries("q168_block_density")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"block scoring must not shuffle: ${plan.toString.take(1500)}")
+  }
+
   test("q160: image synthesize→parse is exchange-free and the blob never outlives its projection") {
     val plan = staticPlan(SparkEntry.queries("q160_image_meta")(spark, sfDir))
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
