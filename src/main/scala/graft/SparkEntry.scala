@@ -421,6 +421,30 @@ object SparkEntry {
           col("warc_date_ms"), col("content_length"), col("http_status"),
           col("http_content_type"))),
 
+    // Real gzip member decode (RFC 1952 — Common Crawl's per-record
+    // framing): wrap each synthetic WARC record in a spec-complete gzip
+    // member (FLG walk variants, stored-deflate blocks incl. a 2-block
+    // split, real CRC-32 trailer), parse it back with the native
+    // GzipMember expression (hand-parsed framing + JDK Inflater + CRC
+    // recompute), then chain WarcMeta over the INFLATED payload in the
+    // same projection — the full on-disk chain gzip→WARC→HTTP head
+    "q169_gzip_warc" -> ((s, dir) => {
+      val gz = graft.operators.Multimodal.syntheticGzip(
+        graft.operators.Multimodal.syntheticWarc(
+          s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))),
+        col("warc"))
+      gz.select(col("doc_id"),
+          graft.functions.GzipMember(col("gz")).as("g"))
+        .select(col("doc_id"), col("g.mtime_s").as("mtime_s"),
+          col("g.os").as("os"), col("g.fname").as("fname"),
+          col("g.isize").as("isize"), col("g.crc_ok").as("crc_ok"),
+          graft.functions.WarcMeta(col("g.payload")).as("w"))
+        .select(col("doc_id"), col("mtime_s"), col("os"), col("fname"),
+          col("isize"), col("crc_ok"),
+          col("w.warc_type").as("warc_type"),
+          col("w.http_status").as("http_status"))
+    }),
+
     // Character-encoding sniff + decode (WHATWG subset: BOM beats a
     // conflicting meta; bounded 1024-byte prescan; iso-8859-1 aliased to
     // windows-1252; unrecognized labels skipped) — synthesize pages that
@@ -2526,6 +2550,76 @@ object SparkEntry {
         |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
         |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
         | FROM p""".stripMargin,
+    "q169_gzip_warc" ->
+      // closed-form re-derivation: the oracle rebuilds the ENTIRE WARC
+      // record string (headers + payload + terminator) and takes its
+      // length as the expected ISIZE — so the Spark side's stored-block
+      // reassembly must return every byte, and the trailer the synthesis
+      // wrote must agree with what the parser recomputed (crc_ok TRUE is
+      // itself a round-trip assertion: synthesis CRC == re-inflated CRC)
+      """WITH f AS (SELECT doc_id,
+        |    CAST(doc_id % 3 AS INT) AS t3,
+        |    CAST(doc_id % 2 AS INT) AS odd,
+        |    'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' AS host,
+        |    CASE CAST((doc_id % 9) // 3 AS INT)
+        |         WHEN 0 THEN 'text/html; charset=UTF-8'
+        |         WHEN 1 THEN 'text/plain'
+        |         ELSE 'application/json' END AS ctype,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 301
+        |         WHEN 2 THEN 404 ELSE 503 END AS st
+        |  FROM documents)
+        |, p AS (SELECT *,
+        |    CASE t3
+        |      WHEN 0 THEN 'HTTP/1.1 ' || CAST(st AS VARCHAR) || ' S'
+        |        || chr(13) || chr(10) || 'Content-Type: ' || ctype
+        |        || chr(13) || chr(10) || 'X-Cache: HIT'
+        |        || chr(13) || chr(10) || chr(13) || chr(10)
+        |        || repeat('a', CAST(doc_id % 100 AS INT))
+        |      WHEN 1 THEN 'GET /p/' || CAST(doc_id AS VARCHAR) || ' HTTP/1.1'
+        |        || chr(13) || chr(10) || 'Host: ' || host
+        |        || chr(13) || chr(10) || chr(13) || chr(10)
+        |      ELSE 'via: crawler' || chr(13) || chr(10) END AS payload,
+        |    CASE t3 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+        |         ELSE 'metadata' END AS wtype,
+        |    CASE t3 WHEN 0 THEN 'application/http;msgtype=response'
+        |         WHEN 1 THEN 'application/http;msgtype=request'
+        |         ELSE 'application/warc-fields' END AS recct,
+        |    CAST(2020 + doc_id % 6 AS VARCHAR) || '-'
+        |      || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-'
+        |      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T'
+        |      || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':'
+        |      || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') || ':'
+        |      || lpad(CAST((doc_id * 13) % 60 AS VARCHAR), 2, '0') || 'Z'
+        |      AS datestr
+        |  FROM f)
+        |, h AS (SELECT doc_id, t3, wtype, st,
+        |    'WARC/1.0' || chr(13) || chr(10)
+        |    || CASE WHEN odd = 1 THEN 'warc-type: ' ELSE 'WARC-Type: ' END
+        |    || wtype || chr(13) || chr(10)
+        |    || 'WARC-Record-ID: <urn:uuid:' || md5(CAST(doc_id AS VARCHAR))
+        |    || '>' || chr(13) || chr(10)
+        |    || 'WARC-Target-URI: https://' || host || '/p/'
+        |    || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+        |    || CASE WHEN odd = 1 THEN 'WARC-DATE: ' ELSE 'WARC-Date: ' END
+        |    || datestr || chr(13) || chr(10)
+        |    || 'WARC-Payload-Digest: sha1:' || md5('pd' || CAST(doc_id AS VARCHAR))
+        |    || chr(13) || chr(10)
+        |    || 'Content-Type: ' || recct || chr(13) || chr(10)
+        |    || CASE WHEN odd = 1 THEN 'CONTENT-LENGTH: ' ELSE 'Content-Length: ' END
+        |    || CAST(length(payload) AS VARCHAR) || chr(13) || chr(10)
+        |    || chr(13) || chr(10)
+        |    || payload || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+        |  FROM p)
+        | SELECT doc_id,
+        |   CAST((doc_id * 97) % 2147483648 AS BIGINT) AS mtime_s,
+        |   CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 255 END AS INT) AS os,
+        |   CASE WHEN doc_id % 3 >= 1
+        |        THEN 'rec-' || CAST(doc_id AS VARCHAR) || '.warc' END AS fname,
+        |   CAST(length(rec) AS BIGINT) AS isize,
+        |   TRUE AS crc_ok,
+        |   wtype AS warc_type,
+        |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status
+        | FROM h""".stripMargin,
     "q165_charset" ->
       // independent re-derivation of the sniff outcome AND the decoded
       // text: the oracle never sees the bytes — it rebuilds the logical

@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real gzip member decode over a `binary` column — RFC 1952, the framing
+  * Common Crawl actually ships (WARC files are one gzip member PER
+  * RECORD, so record-level random access works). Completes the on-disk
+  * container chain alongside [[WarcMeta]] and [[CharsetMeta]]:
+  * gzip member → WARC record → HTTP head → html → charset → text.
+  *
+  * The RFC 1952 framing is parsed byte-for-byte from the blob: magic
+  * `1f 8b`, CM=8 (deflate), the FLG walk over the optional fields in
+  * spec order (FEXTRA with its little-endian XLEN, NUL-terminated FNAME
+  * — surfaced, it names the archived file — NUL-terminated FCOMMENT,
+  * 2-byte FHCRC), little-endian MTIME and the OS byte. The DEFLATE
+  * stream between header and trailer inflates through
+  * `java.util.zip.Inflater(nowrap)` — the JDK's zlib binding, so ALL
+  * block types (stored, fixed- and dynamic-Huffman) decode, not just the
+  * synthetic generator's. The trailer's CRC-32 is RECOMPUTED over the
+  * inflated bytes and compared (`crc_ok`), and ISIZE is surfaced so a
+  * consumer can assert it against the payload length.
+  *
+  * Malformed input (bad magic, truncated optional fields, a deflate
+  * stream that errors or starves, missing trailer) degrades to the
+  * all-NULL row with crc_ok=false — per-row tolerance, never a task
+  * failure, the [[ImageMeta]]/[[WarcMeta]] discipline.
+  *
+  * Hot-path note: one Inflater + one CRC32 per row, both freed eagerly;
+  * decompression is genuine work (unlike header-only parses) so this is
+  * a scan-side CPU cost a 100 TB plan pays exactly once per record —
+  * which is why the expression emits the payload too, letting WarcMeta
+  * chain on the SAME projection instead of re-inflating.
+  *
+  * Reference tie: the reference streams retrieved archives through a
+  * decompress-then-parse step before its per-file metadata walk
+  * (vlass2caom2 data_source.py:294-346 pairs each retrieval with its
+  * header parse); this is that step for the web's container format.
+  */
+case class GzipMember(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GzipMember.schema
+  override def prettyName: String = "gzip_member"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GzipMember.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipMember$$.MODULE$$.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMember =
+    copy(child = newChild)
+}
+
+object GzipMember {
+
+  val schema: StructType = StructType(Seq(
+    StructField("mtime_s", LongType, nullable = true),
+    StructField("os", IntegerType, nullable = true),
+    StructField("fname", StringType, nullable = true),
+    StructField("isize", LongType, nullable = true),
+    StructField("crc_ok", BooleanType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  def apply(c: Column): Column =
+    GraftBridge.column(GzipMember(GraftBridge.expression(c)))
+
+  private def invalid: InternalRow =
+    new GenericInternalRow(Array[Any](null, null, null, null, false, null))
+
+  @inline private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  @inline private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  def parse(b: Array[Byte]): InternalRow = {
+    // fixed header (10) + empty-deflate minimum (2) + trailer (8)
+    if (b.length < 20 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b ||
+      b(2) != 8) return invalid
+    val flg = b(3) & 0xff
+    if ((flg & 0xe0) != 0) return invalid // reserved FLG bits must be 0
+    val mtime = le32(b, 4)
+    val os = b(9) & 0xff
+    val end = b.length - 8 // trailer start
+    var i = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (i + 2 > end) return invalid
+      i += 2 + le16(b, i)
+    }
+    var fname: UTF8String = null
+    if ((flg & 8) != 0) { // FNAME (ISO 8859-1 per spec; ASCII here)
+      val s = i
+      while (i < end && b(i) != 0) i += 1
+      if (i >= end) return invalid
+      fname = UTF8String.fromBytes(b, s, i - s)
+      i += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (i < end && b(i) != 0) i += 1
+      if (i >= end) return invalid
+      i += 1
+    }
+    if ((flg & 2) != 0) i += 2 // FHCRC (value not checked)
+    if (i > end) return invalid
+    val inf = new java.util.zip.Inflater(true)
+    val out = new java.io.ByteArrayOutputStream(end - i + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      inf.setInput(b, i, end - i)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return invalid
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return invalid
+    } finally inf.end()
+    val payload = out.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload, 0, payload.length)
+    new GenericInternalRow(Array[Any](
+      mtime, os, fname, le32(b, b.length - 4),
+      crc.getValue == le32(b, end), payload))
+  }
+}

@@ -206,6 +206,54 @@ object Multimodal {
       concat(headers, payload, lit(crlf + crlf)).cast("binary"))
   }
 
+  /** Wrap a binary column in a REAL RFC 1952 gzip member — the framing
+    * Common Crawl ships (one member per WARC record, enabling record-
+    * level random access). Pure Catalyst synthesis: magic/CM/FLG, little-
+    * endian MTIME = (doc_id·97) mod 2³¹, OS = 3 (unix) for even ids /
+    * 255 (unknown) for odd, then the optional-field walk the parser must
+    * replay — doc_id%3 picks none / FNAME `rec-<id>.warc` / FEXTRA(XLEN=4
+    * subfield) + FNAME — a stored-block DEFLATE body (two blocks when the
+    * payload exceeds 200 bytes on even ids, so the multi-block loop is
+    * genuinely exercised; stored blocks are the one deflate shape
+    * expressible as pure byte concatenation), and the spec trailer: real
+    * CRC-32 of the payload (codegen'd crc32 builtin) + ISIZE, both
+    * little-endian. Every byte a gzip reader touches is real — `gunzip`
+    * would accept these members. */
+  def syntheticGzip(d: DataFrame, payload: Column): DataFrame = {
+    val did = col("doc_id")
+    def le16(x: Column) = concat(
+      unhex(lpad(hex(pmod(x, lit(256L))), 2, "0")),
+      unhex(lpad(hex(pmod(shiftright(x, 8), lit(256L))), 2, "0")))
+    def le32(x: Column) = concat(le16(pmod(x, lit(65536L))),
+      le16(pmod(shiftright(x, 16), lit(65536L))))
+    val t3 = pmod(did, lit(3L))
+    val flg = when(t3 === 0L, unhex(lit("00")))
+      .when(t3 === 1L, unhex(lit("08"))) // FNAME
+      .otherwise(unhex(lit("0C")))       // FEXTRA + FNAME
+    val os = when(pmod(did, lit(2L)) === 0L, unhex(lit("03")))
+      .otherwise(unhex(lit("FF")))
+    val header = concat(
+      unhex(lit("1F8B08")), flg,
+      le32(pmod(did * 97L, lit(2147483648L))), // MTIME
+      unhex(lit("00")), os,                    // XFL, OS
+      // FEXTRA: XLEN=4, one empty 'AP' subfield (SI1 SI2 LEN=0)
+      when(t3 === 2L, concat(unhex(lit("0400")), unhex(lit("41500000"))))
+        .otherwise(lit(Array.empty[Byte])),
+      when(t3 >= 1L, concat(
+        concat(lit("rec-"), did.cast("string"), lit(".warc")).cast("binary"),
+        unhex(lit("00")))).otherwise(lit(Array.empty[Byte])))
+    val len = length(payload).cast("long")
+    def stored(fin: String, data: Column, n: Column) = concat(
+      unhex(lit(fin)), le16(n), le16(lit(65535L) - n), data)
+    val multi = pmod(did, lit(2L)) === 0L && len > 200L
+    val deflateBody = when(multi, concat(
+        stored("00", payload.substr(lit(1), lit(200)), lit(200L)),
+        stored("01", payload.substr(lit(201), len), len - 200L)))
+      .otherwise(stored("01", payload, len))
+    d.withColumn("gz", concat(header, deflateBody,
+      le32(crc32(payload)), le32(len)))
+  }
+
   /** Real WARC record-header decode via the native
     * [[graft.functions.WarcMeta]] expression (version line, case-folded
     * named-field walk, HTTP-message head). One codegen'd projection —

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** r5 features: real RFC 1952 gzip member decode (Common Crawl's
+  * per-record framing). Interop is tested BOTH directions against the
+  * JDK's zlib binding — an implementation independent of the engine's
+  * synthesis and of its parser: GzipMember must decode what
+  * GZIPOutputStream writes (real dynamic-Huffman deflate, not just the
+  * generator's stored blocks), and GZIPInputStream must accept what
+  * syntheticGzip writes (framing + stored blocks + CRC all spec-true).
+  * Hand-laid byte fixtures then pin the optional-field walk and the
+  * malformed-input degradations. */
+class GzipSpec extends SparkSpec {
+
+  private def parse(b: Array[Byte]) = graft.functions.GzipMember.parse(b)
+
+  test("GzipMember decodes a real JDK-written member (dynamic-Huffman deflate)") {
+    val text = ("the quick brown fox jumps over the lazy dog. " * 40).getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(text); gz.close()
+    val r = parse(bos.toByteArray)
+    assert(r.getBoolean(4), "crc_ok must hold on a real member")
+    assert(r.getLong(0) == 0L) // GZIPOutputStream writes MTIME=0
+    assert(r.isNullAt(2))      // and no FNAME
+    assert(r.getLong(3) == text.length.toLong) // ISIZE
+    assert(java.util.Arrays.equals(r.getBinary(5), text))
+  }
+
+  test("GZIPInputStream accepts what syntheticGzip writes — framing, stored blocks, CRC") {
+    import spark.implicits._
+    // ids cover: no-FNAME/FNAME/FEXTRA+FNAME (id%3) × single/2-block (id%2, len>200)
+    val rows = Multimodal.syntheticGzip(
+        Multimodal.syntheticWarc(Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("doc_id")),
+        col("warc"))
+      .select(col("doc_id"), col("warc"), col("gz"))
+      .collect()
+    rows.foreach { r =>
+      val warc = r.getAs[Array[Byte]]("warc")
+      val gz = r.getAs[Array[Byte]]("gz")
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz))
+      val out = in.readAllBytes() // throws on bad framing or CRC mismatch
+      assert(java.util.Arrays.equals(out, warc),
+        s"doc_id=${r.getLong(0)}: JDK gunzip must return the exact record")
+    }
+  }
+
+  test("optional-field walk: FEXTRA + FNAME + FCOMMENT + FHCRC in spec order") {
+    val payload = "hello gzip".getBytes("UTF-8")
+    val crc = new java.util.zip.CRC32(); crc.update(payload)
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val b = Array.concat(
+      Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16 | 2).toByte), // FEXTRA|FNAME|FCOMMENT|FHCRC
+      le32(123456789L),                    // MTIME
+      Array[Byte](0, 7),                   // XFL, OS=7 (macintosh)
+      Array[Byte](3, 0, 65, 66, 67),       // FEXTRA: XLEN=3, 'ABC'
+      "f.txt".getBytes("UTF-8") :+ 0.toByte,   // FNAME
+      "a comment".getBytes("UTF-8") :+ 0.toByte, // FCOMMENT
+      Array[Byte](0x55, 0x55),             // FHCRC (skipped, not verified)
+      // stored final block
+      Array[Byte](0x01, payload.length.toByte, 0,
+        (0xff - payload.length).toByte, 0xff.toByte),
+      payload,
+      le32(crc.getValue), le32(payload.length.toLong))
+    val r = parse(b)
+    assert(r.getLong(0) == 123456789L)
+    assert(r.getInt(1) == 7)
+    assert(r.getUTF8String(2).toString == "f.txt")
+    assert(r.getLong(3) == payload.length.toLong)
+    assert(r.getBoolean(4))
+    assert(new String(r.getBinary(5), "UTF-8") == "hello gzip")
+  }
+
+  test("malformed members degrade per-row: bad magic, reserved FLG, truncation, CRC damage") {
+    import spark.implicits._
+    val good = Multimodal.syntheticGzip(
+        Multimodal.syntheticWarc(Seq(7L).toDF("doc_id")), col("warc"))
+      .select(col("gz")).head().getAs[Array[Byte]](0)
+    def inv(b: Array[Byte]): Boolean = {
+      val r = parse(b); r.isNullAt(0) && !r.getBoolean(4)
+    }
+    assert(inv(good.take(15)))                    // truncated mid-header
+    assert(inv(good.dropRight(6)))                // truncated trailer → starved inflate
+    val badMagic = good.clone(); badMagic(0) = 0x2f
+    assert(inv(badMagic))
+    val badFlg = good.clone(); badFlg(3) = (badFlg(3) | 0x40).toByte // reserved bit
+    assert(inv(badFlg))
+    // damage one CRC byte: framing still parses, payload inflates, but
+    // crc_ok must flip — and only crc_ok
+    val badCrc = good.clone(); badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0x01).toByte
+    val r = parse(badCrc)
+    assert(!r.getBoolean(4) && !r.isNullAt(5), "payload survives, crc_ok=false")
+  }
+}

@@ -703,6 +703,12 @@ class PlanSpec extends SparkSpec {
       s"block scoring must not shuffle: ${plan.toString.take(1500)}")
   }
 
+  test("q169: gzip→WARC chain is exchange-free — inflate once, chain the header walk in-projection") {
+    val plan = staticPlan(SparkEntry.queries("q169_gzip_warc")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"container decode must not shuffle: ${plan.toString.take(1500)}")
+  }
+
   test("q160: image synthesize→parse is exchange-free and the blob never outlives its projection") {
     val plan = staticPlan(SparkEntry.queries("q160_image_meta")(spark, sfDir))
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
