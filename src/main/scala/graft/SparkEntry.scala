@@ -421,6 +421,44 @@ object SparkEntry {
           col("warc_date_ms"), col("content_length"), col("http_status"),
           col("http_content_type"))),
 
+    // Capstone composite: per-host crawl-frontier curation score — the
+    // "which hosts deserve fetch budget" decision every corpus pipeline
+    // makes, composed from four independent operator families: quality
+    // keep-rate (verdict), link authority (power iteration over real
+    // href edges), structural monotony (max template share — the
+    // listing-farm penalty) and anchor diversity (how many distinct ways
+    // the web describes the host). Each component scans the corpus once
+    // with its own narrow projection; everything after is HOST-level
+    // (~10⁷ rows on the real web), joined via broadcast. priority =
+    // rank · keep_rate · (1 − max_template_share), floor-quantized on an
+    // identical IEEE DAG both engines (all inputs already quantized)
+    "q170_host_curation" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val kr = Pipeline.score(wd).groupBy(col("host"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("keep").cast("long")).as("kept"))
+      val rank = graft.operators.HostGraph.authority(wd)
+        .select(col("host"), col("rank"))
+      val tpl = graft.operators.Extract.templateClusters(wd)
+        .groupBy(col("host"))
+        .agg(max(col("host_share")).as("max_template_share"))
+      val anc = graft.operators.HostGraph.anchorIndex(wd)
+        .groupBy(col("dst_host"))
+        .agg(count(lit(1)).as("n_anchor_texts"))
+        .withColumnRenamed("dst_host", "host")
+      val keepRate = floor(col("kept") * lit(1e6) / col("docs")) / lit(1e6)
+      val r = coalesce(col("rank"), lit(0.15))
+      val mts = coalesce(col("max_template_share"), lit(0.0))
+      kr.join(broadcast(rank), Seq("host"), "left")
+        .join(broadcast(tpl), Seq("host"), "left")
+        .join(broadcast(anc), Seq("host"), "left")
+        .select(col("host"), col("docs"), keepRate.as("keep_rate"),
+          r.as("rank"), mts.as("max_template_share"),
+          coalesce(col("n_anchor_texts"), lit(0L)).as("n_anchor_texts"),
+          (floor(r * keepRate * (lit(1.0) - mts) * lit(1e6)) / lit(1e6))
+            .as("priority"))
+    }),
+
     // Real gzip member decode (RFC 1952 — Common Crawl's per-record
     // framing): wrap each synthetic WARC record in a spec-complete gzip
     // member (FLG walk variants, stored-deflate blocks incl. a 2-block
@@ -2550,6 +2588,65 @@ object SparkEntry {
         |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
         |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
         | FROM p""".stripMargin,
+    "q170_host_curation" -> {
+      // the four component families replayed from their own proven
+      // oracle forms (q04 verdict, q108 power iteration, q166 template
+      // md5, q167 anchor zip), joined at host level; every published
+      // double is quantized on the identical IEEE DAG the Spark side
+      // runs, and priority multiplies only already-quantized inputs
+      def iter(prev: String, next: String): String =
+        s""", $next AS (SELECT n.host, 0.15 + 0.85 * coalesce(c.c, 0.0) AS "rank"
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS host, sum(r."rank" * e.w / o.outdeg) AS c
+           |    FROM edges e JOIN $prev r ON r.host = e.src
+           |    JOIN outdeg o ON o.src = e.src GROUP BY 1) c USING (host))""".stripMargin
+      (webdocCte + signalsCte + verdictCte +
+        """, kr AS (SELECT host, CAST(count(*) AS BIGINT) AS docs,
+          |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+          |  FROM verdict2 GROUP BY 1)
+          |, links AS (SELECT host AS src,
+          |    unnest(list_transform(
+          |      regexp_extract_all(html_str, '<a href="([^"]+)"', 1),
+          |      x -> CASE WHEN regexp_matches(x, '^https?://')
+          |                THEN regexp_extract(x, '^https?://([^/]+)', 1)
+          |                ELSE host END)) AS dst
+          |  FROM webdoc)
+          |, edges AS (SELECT src, dst, count(*) AS w FROM links WHERE src <> dst GROUP BY 1, 2)
+          |, outdeg AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1)
+          |, nodes AS (SELECT DISTINCT src AS host FROM edges UNION SELECT DISTINCT dst FROM edges)
+          |, r0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS "rank" FROM nodes)""".stripMargin +
+        iter("r0", "r1") + iter("r1", "r2") + iter("r2", "r3") +
+        """
+          |, rq AS (SELECT host, floor("rank" * 1e6 + 0.5) / 1e6 AS "rank" FROM r3)
+          |, tpl AS (SELECT host, doc_id,
+          |    md5(array_to_string(list_transform(
+          |      regexp_extract_all(html_str, '<([a-zA-Z][a-zA-Z0-9]*)', 1),
+          |      x -> lower(x)), '>')) AS fp
+          |  FROM webdoc)
+          |, tplg AS (SELECT host, fp, count(*) AS tdocs FROM tpl GROUP BY 1, 2)
+          |, tplt AS (SELECT host, sum(tdocs) AS ttotal FROM tplg GROUP BY 1)
+          |, tplm AS (SELECT g.host,
+          |    max(floor(g.tdocs * 1e6 / t.ttotal) / 1e6) AS max_template_share
+          |  FROM tplg g JOIN tplt t ON g.host = t.host GROUP BY 1)
+          |, anc AS (SELECT host,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)">([^<]*)</a>', 1)) AS href,
+          |    unnest(regexp_extract_all(html_str, '<a href="([^"]+)">([^<]*)</a>', 2)) AS anchor
+          |  FROM webdoc)
+          |, ancg AS (SELECT CASE WHEN regexp_matches(href, '^https?://')
+          |      THEN regexp_extract(href, '^https?://([^/]+)', 1)
+          |      ELSE host END AS host,
+          |    CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchor_texts
+          |  FROM anc GROUP BY 1)
+          | SELECT k.host, k.docs,
+          |   floor(k.kept * 1e6 / k.docs) / 1e6 AS keep_rate,
+          |   coalesce(rq."rank", 0.15) AS "rank",
+          |   coalesce(m.max_template_share, 0.0) AS max_template_share,
+          |   coalesce(a.n_anchor_texts, 0) AS n_anchor_texts,
+          |   floor(coalesce(rq."rank", 0.15) * (floor(k.kept * 1e6 / k.docs) / 1e6)
+          |     * (1.0 - coalesce(m.max_template_share, 0.0)) * 1e6) / 1e6 AS priority
+          | FROM kr k LEFT JOIN rq USING (host) LEFT JOIN tplm m USING (host)
+          |   LEFT JOIN ancg a USING (host)""".stripMargin)
+    },
     "q169_gzip_warc" ->
       // closed-form re-derivation: the oracle rebuilds the ENTIRE WARC
       // record string (headers + payload + terminator) and takes its

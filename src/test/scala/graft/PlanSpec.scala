@@ -703,6 +703,17 @@ class PlanSpec extends SparkSpec {
       s"block scoring must not shuffle: ${plan.toString.take(1500)}")
   }
 
+  test("q170: host curation joins host-level aggregates by broadcast; no exchange carries page bytes") {
+    val plan = staticPlan(SparkEntry.queries("q170_host_curation")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.nonEmpty, plan.toString.take(1500))
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c.contains("html") || c == "text" || c.contains("scrubbed")),
+      s"corpus exchanges must carry only keys + partials: $cols"))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.size >= 3,
+      "the four host-level component frames must join via broadcast")
+  }
+
   test("q169: gzip→WARC chain is exchange-free — inflate once, chain the header walk in-projection") {
     val plan = staticPlan(SparkEntry.queries("q169_gzip_warc")(spark, sfDir))
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
