@@ -915,6 +915,32 @@ object SparkEntry {
     "q30_langid" -> ((s, dir) =>
       graft.functions.LangId(Pipeline.webdoc(s, dir))
         .select(col("doc_id"), col("url"), col("lang_pred"), col("lang_score"))),
+    // Line-level language purity (the CCNet-style code-switching signal):
+    // every LINE scored by the broadcast langid model, then per doc the
+    // majority language's share — purity < 0.8 flags mixed-language
+    // pages (boilerplate in one language wrapping content in another),
+    // which doc-level langid averages away. Scale shape: explode+score
+    // fuse into the scan stage (mapPartitions over the broadcast model);
+    // the only exchanges carry (doc_id, lang, partial count) then
+    // doc-level partials — line text never shuffles. Majority via
+    // struct-max (argmax n, ties to the lexicographically LAST lang —
+    // mirrored in the oracle's ORDER BY n DESC, lang DESC)
+    "q171_line_lang_purity" -> ((s, dir) => {
+      val lines = Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "text")))
+      val perLang = graft.functions.LangId(lines)
+        .groupBy(col("doc_id"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      perLang.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_lines"),
+          max(struct(col("n"), col("lang_pred").as("lang"))).as("m"))
+        .select(col("doc_id"), col("n_lines"),
+          col("m.lang").as("majority_lang"),
+          (floor(col("m.n") * lit(1e6) / col("n_lines")) / lit(1e6))
+            .as("purity"))
+        .withColumn("is_mixed", col("purity") < 0.8)
+    }),
+
     "q31_perplexity" -> ((s, dir) => {
       val wd = Pipeline.webdoc(s, dir)
       graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
@@ -2588,6 +2614,33 @@ object SparkEntry {
         |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
         |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
         | FROM p""".stripMargin,
+    "q171_line_lang_purity" ->
+      // the identical langid model replay (langidCtesFrom) over a
+      // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs
+      // have ≪1000 lines), majority via ORDER BY n DESC, lang DESC —
+      // the mirror of Spark's struct-max tiebreak
+      (webdocCte +
+        """, dl AS (SELECT doc_id * 1000
+          |      + generate_subscripts(string_split(text, chr(10)), 1) - 1 AS doc_id,
+          |    url || '#' || CAST(generate_subscripts(string_split(text, chr(10)), 1) AS VARCHAR) AS url,
+          |    unnest(string_split(text, chr(10))) AS text
+          |  FROM webdoc)""".stripMargin +
+        graft.oracle.OracleDdl.langidCtesFrom("dl") +
+        """
+          |, ll AS (SELECT w.doc_id // 1000 AS doc_id,
+          |    coalesce(r.lang, 'de') AS lang
+          |  FROM dl w LEFT JOIN ranked r ON w.doc_id = r.doc_id AND r.rn = 1)
+          |, pl AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+          |  FROM ll GROUP BY 1, 2)
+          |, tk AS (SELECT doc_id, lang, n,
+          |    sum(n) OVER (PARTITION BY doc_id) AS n_lines,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang DESC) AS rn
+          |  FROM pl)
+          | SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+          |   lang AS majority_lang,
+          |   floor(n * 1e6 / n_lines) / 1e6 AS purity,
+          |   (floor(n * 1e6 / n_lines) / 1e6 < 0.8) AS is_mixed
+          | FROM tk WHERE rn = 1""".stripMargin),
     "q170_host_curation" -> {
       // the four component families replayed from their own proven
       // oracle forms (q04 verdict, q108 power iteration, q166 template

@@ -238,8 +238,13 @@ object OracleDdl {
     * no-ops — so scores are bit-identical, not just close. Ties break to
     * the alphabetically-first language in both engines. */
   /** langid chain CTEs (compose after webdocCte): lt → … → ranked. */
-  val langidCtes: String =
-    s""", lt AS (SELECT doc_id, url, ' ' || lower(text) || ' ' AS t FROM webdoc)
+  val langidCtes: String = langidCtesFrom("webdoc")
+
+  /** The langid scoring chain over any (doc_id, url, text) CTE — `src`
+    * parameterizes the source so line- or chunk-level scoring (q171)
+    * reuses the identical model replay. */
+  def langidCtesFrom(src: String): String =
+    s""", lt AS (SELECT doc_id, url, ' ' || lower(text) || ' ' AS t FROM $src)
          |, grams AS (
          |  SELECT doc_id, url,
          |    ((7*31 + ascii(substr(g, 1, 1)))*31 + ascii(substr(g, 2, 1)))*31 + ascii(substr(g, 3, 1)) AS h

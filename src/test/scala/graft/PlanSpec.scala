@@ -714,6 +714,15 @@ class PlanSpec extends SparkSpec {
       "the four host-level component frames must join via broadcast")
   }
 
+  test("q171: line-level langid shuffles only (doc_id, lang, partials) — line text dies map-side") {
+    val plan = staticPlan(SparkEntry.queries("q171_line_lang_purity")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.nonEmpty, plan.toString.take(1500))
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c == "text" || c.contains("html") || c == "url"),
+      s"no line/page bytes may reach an exchange: $cols"))
+  }
+
   test("q169: gzip→WARC chain is exchange-free — inflate once, chain the header walk in-projection") {
     val plan = staticPlan(SparkEntry.queries("q169_gzip_warc")(spark, sfDir))
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
