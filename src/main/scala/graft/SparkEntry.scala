@@ -421,6 +421,18 @@ object SparkEntry {
           col("warc_date_ms"), col("content_length"), col("http_status"),
           col("http_content_type"))),
 
+    // Sitemap ingestion + crawl-coverage reconciliation (the crawl-ops
+    // trio's third leg after robots q163 and href discovery q158/q159):
+    // parse per-host sitemaps.org XML, diff listed urls against the
+    // corpus — backlog (listed-but-uncrawled) and link-only discoveries
+    // (crawled-but-unlisted) per host. The oracle re-derives every count
+    // from the generator's closed form, never touching the XML
+    "q172_sitemap_coverage" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      graft.operators.Sitemap.coverage(
+        graft.operators.Sitemap.syntheticSitemaps(wd), wd)
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2614,6 +2626,23 @@ object SparkEntry {
         |   CAST(CASE WHEN t3 = 0 THEN st END AS INT) AS http_status,
         |   CASE WHEN t3 = 0 THEN ctype END AS http_content_type
         | FROM p""".stripMargin,
+    "q172_sitemap_coverage" ->
+      // pure closed-form re-derivation from webdoc parity counts — the
+      // oracle never sees the XML, so the Spark side's synth→parse→diff
+      // round trip must land on exactly these counts; hosts with no even
+      // docs have no sitemap (n_listed 0, coverage NULL)
+      (webdocCte +
+        """, pc AS (SELECT host,
+          |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+          |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+          |  FROM webdoc GROUP BY 1)
+          | SELECT host,
+          |   CASE WHEN n_even > 0 THEN n_even + 2 ELSE 0 END AS n_listed,
+          |   n_even AS n_listed_crawled,
+          |   n_odd AS n_crawled_unlisted,
+          |   CASE WHEN n_even > 0
+          |        THEN floor(n_even * 1e6 / (n_even + 2)) / 1e6 END AS coverage
+          | FROM pc""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

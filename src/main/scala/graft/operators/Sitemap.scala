@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sitemap ingestion + crawl-coverage reconciliation — the third leg of
+  * the crawl-ops family (robots.txt policy q163, href discovery
+  * q158/q159): a host's sitemap.xml declares what the site WANTS crawled;
+  * diffing it against what the corpus actually holds yields the coverage
+  * /freshness accounting every crawl operator runs (listed-but-uncrawled
+  * → fetch backlog; crawled-but-unlisted → discovered via links only).
+  *
+  * Reference tie: the reference diffs a remote listing against local
+  * holdings to decide work (vlass2caom2 data_source.py:294-346 and the
+  * reconcile CSV flow); the sitemap diff is that reconciliation with the
+  * web's own manifest format (sitemaps.org XML, public spec).
+  *
+  * Scale shape: sitemaps are PER-HOST documents (one row per host, KBs
+  * each), so the parse explodes host-level XML — corpus pages never
+  * carry XML. The coverage join is one full-outer on (host, url) where
+  * both sides are (host, url) pairs only; the per-host rollup is a
+  * two-phase aggregation. Page text/html appears nowhere.
+  */
+object Sitemap {
+
+  /** Test scaffolding: one sitemaps.org-shaped XML blob per host,
+    * listing the host's even-doc_id urls (each with a lastmod) plus two
+    * PHANTOM urls the corpus does not hold — so coverage is genuinely
+    * < 1 and the backlog leg is non-empty. Entries are ordered by
+    * doc_id (string_agg ORDER BY in the oracle's replay); the synthesis
+    * is one host-keyed aggregation of url strings — scaffolding cost,
+    * not a production path. */
+  def syntheticSitemaps(docs: DataFrame): DataFrame = {
+    val entry = concat(lit("  <url>\n    <loc>"), col("url"),
+      lit("</loc>\n    <lastmod>2024-0"),
+      (pmod(col("doc_id"), lit(9L)) + 1L).cast("string"),
+      lit("-01</lastmod>\n  </url>"))
+    docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+      .select(col("host"), col("doc_id"), entry.as("e"))
+      .groupBy(col("host"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("e")))),
+        s => s.getField("e")), "\n").as("body"))
+      .select(col("host"), concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        col("body"),
+        lit("\n  <url><loc>https://"), col("host"),
+        lit("/phantom/1</loc></url>\n  <url><loc>https://"), col("host"),
+        lit("/phantom/2</loc></url>\n</urlset>")).as("xml"))
+  }
+
+  /** `<loc>` extraction: every listed url, exploded from the host-level
+    * XML. Whitespace/lastmod variations are irrelevant to the regexp —
+    * the spec keys everything on the loc element. */
+  def listedUrls(sitemaps: DataFrame): DataFrame =
+    sitemaps.select(col("host"),
+      explode(regexp_extract_all(col("xml"),
+        lit("<loc>([^<]*)</loc>"), lit(1))).as("u"))
+
+  /** Per-host crawl coverage: listed count, listed∩crawled,
+    * crawled-but-unlisted, and coverage = listed∩crawled / listed
+    * (floor-quantized at 6 dp on the oracle's identical IEEE DAG). One
+    * full-outer join of two (host, url) projections, then a two-phase
+    * host rollup. */
+  def coverage(sitemaps: DataFrame, docs: DataFrame): DataFrame = {
+    val l = listedUrls(sitemaps).withColumn("listed", lit(1L))
+    val c = docs.select(col("host"), col("url").as("u"))
+      .withColumn("crawled", lit(1L))
+    l.join(c, Seq("host", "u"), "full_outer")
+      .groupBy(col("host"))
+      .agg(sum(coalesce(col("listed"), lit(0L))).as("n_listed"),
+        sum(when(col("listed") === 1L && col("crawled") === 1L, 1L)
+          .otherwise(0L)).as("n_listed_crawled"),
+        sum(when(col("listed").isNull && col("crawled") === 1L, 1L)
+          .otherwise(0L)).as("n_crawled_unlisted"))
+      .withColumn("coverage", // NULL for hosts with no sitemap at all
+        when(col("n_listed") > 0L,
+          floor(col("n_listed_crawled") * lit(1e6) / col("n_listed"))
+            / lit(1e6)))
+  }
+}

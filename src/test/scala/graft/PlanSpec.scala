@@ -714,6 +714,15 @@ class PlanSpec extends SparkSpec {
       "the four host-level component frames must join via broadcast")
   }
 
+  test("q172: sitemap coverage exchanges carry only (host, url) pairs — XML and page bytes stay host-side") {
+    val plan = staticPlan(SparkEntry.queries("q172_sitemap_coverage")(spark, sfDir))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffles.nonEmpty, plan.toString.take(1500))
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c.contains("xml") || c.contains("html") || c == "text" || c == "body"),
+      s"no sitemap XML or page bytes in an exchange: $cols"))
+  }
+
   test("q171: line-level langid shuffles only (doc_id, lang, partials) — line text dies map-side") {
     val plan = staticPlan(SparkEntry.queries("q171_line_lang_purity")(spark, sfDir))
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sitemap
+
+/** Crawl-ops third leg: sitemap ingestion + coverage reconciliation.
+  * The parse is exercised on a hand-laid sitemaps.org document
+  * (independent of the engine's own synthesis); the diff legs are pinned
+  * on a frame where every outcome class occurs. */
+class SitemapSpec extends SparkSpec {
+
+  test("listedUrls: loc extraction survives whitespace, lastmod, attributes and phantom entries") {
+    import spark.implicits._
+    val xml = """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc>https://h.example.com/a</loc>
+      |    <lastmod>2024-01-01</lastmod>
+      |  </url>
+      |  <url><loc>https://h.example.com/b</loc></url>
+      |</urlset>""".stripMargin
+    val got = Sitemap.listedUrls(Seq(("h.example.com", xml)).toDF("host", "xml"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("h.example.com", "https://h.example.com/a"),
+      ("h.example.com", "https://h.example.com/b")))
+  }
+
+  test("coverage: backlog, link-only discoveries, and the no-sitemap host") {
+    import spark.implicits._
+    val sitemaps = Seq(("h1", "<urlset><url><loc>u1</loc></url>" +
+      "<url><loc>u2</loc></url><url><loc>u3</loc></url></urlset>"))
+      .toDF("host", "xml")
+    // h1 crawled u1,u2 (listed) + u9 (unlisted); u3 is backlog.
+    // h2 has no sitemap at all — n_listed 0, coverage NULL.
+    val docs = Seq(("h1", "u1"), ("h1", "u2"), ("h1", "u9"), ("h2", "u5"))
+      .toDF("host", "url")
+    val got = Sitemap.coverage(sitemaps, docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got("h1") == ((3L, 2L, 1L, Some(0.666666)))) // floor(2/3·1e6)/1e6
+    assert(got("h2") == ((0L, 0L, 1L, None)))
+    assert(got.size == 2)
+  }
+
+  test("synth→parse round trip: listed = even docs + 2 phantoms per host") {
+    import spark.implicits._
+    val docs = Seq((2L, "hA", "https://hA/p/2"), (4L, "hA", "https://hA/p/4"),
+      (3L, "hA", "https://hA/p/3"), (5L, "hB", "https://hB/p/5"))
+      .toDF("doc_id", "host", "url")
+    val listed = Sitemap.listedUrls(Sitemap.syntheticSitemaps(docs))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listed == Set(
+      ("hA", "https://hA/p/2"), ("hA", "https://hA/p/4"),
+      ("hA", "https://hA/phantom/1"), ("hA", "https://hA/phantom/2")))
+    // hB has only an odd doc → no sitemap row at all
+  }
+}
