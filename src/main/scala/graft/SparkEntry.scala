@@ -433,6 +433,35 @@ object SparkEntry {
         graft.operators.Sitemap.syntheticSitemaps(wd), wd)
     }),
 
+    // rel=canonical cluster dedup — the crawl-metadata family's fourth
+    // leg: inject deterministic <link rel="canonical"> declarations into
+    // the html (exact clones → absolute canonical at the base doc's REAL
+    // url; near clones → a relative href resolving to an UNcrawled
+    // target; every 41st base doc → self-canonical), then extract,
+    // resolve and cluster them back out of the BYTES. The oracle derives
+    // every target from the generator's closed form without ever seeing
+    // the html — injection→parse must round-trip (the q160 discipline)
+    "q173_canonical_dedup" -> ((s, dir) => {
+      val did = col("doc_id")
+      val baseId = did % 10000000L
+      val hid = (baseId * 131L) % 997L
+      val bhost = when(hid < 300, lit("popular.example.com"))
+        .otherwise(concat(lit("host-"), hid.cast("string"), lit(".example.com")))
+      val ctarget = when(did >= 20000000L,
+          concat(lit("https://"), bhost, lit("/"), col("source"), lit("/"),
+            baseId.cast("string")))
+        .when(did >= 10000000L, concat(lit("/canonical/"), baseId.cast("string")))
+        .when(did % 41 === 5, col("url"))
+      val htmlStr = col("html").cast("string")
+      val injected = Pipeline.webdoc(s, dir).select(did, col("url"), col("host"),
+        when(ctarget.isNull, htmlStr).otherwise(
+          regexp_replace(htmlStr, lit("</title>"),
+            concat(lit("</title><link rel=\"canonical\" href=\""), ctarget,
+              lit("\">"))))
+          .cast("binary").as("html"))
+      graft.operators.UrlOps.canonicalClusters(injected)
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2643,6 +2672,37 @@ object SparkEntry {
           |   CASE WHEN n_even > 0
           |        THEN floor(n_even * 1e6 / (n_even + 2)) / 1e6 END AS coverage
           | FROM pc""".stripMargin),
+    "q173_canonical_dedup" ->
+      // pure closed-form re-derivation of every canonical target (exact
+      // clones → the base doc's reconstructed url, near clones → a
+      // relative path resolved against their OWN host, every 41st base
+      // doc → itself) — the oracle never sees the html, so the Spark
+      // side's inject→extract→resolve→cluster chain must round-trip
+      (webdocCte +
+        """, inj AS (SELECT doc_id, url,
+          |    CASE WHEN doc_id >= 20000000 THEN 'https://' ||
+          |        CASE WHEN ((doc_id % 10000000) * 131) % 997 < 300
+          |             THEN 'popular.example.com'
+          |             ELSE 'host-' || CAST(((doc_id % 10000000) * 131) % 997 AS VARCHAR)
+          |                  || '.example.com' END
+          |        || '/' || source || '/' || CAST(doc_id % 10000000 AS VARCHAR)
+          |      WHEN doc_id >= 10000000
+          |        THEN 'https://' || host || '/canonical/' || CAST(doc_id % 10000000 AS VARCHAR)
+          |      WHEN doc_id % 41 = 5 THEN url ELSE NULL END AS canonical_url
+          |  FROM webdoc)
+          |, decl AS (SELECT doc_id, url, canonical_url FROM inj
+          |    WHERE canonical_url IS NOT NULL)
+          |, mem AS (SELECT canonical_url, doc_id, max(t) AS t FROM (
+          |    SELECT canonical_url, doc_id,
+          |      CASE WHEN url = canonical_url THEN 1 ELSE 0 END AS t FROM decl
+          |    UNION ALL
+          |    SELECT w.url, w.doc_id, 1 FROM webdoc w
+          |    WHERE w.url IN (SELECT canonical_url FROM decl)) GROUP BY 1, 2)
+          | SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_members,
+          |   max(t) = 1 AS target_crawled,
+          |   coalesce(min(CASE WHEN t = 1 THEN doc_id END), min(doc_id)) AS rep_doc_id,
+          |   CAST(count(*) - 1 AS BIGINT) AS n_drop
+          | FROM mem GROUP BY 1""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

@@ -122,4 +122,57 @@ object UrlOps {
         count(lit(1)).as("n_versions"),
         min(col("__ft")).as("first_ts"), max(col("__lt")).as("last_ts"))
       .withColumn("changed", col("n_versions") > 1)
+
+  /** rel=canonical cluster dedup — the fourth crawl-metadata leg (after
+    * robots q163, sitemaps q172 and href discovery q158/q159): pages
+    * DECLARE their preferred url in `<link rel="canonical" href=…>`, and
+    * collapsing variants by declared target catches tracking-param /
+    * mirror / mobile variants BEFORE any content comparison (and
+    * independently of it — the variants' bytes usually differ, so content
+    * dedup misses them). Reference analogue: the name-parsed version-
+    * shadow collapse of vlass2caom2/data_source.py:234-273 — an external
+    * identity declaration, not content, decides the winner.
+    *
+    * Per canonical target: membership = docs that declared it ∪ the
+    * target page itself when crawled (a self-canonical doc is both, once);
+    * representative = the target doc when crawled, else the smallest
+    * member id; `n_drop` = members beyond the representative;
+    * `target_crawled` = false flags the misconfigured-canonical class
+    * (declared targets the crawl never fetched — frontier candidates,
+    * the q172 backlog notion at page level).
+    *
+    * Scale shape: the `<link>` extraction and relative-href resolution
+    * run inside the scan projection and the html blob dies map-side
+    * (plan-pinned); the target-crawled probe is an equi-join of two
+    * (doc_id, url) pair projections — the q172 shape, no page bytes in
+    * any exchange — and the cluster agg shuffles (url, doc_id, int) rows
+    * for declarers only (a few % of a real corpus declares a non-self
+    * canonical). The declarer table is materialized once (TrackedCache)
+    * and read by both the membership and target-probe legs. */
+  def canonicalClusters(docs: DataFrame): DataFrame = {
+    val h = col("html").cast("string")
+    val raw = regexp_extract(h, "<link rel=\"canonical\" href=\"([^\"]+)\"", 1)
+    val decl = graft.plans.TrackedCache.persist(docs
+      .select(col("doc_id"), col("url"), col("host"), raw.as("__raw"))
+      .filter(col("__raw") =!= "")
+      .select(col("doc_id"), col("url"),
+        when(col("__raw").rlike("^https?://"), col("__raw"))
+          .otherwise(concat(lit("https://"), col("host"), col("__raw")))
+          .as("canonical_url")))
+    val crawledTargets = docs.select(col("doc_id"), col("url").as("canonical_url"))
+      .join(decl.select(col("canonical_url")).distinct(), Seq("canonical_url"), "left_semi")
+    decl
+      .select(col("canonical_url"), col("doc_id"),
+        when(col("url") === col("canonical_url"), 1).otherwise(0).as("__t"))
+      .unionByName(crawledTargets.select(col("canonical_url"), col("doc_id"),
+        lit(1).as("__t")))
+      .groupBy(col("canonical_url"), col("doc_id"))
+      .agg(max(col("__t")).as("__t"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_members"),
+        (max(col("__t")) === 1).as("target_crawled"),
+        coalesce(min(when(col("__t") === 1, col("doc_id"))), min(col("doc_id")))
+          .as("rep_doc_id"),
+        (count(lit(1)) - 1).as("n_drop"))
+  }
 }

@@ -223,4 +223,33 @@ class HrefImageSpec extends SparkSpec {
     assert(rows(("footer", 0)) == ((20L, 0L, 0L, true)))
     assert(rows.size == 5)
   }
+
+  // ------------------------------------------------ canonicalClusters
+
+  test("canonicalClusters: absolute/relative resolution, target-crawled rep, self-canonical dedup") {
+    import spark.implicits._
+    def page(canon: Option[String]): Array[Byte] =
+      ("<html><head><title>t</title>" +
+        canon.map(c => "<link rel=\"canonical\" href=\"" + c + "\">").getOrElse("") +
+        "</head><body>x</body></html>").getBytes("UTF-8")
+    val docs = Seq(
+      (10L, "https://a.com/main", "a.com", page(None)),                       // the target itself
+      (11L, "https://a.com/main?utm=x", "a.com", page(Some("https://a.com/main"))), // variant -> absolute
+      (12L, "https://m.a.com/main2", "m.a.com", page(Some("/main"))),         // relative -> uncrawled
+      (13L, "https://b.com/x", "b.com", page(Some("https://b.com/x"))),       // self-canonical
+      (14L, "https://c.com/y", "c.com", page(None))                           // no declaration
+    ).toDF("doc_id", "url", "host", "html")
+    val out = graft.operators.UrlOps.canonicalClusters(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // variant cluster: target + declarer, rep = the crawled target doc
+    assert(out("https://a.com/main") == ((2L, true, 10L, 1L)))
+    // relative href resolves against the DECLARER's host -> uncrawled target
+    assert(out("https://m.a.com/main") == ((1L, false, 12L, 0L)))
+    // self-canonical appears ONCE (declarer and target roles dedup)
+    assert(out("https://b.com/x") == ((1L, true, 13L, 0L)))
+    // no declaration, not a target -> no cluster row
+    assert(out.size == 3)
+    graft.plans.TrackedCache.releaseAll()
+  }
 }

@@ -185,6 +185,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q173: canonical-dedup exchanges carry (url, id) pairs — the html blob dies in the scan") {
+    // the crawl-metadata contract (q172's shape): the <link> extraction
+    // and href resolution run inside the scan projection; every exchange
+    // afterwards carries url strings and ids only — an html or text
+    // column in any exchange means page bytes are shuffling
+    val plan = staticPlan(SparkEntry.queries("q173_canonical_dedup")(spark, sfDir))
+    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(shuffleCols.nonEmpty, "expected the membership/cluster exchanges")
+    shuffleCols.foreach { cols =>
+      assert(!cols.exists(c => c == "html" || c == "text" || c == "__raw"),
+        "exchange carries page bytes: " + cols.mkString(","))
+    }
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("q122: c4 span exchanges carry hashed positions only; removal lists broadcast back") {
     // same contract as q83/q84 at sentence granularity: occurrences leave
     // the row as (doc_id, pos, h60) — no sentence text or sentence array
