@@ -462,6 +462,37 @@ object SparkEntry {
       graft.operators.UrlOps.canonicalClusters(injected)
     }),
 
+    // Confusable-skeleton dedup — the adversarial evasion class NFC-
+    // normalized dedup (q99) still misses: inject spoofed twins of every
+    // 53rd base doc with Latin a/e/o swapped for render-identical
+    // Cyrillic а/е/о, then catch them via the TR#39-subset skeleton key.
+    // Reported clusters have >1 distinct NORMALIZED form per skeleton —
+    // exact/normalized copies alone never appear
+    "q174_confusable_dedup" -> ((s, dir) => {
+      val w = Pipeline.webdoc(s, dir)
+      val spoof = w.filter(col("doc_id") % 53 === 1 && col("doc_id") < 10000000L)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          translate(col("text"), "aeo", "аео").as("text"))
+      graft.operators.Dedup.confusableDups(
+        w.select(col("doc_id"), col("text")).unionByName(spoof))
+    }),
+
+    // Invisible-character audit: inject zero-width runs (every 59th doc)
+    // and a bidi-override spoof (every 61st), then count/flag them back
+    // out — codepoint-exact cross-engine, exchange-free. Payloads built
+    // from escaped vals: the chars are invisible by design
+    "q175_invisible_chars" -> ((s, dir) => {
+      val zw = "\u200B"; val wj = "\u2060"; val shy = "\u00AD"
+      val rlo = "\u202E"; val pdf = "\u202C"
+      val w = Pipeline.webdoc(s, dir)
+      val inj = w.select(col("doc_id"), col("url"), concat(col("text"),
+        when(col("doc_id") % 59 === 2,
+          lit(s" cl${zw}ick h${zw}ere n${shy}ow$zw$wj")).otherwise(lit("")),
+        when(col("doc_id") % 61 === 3,
+          lit(s" ${rlo}gnihsihp$pdf alert")).otherwise(lit(""))).as("text"))
+      graft.operators.TextStats.invisibleAudit(inj)
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2703,6 +2734,61 @@ object SparkEntry {
           |   coalesce(min(CASE WHEN t = 1 THEN doc_id END), min(doc_id)) AS rep_doc_id,
           |   CAST(count(*) - 1 AS BIGINT) AS n_drop
           | FROM mem GROUP BY 1""".stripMargin),
+    "q174_confusable_dedup" ->
+      // the q99 normalization chain (nfc → lower → \s-collapse → trim)
+      // plus the same 16-entry TR#39-subset translate; md5 hex is
+      // lowercase in both engines. The spoof injection swaps Latin aeo
+      // for Cyrillic аео on every 53rd base doc
+      (webdocCte +
+        """, sp AS (SELECT doc_id + 30000000 AS doc_id,
+          |    translate(text, 'aeo', 'аео') AS text
+          |  FROM webdoc WHERE doc_id % 53 = 1 AND doc_id < 10000000)
+          |, corpus AS (SELECT doc_id, text FROM webdoc
+          |    UNION ALL SELECT doc_id, text FROM sp)
+          |, k AS (SELECT doc_id, md5(nt) AS nh,
+          |    md5(translate(nt, 'аеорсухіѕјԛѡԁονı', 'aeopcyxisjqwdovi')) AS sh
+          |  FROM (SELECT doc_id,
+          |      trim(regexp_replace(lower(nfc_normalize(text)),
+          |                          '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nt
+          |    FROM corpus))
+          | SELECT sh AS skeleton_hash, CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(count(DISTINCT nh) AS BIGINT) AS n_variants,
+          |   min(doc_id) AS doc_id
+          | FROM k GROUP BY sh HAVING count(DISTINCT nh) > 1""".stripMargin),
+    "q175_invisible_chars" -> {
+      // codepoint-exact length-difference counting (both engines count
+      // codepoints); the payloads are built from the SAME escaped vals as
+      // the Spark side and land as raw UTF-8 in the SQL literals; RE2
+      // \x{…} classes match them; the one double is an integer-ratio
+      // floor-quantized on the identical IEEE DAG
+      val zw = "\u200B"; val wj = "\u2060"; val shy = "\u00AD"
+      val rlo = "\u202E"; val pdf = "\u202C"
+      val pay59 = s" cl${zw}ick h${zw}ere n${shy}ow$zw$wj"
+      val pay61 = s" ${rlo}gnihsihp$pdf alert"
+      (webdocCte +
+        s""", inj AS (SELECT doc_id, url, text ||
+          |    CASE WHEN doc_id % 59 = 2 THEN '$pay59' ELSE '' END ||
+          |    CASE WHEN doc_id % 61 = 3 THEN '$pay61' ELSE '' END AS text
+          |  FROM webdoc)
+          |, c AS (SELECT doc_id, url,
+          |    CAST(length(text) - length(regexp_replace(text,
+          |      '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}]', '', 'g')) AS BIGINT) AS n_zero_width,
+          |    CAST(length(text) - length(regexp_replace(text,
+          |      '[\\x{200E}\\x{200F}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]', '', 'g')) AS BIGINT) AS n_bidi,
+          |    CAST(length(text) - length(regexp_replace(text,
+          |      '\\x{00AD}', '', 'g')) AS BIGINT) AS n_soft_hyphen,
+          |    CAST(length(text) AS BIGINT) AS n_cp
+          |  FROM inj)
+          | SELECT doc_id, url, n_zero_width, n_bidi, n_soft_hyphen, n_cp,
+          |   CASE WHEN n_cp > 0 THEN
+          |     floor((n_zero_width + n_bidi + n_soft_hyphen) * 1e6 / n_cp) / 1e6
+          |   END AS invisible_ratio,
+          |   (n_bidi > 0 OR coalesce(
+          |     CASE WHEN n_cp > 0 THEN
+          |       floor((n_zero_width + n_bidi + n_soft_hyphen) * 1e6 / n_cp) / 1e6
+          |     END > 0.005, false)) AS is_suspect
+          | FROM c""".stripMargin)
+    },
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

@@ -187,6 +187,52 @@ object Dedup {
       .select(lower(hex(col("__ch"))).as("norm_hash"),
         col("doc_id"), col("n_copies"))
 
+  /** Unicode confusables (TR#39 subset) → their Latin skeleton targets,
+    * paired positionally with [[CONFUSABLE_TO]]. Lowercase forms only —
+    * the skeleton is always taken AFTER NormalizeText, whose ROOT-locale
+    * lowercase folds the capitals onto these. Cyrillic а е о р с у х і
+    * ѕ ј ԛ ѡ ԁ, Greek ο ν, dotless ı — the code points spammers actually
+    * substitute because they render identically to Latin in every
+    * mainstream font. Curated, not the full TR#39 table: each entry is a
+    * TRUE render-identical pair, so the skeleton never merges texts a
+    * human could tell apart. */
+  private[graft] val CONFUSABLE_FROM =
+    "аеорсухіѕј" +
+      "ԛѡԁονı"
+  private[graft] val CONFUSABLE_TO = "aeopcyxisjqwdovi"
+
+  /** Confusable-skeleton dedup — the evasion class NORMALIZED dedup still
+    * misses: a spammer republishing a page with Cyrillic а/е/о swapped
+    * for Latin a/e/o defeats byte-exact AND NFC-normalized hashing (NFC
+    * never maps across scripts), yet renders identically to a reader.
+    * Skeleton key = translate(NormalizeText(text), confusables→Latin);
+    * a cluster whose members share the skeleton but NOT the normalized
+    * hash is a confusable-substitution group — reported with both counts
+    * so exact-duplicate members (same normalized hash) are visible inside
+    * it. Composes existing ops (brief preference (a)): translate over the
+    * native NormalizeText, no new expression. Reference analogue: the
+    * normalized-identifier shadow collapse of
+    * vlass2caom2/data_source.py:234-273, hardened against adversarial
+    * identifiers.
+    *
+    * Scale shape: identical to q99 — the whole derivation lives in the
+    * scan projection and the exchange carries (16-byte skeleton hash,
+    * 16-byte norm hash) pairs; the distinct-variant count is a two-phase
+    * partial-agg distinct, never a text shuffle. */
+  def confusableDups(docs: DataFrame): DataFrame = {
+    val nt = graft.functions.NormalizeText(col("text"))
+    docs
+      .select(col("doc_id"), unhex(md5(nt)).as("__nh"),
+        unhex(md5(translate(nt, CONFUSABLE_FROM, CONFUSABLE_TO))).as("__sh"))
+      .groupBy(col("__sh"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("__nh")).as("n_variants"),
+        min(col("doc_id")).as("doc_id"))
+      .filter(col("n_variants") > 1)
+      .select(lower(hex(col("__sh"))).as("skeleton_hash"),
+        col("n_docs"), col("n_variants"), col("doc_id"))
+  }
+
   /** Sketch-calibration audit for the MinHash family ("measure, don't
     * guess"): per LSH candidate pair, the SIGNATURE-estimated Jaccard
     * (fraction of the 16 minhash components that agree — the unbiased

@@ -187,6 +187,42 @@ object TextStats {
     * the φ=1/phiInv heavy-hitter line to publish the sketch's actual
     * overestimates (est ≥ exact always — the CMS one-sided guarantee,
     * property-tested). */
+  /** Invisible-character audit — the SEO-cloaking / copy-trap /
+    * watermark-evasion signal: zero-width characters (ZWSP ZWNJ ZWJ
+    * WJ ZWNBSP) hide keyword boundaries from dedup and stuff invisible
+    * text; bidi controls (LRM RLM LRE-PDF LRI-PDI) are the classic
+    * display-spoofing primitive (an RLO makes "gnihsihp" render as
+    * "phishing"); soft hyphens split tokens invisibly. Per doc: counts
+    * of each class, total codepoints, a floor-quantized invisible ratio,
+    * and `is_suspect` (ANY bidi control, or ratio > 0.5 %). Reference
+    * analogue: the QA-rejected flagging of
+    * vlass2caom2/quality_augmentation.py:84-112 — an external badness
+    * marker recorded per record as a drop signal, not a scrub.
+    *
+    * Scale shape: pure codegen'd length-difference counting in the scan
+    * projection; exchange-free. Counts via length(x)−length(strip(x)) —
+    * both engines count CODEPOINTS, so the arithmetic is integer-exact
+    * cross-engine and the only published double is an integer-ratio
+    * floor-quantized on the identical IEEE DAG. */
+  def invisibleAudit(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    docs
+      .select(col("doc_id"), col("url"),
+        cnt("[\\u200B\\u200C\\u200D\\u2060\\uFEFF]").as("n_zero_width"),
+        cnt("[\\u200E\\u200F\\u202A-\\u202E\\u2066-\\u2069]").as("n_bidi"),
+        cnt("\\u00AD").as("n_soft_hyphen"),
+        length(t).cast("long").as("n_cp"))
+      .withColumn("invisible_ratio",
+        when(col("n_cp") > 0,
+          floor((col("n_zero_width") + col("n_bidi") + col("n_soft_hyphen"))
+            * lit(1e6) / col("n_cp")) / lit(1e6)))
+      .withColumn("is_suspect",
+        col("n_bidi") > 0 ||
+          coalesce(col("invisible_ratio") > 0.005, lit(false)))
+  }
+
   def cmsHeavyHitters(docs: DataFrame, width: Int, phiInv: Long): DataFrame = {
     import graft.functions.Hashing
     val words = graft.plans.TrackedCache.persist(

@@ -200,6 +200,18 @@ class PlanSpec extends SparkSpec {
     graft.plans.TrackedCache.releaseAll()
   }
 
+  test("q174/q175: confusable dedup shuffles 16-byte hashes; invisible audit is exchange-free") {
+    val p174 = staticPlan(SparkEntry.queries("q174_confusable_dedup")(spark, sfDir))
+    val cols174 = p174.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(cols174.nonEmpty, "expected the skeleton-hash exchange")
+    cols174.foreach { cols =>
+      assert(!cols.contains("text"), "exchange carries text: " + cols.mkString(","))
+    }
+    val p175 = staticPlan(SparkEntry.queries("q175_invisible_chars")(spark, sfDir))
+    assert(p175.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      p175.toString.take(2000))
+  }
+
   test("q122: c4 span exchanges carry hashed positions only; removal lists broadcast back") {
     // same contract as q83/q84 at sentence granularity: occurrences leave
     // the row as (doc_id, pos, h60) — no sentence text or sentence array

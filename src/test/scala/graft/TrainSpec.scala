@@ -175,6 +175,47 @@ class TrainSpec extends SparkSpec {
     assert(d.find(_.getLong(1) == 1L).get.getLong(2) == 2L) // {1,2} merged, rep=1
   }
 
+  test("confusableDups: cross-script spoof caught; exact/normalized copies alone don't fire") {
+    import spark.implicits._
+    val latin = "click here to win a prize"
+    val spoofed = "click here to win а prize" // Cyrillic а — renders identically
+    val caseVar = "Click  Here to win a prize"     // normalized-equal to latin
+    val other = "completely different text"
+    val out = graft.operators.Dedup.confusableDups(
+      Seq((1L, latin), (2L, spoofed), (3L, caseVar), (4L, other))
+        .toDF("doc_id", "text")).collect()
+    // one cluster: {1,2,3} share the skeleton; 1 and 3 share the norm hash
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L) // n_docs
+    assert(out.head.getLong(2) == 2L) // n_variants: {latin=caseVar, spoofed}
+    assert(out.head.getLong(3) == 1L) // min doc_id
+    // normalized-only variation (q99's class) never fires this operator
+    val none = graft.operators.Dedup.confusableDups(
+      Seq((1L, "a b"), (2L, "A  B"), (3L, "a c")).toDF("doc_id", "text")).collect()
+    assert(none.isEmpty)
+  }
+
+  test("invisibleAudit: zero-width/bidi/soft-hyphen counted codepoint-exactly; clean text unflagged") {
+    import spark.implicits._
+    val clean = "an ordinary sentence with nothing hidden in it at all"
+    // 5 zero-width chars: ZWSP ZWNJ ZWJ WJ ZWNBSP
+    val zw = "cl\u200Bick he\u200Cre\u200D now\u2060ok\uFEFF"
+    val bidi = "see \u202Egnihsihp\u202C alert" // RLO + PDF
+    val shy = "hy\u00ADphen rich te\u00ADxt"    // 2 soft hyphens
+    val out = graft.operators.TextStats.invisibleAudit(
+      Seq((1L, "u1", clean), (2L, "u2", zw), (3L, "u3", bidi), (4L, "u4", shy))
+        .toDF("doc_id", "url", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 0 && out(1L).getLong(3) == 0 &&
+      out(1L).getLong(4) == 0)
+    assert(!out(1L).getBoolean(7))
+    assert(out(2L).getLong(2) == 5)  // n_zero_width
+    assert(out(2L).getBoolean(7))    // ratio far above 0.5%
+    assert(out(3L).getLong(3) == 2)  // n_bidi
+    assert(out(3L).getBoolean(7))    // ANY bidi control ⇒ suspect
+    assert(out(4L).getLong(4) == 2)  // n_soft_hyphen
+  }
+
   test("kmvDistinctShingles: estimate within 20% of exact on the fixture, partitioning-independent") {
     val docs = Pipeline.webdoc(spark, sfDir)
     val audit = graft.operators.Dedup.kmvAudit(docs, 256).head()
