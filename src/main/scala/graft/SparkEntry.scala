@@ -493,6 +493,41 @@ object SparkEntry {
       graft.operators.TextStats.invisibleAudit(inj)
     }),
 
+    // URL-structure bitext mining: inject ?lang=de twins ("DE: " + text,
+    // length-tracking → keep) for every 13th base doc and ?lang=fr stubs
+    // (20-char truncation → mostly dropped by the ratio prefilter) for
+    // every 13th+4, then mine the pairs back by stripped-url key. The
+    // oracle replays the same injection + self-join arithmetically
+    "q176_bitext_candidates" -> ((s, dir) => {
+      val w = Pipeline.webdoc(s, dir)
+      val base = w.select(col("doc_id"), col("url"), col("host"),
+        col("lang"), col("text"))
+      val de = w.filter(col("doc_id") % 13 === 7 && col("doc_id") < 10000000L)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(col("url"), lit("?lang=de")).as("url"), col("host"),
+          lit("de").as("lang"), concat(lit("DE: "), col("text")).as("text"))
+      val fr = w.filter(col("doc_id") % 13 === 11 && col("doc_id") < 10000000L)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("url"), lit("?lang=fr")).as("url"), col("host"),
+          lit("fr").as("lang"), substring(col("text"), 1, 20).as("text"))
+      graft.operators.UrlOps.bitextCandidates(
+        base.unionByName(de).unionByName(fr))
+    }),
+
+    // Adversarial dedup verdict — the hardened exact-dedup capstone:
+    // inject spoof twins that combine a Cyrillic swap WITH a trailing
+    // zero-width space (defeating byte, normalized AND bare-skeleton
+    // hashing), then collapse them with the strip→normalize→skeleton
+    // chain. Per-doc keep/rep/cluster-size — the filter-stage shape
+    "q177_adversarial_dedup" -> ((s, dir) => {
+      val w = Pipeline.webdoc(s, dir)
+      val sp = w.filter(col("doc_id") % 43 === 21 && col("doc_id") < 10000000L)
+        .select((col("doc_id") + 60000000L).as("doc_id"),
+          concat(translate(col("text"), "aeo", "аео"), lit("\u200B")).as("text"))
+      graft.operators.Dedup.adversarialDedupVerdict(
+        w.select(col("doc_id"), col("text")).unionByName(sp))
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2788,6 +2823,66 @@ object SparkEntry {
           |       floor((n_zero_width + n_bidi + n_soft_hyphen) * 1e6 / n_cp) / 1e6
           |     END > 0.005, false)) AS is_suspect
           | FROM c""".stripMargin)
+    },
+    "q176_bitext_candidates" ->
+      // the same injection + marker-strip + self-join replayed in SQL;
+      // backreference syntax differs (\1 here, $1 in Catalyst) but the
+      // patterns are RE2-identical; length ratio floor-quantized on the
+      // identical IEEE DAG; both engines count codepoints
+      (webdocCte +
+        """, de AS (SELECT doc_id + 40000000 AS doc_id,
+          |    url || '?lang=de' AS url, host, 'de' AS lang,
+          |    'DE: ' || text AS text
+          |  FROM webdoc WHERE doc_id % 13 = 7 AND doc_id < 10000000)
+          |, fr AS (SELECT doc_id + 50000000 AS doc_id,
+          |    url || '?lang=fr' AS url, host, 'fr' AS lang,
+          |    substr(text, 1, 20) AS text
+          |  FROM webdoc WHERE doc_id % 13 = 11 AND doc_id < 10000000)
+          |, corpus AS (SELECT doc_id, url, host, lang, text FROM webdoc
+          |    UNION ALL SELECT * FROM de UNION ALL SELECT * FROM fr)
+          |, side AS (SELECT doc_id, host,
+          |    CASE WHEN regexp_extract(url, '[?&]lang=([a-z][a-z])', 1) <> ''
+          |         THEN regexp_extract(url, '[?&]lang=([a-z][a-z])', 1)
+          |         ELSE lang END AS plang,
+          |    regexp_replace(regexp_replace(url,
+          |      '([?&])lang=[a-z][a-z]&', '\1'),
+          |      '[?&]lang=[a-z][a-z]$', '') AS url_key,
+          |    CAST(length(text) AS BIGINT) AS len
+          |  FROM corpus)
+          | SELECT a.host, a.url_key, a.doc_id AS doc_id_a,
+          |   a.plang AS lang_a, a.len AS len_a, b.doc_id AS doc_id_b,
+          |   b.plang AS lang_b, b.len AS len_b,
+          |   CASE WHEN greatest(a.len, b.len) > 0
+          |        THEN floor(least(a.len, b.len) * 1e6 / greatest(a.len, b.len)) / 1e6
+          |        ELSE 0.0 END AS len_ratio,
+          |   (CASE WHEN greatest(a.len, b.len) > 0
+          |        THEN floor(least(a.len, b.len) * 1e6 / greatest(a.len, b.len)) / 1e6
+          |        ELSE 0.0 END >= 0.5) AS keep
+          | FROM side a JOIN side b
+          |   ON a.host = b.host AND a.url_key = b.url_key
+          | WHERE a.doc_id < b.doc_id AND a.plang <> b.plang""".stripMargin),
+    "q177_adversarial_dedup" -> {
+      // strip the invisible class FIRST (RE2 \x{…} escapes, doubled
+      // backslashes because this is an interpolated string), then the
+      // q99 normalization chain, then the q174 confusable translate —
+      // the identical strip→normalize→skeleton order the Spark side runs
+      val zw = "\u200B"
+      (webdocCte +
+        s""", sp AS (SELECT doc_id + 60000000 AS doc_id,
+          |    translate(text, 'aeo', 'аео') || '$zw' AS text
+          |  FROM webdoc WHERE doc_id % 43 = 21 AND doc_id < 10000000)
+          |, corpus AS (SELECT doc_id, text FROM webdoc
+          |    UNION ALL SELECT doc_id, text FROM sp)
+          |, k AS (SELECT doc_id, md5(translate(
+          |    trim(regexp_replace(lower(nfc_normalize(regexp_replace(text,
+          |      '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}\\x{200E}\\x{200F}\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]', '', 'g'))),
+          |      '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
+          |    'аеорсухіѕјԛѡԁονı', 'aeopcyxisjqwdovi')) AS sk
+          |  FROM corpus)
+          | SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY sk) AS keep,
+          |   min(doc_id) OVER (PARTITION BY sk) AS rep_doc_id,
+          |   CAST(count(*) OVER (PARTITION BY sk) AS BIGINT) AS n_cluster
+          | FROM k""".stripMargin)
     },
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a

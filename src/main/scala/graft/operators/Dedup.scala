@@ -233,6 +233,41 @@ object Dedup {
         col("n_docs"), col("n_variants"), col("doc_id"))
   }
 
+  /** Regex class of the format/invisible characters an adversary can
+    * sprinkle into text WITHOUT changing its rendering: zero-widths
+    * (ZWSP ZWNJ ZWJ WJ ZWNBSP), soft hyphen, bidi controls. Shared by
+    * the hardened-dedup strip and documented next to TextStats'
+    * invisibleAudit, which COUNTS the same classes as a signal. */
+  private[graft] val INVISIBLE_CLASS =
+    "[\u200B\u200C\u200D\u2060\uFEFF\u00AD\u200E\u200F\u202A-\u202E\u2066-\u2069]"
+
+  /** Adversarial dedup verdict — the hardened composition of the exact-
+    * dedup ladder (q10 bytes → q99 normalized → q174 skeleton): STRIP
+    * invisible characters, THEN normalize, THEN map confusables, then
+    * hash. The ordering is load-bearing: a spammer who combines a
+    * zero-width insertion with a Cyrillic swap defeats byte hashing,
+    * NFC-normalized hashing (NFC preserves ZWSP) AND the bare skeleton
+    * (ZWSP is not a confusable) — only strip-before-hash collapses the
+    * variant onto its original. Emits a per-doc verdict (keep = the
+    * cluster's min-id representative) plus the cluster size, the shape
+    * a filter stage consumes directly.
+    *
+    * Scale shape: the strip/normalize/translate/md5 chain lives in the
+    * scan projection; ONE window shuffle on the 16-byte skeleton hash
+    * carrying (hash, doc_id) pairs decides rep and size — same exchange
+    * cost as exact dedup, immune to all three evasion classes. */
+  def adversarialDedupVerdict(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"), INVISIBLE_CLASS, "")
+    val sk = unhex(md5(translate(graft.functions.NormalizeText(stripped),
+      CONFUSABLE_FROM, CONFUSABLE_TO)))
+    val w = Window.partitionBy(col("__sk"))
+    docs.select(col("doc_id"), sk.as("__sk"))
+      .withColumn("n_cluster", count(lit(1)).over(w))
+      .withColumn("rep_doc_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), (col("doc_id") === col("rep_doc_id")).as("keep"),
+        col("rep_doc_id"), col("n_cluster"))
+  }
+
   /** Sketch-calibration audit for the MinHash family ("measure, don't
     * guess"): per LSH candidate pair, the SIGNATURE-estimated Jaccard
     * (fraction of the 16 minhash components that agree — the unbiased

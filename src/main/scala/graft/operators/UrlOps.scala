@@ -149,6 +149,50 @@ object UrlOps {
     * for declarers only (a few % of a real corpus declares a non-self
     * canonical). The declarer table is materialized once (TrackedCache)
     * and read by both the membership and target-probe legs. */
+  /** URL-structure bitext mining (the ParaCrawl/mC4 discovery pass):
+    * pages whose urls differ ONLY by a language marker (`?lang=xx` /
+    * `&lang=xx`) on the same host are translation candidates — the
+    * highest-precision parallel-corpus signal the web offers, and it
+    * costs a url-key join, not a text comparison. Per candidate pair:
+    * both docs' ids, page languages (the url marker wins over the doc's
+    * lang column — the marker is the SITE's declaration), codepoint
+    * lengths and the floor-quantized min/max length ratio; `keep` =
+    * ratio ≥ 0.5 (translations track length; a 20:1 ratio is a stub or
+    * an error page, the standard ParaCrawl-style prefilter). Reference
+    * analogue: the multi-product name grouping of
+    * vlass2caom2/data_source.py:294-346 — same-identity files under
+    * systematic name variants, grouped by the stripped key.
+    *
+    * Scale shape: the marker strip + lang extract run in the scan
+    * projection; the self-join carries (host, url_key, doc_id, lang,
+    * len) — text LENGTHS only, never text (a downstream aligner fetches
+    * text for kept pairs via the q115 semi-join discipline). The side
+    * table is persisted once (also the Union-self-join Catalyst
+    * barrier). The path-segment marker form (/en/ vs /de/) is a
+    * documented extension: same key derivation, one more regexp. */
+  def bitextCandidates(docs: DataFrame): DataFrame = {
+    val urlLang = regexp_extract(col("url"), "[?&]lang=([a-z][a-z])", 1)
+    val key = regexp_replace(
+      regexp_replace(col("url"), "([?&])lang=[a-z][a-z]&", "$1"),
+      "[?&]lang=[a-z][a-z]$", "")
+    val side = graft.plans.TrackedCache.persist(docs
+      .select(col("doc_id"), col("host"),
+        when(urlLang =!= "", urlLang).otherwise(col("lang")).as("plang"),
+        key.as("url_key"), length(col("text")).cast("long").as("len")))
+    def leg(suffix: String) = side.select(col("host"), col("url_key"),
+      col("doc_id").as(s"doc_id_$suffix"), col("plang").as(s"lang_$suffix"),
+      col("len").as(s"len_$suffix"))
+    leg("a").join(leg("b"), Seq("host", "url_key"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        col("lang_a") =!= col("lang_b"))
+      .withColumn("len_ratio",
+        when(greatest(col("len_a"), col("len_b")) > 0,
+          floor(least(col("len_a"), col("len_b")) * lit(1e6) /
+            greatest(col("len_a"), col("len_b"))) / lit(1e6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("len_ratio") >= 0.5)
+  }
+
   def canonicalClusters(docs: DataFrame): DataFrame = {
     val h = col("html").cast("string")
     val raw = regexp_extract(h, "<link rel=\"canonical\" href=\"([^\"]+)\"", 1)

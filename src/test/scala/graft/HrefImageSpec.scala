@@ -252,4 +252,27 @@ class HrefImageSpec extends SparkSpec {
     assert(out.size == 3)
     graft.plans.TrackedCache.releaseAll()
   }
+
+  test("bitextCandidates: marker-keyed pairs, url lang beats doc lang, ratio prefilter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.com/p", "a.com", "en", "a body of text with ten words in it"),
+      (2L, "https://a.com/p?lang=de", "a.com", "xx", "ein Textkoerper mit zehn Woertern darin"),
+      (3L, "https://a.com/p?lang=fr", "a.com", "fr", "court"),            // stub -> dropped
+      (4L, "https://a.com/q?lang=de", "a.com", "de", "unpaired variant"), // singleton
+      (5L, "https://b.com/p", "b.com", "en", "same path other host")      // host isolates keys
+    ).toDF("doc_id", "url", "host", "lang", "text")
+    val out = graft.operators.UrlOps.bitextCandidates(docs).collect()
+      .map(r => (r.getLong(2), r.getLong(5)) -> r).toMap
+    // the en/de pair keeps (lengths 35/39); the url marker overrode doc 2's lang column
+    val p12 = out((1L, 2L))
+    assert(p12.getString(3) == "en" && p12.getString(6) == "de")
+    assert(p12.getBoolean(9), p12.toString)
+    // the stub pairs with BOTH the original and the de variant, ratio-dropped
+    assert(!out((1L, 3L)).getBoolean(9))
+    assert(!out((2L, 3L)).getBoolean(9))
+    // singletons and cross-host same-paths never pair
+    assert(out.size == 3)
+    graft.plans.TrackedCache.releaseAll()
+  }
 }

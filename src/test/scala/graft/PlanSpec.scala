@@ -210,6 +210,31 @@ class PlanSpec extends SparkSpec {
     val p175 = staticPlan(SparkEntry.queries("q175_invisible_chars")(spark, sfDir))
     assert(p175.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       p175.toString.take(2000))
+    // q177: ONE window exchange carrying (16-byte skeleton hash, id) —
+    // the hardened chain costs exactly what exact dedup costs
+    val p177 = staticPlan(SparkEntry.queries("q177_adversarial_dedup")(spark, sfDir))
+    val sh177 = p177.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    assert(sh177.length == 1, s"expected the one window exchange: $sh177")
+    assert(!sh177.head.contains("text"), sh177.head.mkString(","))
+  }
+
+  test("q176: bitext exchanges carry (host, url_key, id, lang, len) — never text") {
+    // at fixture stats the persisted side table broadcasts into the
+    // self-join (no shuffle at all); at scale the same plan degrades to
+    // an SMJ on the same narrow columns — either way NO exchange of any
+    // kind may carry text/html, and the join input must be the cached
+    // side projection, not the corpus scan
+    val plan = staticPlan(SparkEntry.queries("q176_bitext_candidates")(spark, sfDir))
+    val exCols =
+      plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) } ++
+        plan.collect { case b: BroadcastExchangeExec => b.output.map(_.name) }
+    assert(exCols.nonEmpty, "expected the url-key join exchange")
+    exCols.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "html"),
+        "exchange carries page text: " + cols.mkString(","))
+    }
+    assert(plan.toString.contains("InMemoryTableScan"), plan.toString.take(2000))
+    graft.plans.TrackedCache.releaseAll()
   }
 
   test("q122: c4 span exchanges carry hashed positions only; removal lists broadcast back") {

@@ -216,6 +216,27 @@ class TrainSpec extends SparkSpec {
     assert(out(4L).getLong(4) == 2)  // n_soft_hyphen
   }
 
+  test("adversarialDedupVerdict: zwsp+confusable combo collapses; strip-before-hash is load-bearing") {
+    import spark.implicits._
+    val orig = "win a prize here"
+    val both = "win \u0430 prize here\u200B"  // Cyrillic а + trailing ZWSP
+    val zwOnly = "win a prize\u200B here"
+    val other = "nothing alike at all"
+    val docs = Seq((1L, orig), (2L, both), (3L, zwOnly), (4L, other))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.adversarialDedupVerdict(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((true, 1L, 3L)))   // rep of the 3-member cluster
+    assert(out(2L) == ((false, 1L, 3L)))  // the combined evasion collapses
+    assert(out(3L) == ((false, 1L, 3L)))
+    assert(out(4L) == ((true, 4L, 1L)))
+    // the same combo SURVIVES the unhardened ladder: bytes, normalized
+    // and bare-skeleton keys all differ — which is why the strip comes
+    // first in the hardened chain
+    assert(graft.operators.Dedup.exactNormalized(docs).count() == 4)
+    assert(graft.operators.Dedup.confusableDups(docs).collect().isEmpty)
+  }
+
   test("kmvDistinctShingles: estimate within 20% of exact on the fixture, partitioning-independent") {
     val docs = Pipeline.webdoc(spark, sfDir)
     val audit = graft.operators.Dedup.kmvAudit(docs, 256).head()
