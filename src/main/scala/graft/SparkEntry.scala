@@ -528,6 +528,36 @@ object SparkEntry {
         w.select(col("doc_id"), col("text")).unionByName(sp))
     }),
 
+    // Table-format maintenance end-to-end: two appends → compact
+    // (replace) → expire to keep=1 → orphan sweep. The oracle pins the
+    // whole sequence through the data: every doc must survive in the
+    // current snapshot (an over-eager expiry loses rows → row mismatch),
+    // exactly 2 snapshots expire, reclaim must happen, and the data dir
+    // must hold exactly the live snapshot's files (a missed delete →
+    // disk_clean false → hash mismatch)
+    "q178_snaplog_expire" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t = java.nio.file.Files.createTempDirectory("snaplog_q178").toString
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 2 === 0), t, Some("doc_id"))
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 2 =!= 0), t, Some("doc_id"))
+      graft.plans.SnapLog.compact(s, t)
+      val (expired, deleted) = graft.plans.SnapLog.expireSnapshots(t, 1)
+      graft.plans.SnapLog.removeOrphans(t)
+      val live = graft.plans.SnapLog.currentSnapshot(t).get.files.map(_.path).toSet
+      val onDisk = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(p => s"data/${p.getFileName}").toSet
+        } finally st.close()
+      }
+      graft.plans.SnapLog.read(s, t).select(col("doc_id"),
+        lit(expired.length.toLong).as("n_expired"),
+        lit(deleted.nonEmpty).as("reclaimed"),
+        lit(onDisk == live).as("disk_clean"))
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2884,6 +2914,13 @@ object SparkEntry {
           |   CAST(count(*) OVER (PARTITION BY sk) AS BIGINT) AS n_cluster
           | FROM k""".stripMargin)
     },
+    "q178_snaplog_expire" ->
+      // the data-level contract of the maintenance sequence: no row may
+      // be lost, exactly the two pre-compaction snapshots expire, space
+      // is reclaimed, and the data dir equals the live file set
+      """SELECT doc_id, CAST(2 AS BIGINT) AS n_expired,
+        |  true AS reclaimed, true AS disk_clean
+        |FROM documents""".stripMargin,
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

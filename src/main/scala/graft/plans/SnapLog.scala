@@ -324,15 +324,120 @@ object SnapLog {
   /** Committed-chain snapshot ids in (after, current], ascending — walks
     * parent pointers from the current snapshot, so orphaned ids from
     * crashed commits are skipped (they are on disk but not on the
-    * chain). */
+    * chain). Fails LOUDLY (not by silently skipping) when the walk
+    * reaches an id that [[expireSnapshots]] removed: a consumer whose
+    * bookmark sits below the retention floor must error, never lose the
+    * expired snapshots' increments — the standard Iceberg deployment
+    * rule is expire only after every consumer has advanced. */
   def committedChain(table: String, after: Long): Seq[Long] = {
     var id = currentId(table).getOrElse(return Nil)
     var out = List.empty[Long]
     while (id > after) {
       out = id :: out
+      id =
+        (try snapshot(table, id)
+        catch {
+          case _: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"snapshot $id of $table is expired — a bookmark/read reaches " +
+                s"below the retention floor; expire only after every " +
+                s"consumer has advanced past it")
+        }).parent
+    }
+    out
+  }
+
+  /** Snapshot ids still on disk along the parent chain from the current
+    * snapshot, ascending — stops (quietly) where expiry trimmed the
+    * chain. The maintenance ops' view; consumers use [[committedChain]],
+    * which is loud at the floor. */
+  private def retainedChain(table: String): Seq[Long] = {
+    var id = currentId(table).getOrElse(return Nil)
+    var out = List.empty[Long]
+    while (id > 0 && Files.exists(snapPath(table, id))) {
+      out = id :: out
       id = snapshot(table, id).parent
     }
     out
+  }
+
+  /** Expire every committed snapshot except the most recent `keep` —
+    * Iceberg's `expire_snapshots`, the maintenance op that makes
+    * [[compact]] actually reclaim space: a replace snapshot hides the
+    * old files from new readers, but only expiry may DELETE them,
+    * because time travel needs them until the snapshots naming them are
+    * gone.
+    *
+    * Ordering is Iceberg's: expired snapshot METADATA is removed first,
+    * then every data file referenced only by expired snapshots — a
+    * crash between the two leaves unreferenced data files (reclaimable
+    * by [[removeOrphans]]), never a live snapshot naming missing data.
+    * Every snapshot carries its complete file list, so read/readAt/scan
+    * over any retained id are untouched; a bookmark below the new floor
+    * fails loudly in [[committedChain]].
+    *
+    * Driver-side metadata work only, O(files) — no Spark job. Returns
+    * (expired ids, deleted data-file paths relative to the table). */
+  def expireSnapshots(table: String, keep: Int): (Seq[Long], Seq[String]) = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val chain = retainedChain(table)
+    val expired = chain.dropRight(keep)
+    if (expired.isEmpty) return (Nil, Nil)
+    val keepRefs = chain.takeRight(keep)
+      .flatMap(id => snapshot(table, id).files.map(_.path)).toSet
+    val dropRefs = expired
+      .flatMap(id => snapshot(table, id).files.map(_.path)).toSet -- keepRefs
+    expired.foreach(id => Files.delete(snapPath(table, id)))
+    val deleted = dropRefs.toSeq.sorted
+    deleted.foreach(rel => Files.deleteIfExists(Paths.get(table, rel)))
+    (expired, deleted)
+  }
+
+  /** Delete everything unreachable from the committed chain — Iceberg's
+    * `remove_orphan_files`: data files no retained snapshot references,
+    * snapshot files of crashed commits (written, never published) and
+    * leftover `.tmp-*` write dirs. Runs under the same single-writer
+    * assumption as [[commit]] (quiesced: a concurrent in-flight commit's
+    * temp dir would be swept — Iceberg guards this with an age
+    * threshold, the sandbox with the writer contract). After removal a
+    * crashed commit's id CAN be reused: the no-reuse rule exists to keep
+    * live orphan artifacts unambiguous, and they are gone. Returns the
+    * deleted paths relative to the table root (dirs suffixed "/"). */
+  def removeOrphans(table: String): Seq[String] = {
+    val chainIds = retainedChain(table).toSet
+    val reachable =
+      chainIds.flatMap(id => snapshot(table, id).files.map(_.path))
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val md = metaDir(table)
+    if (Files.exists(md)) {
+      val st = Files.list(md) // closed below
+      try st.iterator().asScala.toSeq.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("snap-") && n.endsWith(".json") &&
+            !chainIds.contains(
+              n.stripPrefix("snap-").stripSuffix(".json").toLong)) {
+          Files.delete(p); out += s"metadata/$n"
+        }
+      } finally st.close()
+    }
+    val dd = Paths.get(table, "data")
+    if (Files.exists(dd)) {
+      val st = Files.list(dd) // closed below
+      try st.iterator().asScala.toSeq.foreach { p =>
+        val rel = s"data/${p.getFileName}"
+        if (!reachable.contains(rel)) { Files.delete(p); out += rel }
+      } finally st.close()
+    }
+    val root = Files.list(Paths.get(table)) // closed below
+    try root.iterator().asScala.toSeq.foreach { p =>
+      if (p.getFileName.toString.startsWith(".tmp-")) {
+        val walk = Files.walk(p) // closed below
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally walk.close()
+        out += s"${p.getFileName}/"
+      }
+    } finally root.close()
+    out.toList
   }
 
   /** Process every snapshot committed since the bookmark EXACTLY ONCE, in

@@ -280,4 +280,71 @@ class SnapLogSpec extends SparkSpec {
     assert(p3.size == 1 && seen.last._2 == 0L)
     assert(SnapLog.bookmark(st) == SnapLog.currentId(t).get)
   }
+
+  test("expireSnapshots: compact+expire reclaims, retained time travel intact, floor is loud") {
+    val t = tmpDir("snaplog_expire")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    SnapLog.commit(docs(10 until 20), t, Some("doc_id"))
+    SnapLog.compact(spark, t) // snapshot 3, replace
+    // keep > chain: no-op
+    assert(SnapLog.expireSnapshots(t, 5) == ((Nil, Nil)))
+    val (expired, deleted) = SnapLog.expireSnapshots(t, 1)
+    assert(expired == Seq(1L, 2L))
+    assert(deleted.nonEmpty) // the pre-compaction files actually went
+    // idempotent
+    assert(SnapLog.expireSnapshots(t, 1) == ((Nil, Nil)))
+    // the live snapshot reads fully; expired ids fail loudly
+    assert(SnapLog.read(spark, t).count() == 20)
+    intercept[java.nio.file.NoSuchFileException] { SnapLog.readAt(spark, t, 1L) }
+    // data dir == the live file set, nothing more
+    val live = SnapLog.currentSnapshot(t).get.files.map(_.path).toSet
+    val onDisk = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(x => s"data/${x.getFileName}").toSet
+      } finally st.close()
+    }
+    assert(onDisk == live, s"stray files: ${onDisk -- live}")
+    // a consumer bookmark below the floor errors instead of skipping
+    intercept[IllegalStateException] { SnapLog.committedChain(t, 0L) }
+    // retention floor respected: expire keeps serving after more commits
+    SnapLog.commit(docs(20 until 25), t, Some("doc_id"))
+    assert(SnapLog.read(spark, t).count() == 25)
+  }
+
+  test("expireSnapshots: retained multi-snapshot window keeps shared files") {
+    val t = tmpDir("snaplog_expire2")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    SnapLog.commit(docs(10 until 20), t, Some("doc_id"))
+    SnapLog.commit(docs(20 until 30), t, Some("doc_id"))
+    // keep=2: snapshot 1 expires, but its files are SHARED by the
+    // retained appends (full file lists) — nothing may be deleted
+    val (expired, deleted) = SnapLog.expireSnapshots(t, 2)
+    assert(expired == Seq(1L))
+    assert(deleted.isEmpty, s"shared files deleted: $deleted")
+    assert(SnapLog.readAt(spark, t, 2L).count() == 20)
+    assert(SnapLog.read(spark, t).count() == 30)
+  }
+
+  test("removeOrphans: crashed-commit artifacts swept, committed data untouched, id reuse safe") {
+    val t = tmpDir("snaplog_orphans")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    intercept[RuntimeException] {
+      SnapLog.commit(docs(10 until 20), t, Some("doc_id"),
+        faultBeforePublish = () => throw new RuntimeException("[test] kill"))
+    }
+    val swept = SnapLog.removeOrphans(t)
+    // the orphan snapshot json and its data files went; tmp dirs too
+    assert(swept.exists(x => x.startsWith("metadata/snap-") &&
+      x.endsWith("2.json")), swept.mkString(","))
+    assert(swept.exists(_.startsWith("data/s2-")), swept.mkString(","))
+    assert(SnapLog.read(spark, t).count() == 10)
+    // with the orphan artifacts gone, the crashed id is reused safely
+    val id = SnapLog.commit(docs(10 until 20), t, Some("doc_id"))
+    assert(id == 2L)
+    assert(SnapLog.read(spark, t).count() == 20)
+    // a second sweep on a clean table is a no-op beyond tmp dirs
+    assert(SnapLog.removeOrphans(t).forall(_.startsWith(".tmp-")))
+  }
 }
