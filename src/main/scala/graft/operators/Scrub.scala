@@ -94,4 +94,47 @@ object Scrub {
         aggregate(col("__valid"), col(textCol), (acc, c) => replace(acc, c, lit("<CC>"))))
       .drop("__cands", "__valid")
   }
+
+  /** Credential formats a public secret scanner looks for — all from the
+    * issuers' own published shapes: AWS access-key ids (`AKIA` + 16
+    * base-36), GitHub fine/classic PATs (`ghp_` + 36), three-part JWTs
+    * (`eyJ` = base64url of `{"` — every JWT header starts with it), and
+    * PEM private-key blocks (RFC 7468 armor, non-greedy across lines).
+    * RE2-simple on purpose (no lookarounds, no backrefs) so the DuckDB
+    * oracle runs the IDENTICAL patterns. */
+  private[graft] val secretPatterns: Seq[(String, String)] = Seq(
+    // PEM first: a JWT-shaped string inside an armored block must scrub
+    // as part of the block, not survive as a second marker
+    "pem" -> ("-----BEGIN [A-Z ]*PRIVATE KEY-----" +
+      "(?s:.*?)-----END [A-Z ]*PRIVATE KEY-----"),
+    "aws" -> "AKIA[0-9A-Z]{16}",
+    "ghp" -> "ghp_[A-Za-z0-9]{36}",
+    "jwt" -> ("eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}" +
+      "\\.[A-Za-z0-9_-]{10,}"))
+
+  /** Secret/credential scrub — the PII class an LLM TRAINING corpus
+    * specifically cannot carry (a model that memorizes a live key
+    * republishes it on demand): count then excise each class, in the
+    * fixed order of [[secretPatterns]]. Same contract as the email/
+    * phone/IP scrub: counts for the audit row, rewritten text for the
+    * sink. Reference analogue: the cleanup visitor's remove-then-record
+    * pass, vlass2caom2/cleanup_augmentation.py:85-113.
+    *
+    * Scale shape: a fixed chain of codegen'd regexp passes in the scan
+    * projection — exchange-free, no UDF, no per-row allocation beyond
+    * the rewritten string. */
+  def secretScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = secretPatterns.foldLeft(df) { case (d, (name, pat)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val scrubbed = secretPatterns.foldLeft(col(textCol)) {
+      case (acc, (name, pat)) =>
+        regexp_replace(acc, lit(pat), lit(s"<SECRET:$name>"))
+    }
+    counted
+      .withColumn("secret_scrubbed_text", scrubbed)
+      .withColumn("has_secret",
+        secretPatterns.map { case (n, _) => col(s"n_$n") > 0 }
+          .reduce(_ || _))
+  }
 }
