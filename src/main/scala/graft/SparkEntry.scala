@@ -585,6 +585,78 @@ object SparkEntry {
           col("secret_scrubbed_text"))
     }),
 
+    // Cross-source priority dedup (the Pile/Dolma multi-source curation
+    // rule): identical content crawled from several sources keeps exactly
+    // the copy from the most-trusted tier, tie-broken by doc_id. Inject
+    // republished copies of every 61st base doc under src0 (tier 0 —
+    // the top tier) so tier genuinely overrides doc_id order: the LATER
+    // src0 copy must beat an earlier lower-tier original
+    "q180_source_priority" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = (0 until 20).map(i => (s"src$i", (i % 3).toLong))
+        .toDF("source", "tier")
+      val w = Pipeline.webdoc(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val rep = w.filter(col("doc_id") % 61 === 3 && col("doc_id") < 10000000L)
+        .select((col("doc_id") + 70000000L).as("doc_id"),
+          lit("src0").as("source"), col("text"))
+      graft.operators.Dedup.sourcePriorityDedup(w.unionByName(rep), tiers)
+    }),
+
+    // Page-metadata extraction: inject og:title (every 21st+5 doc) and
+    // meta description (every 15th+4) into the <head>, then extract
+    // title/og:title/description back out of the BYTES with og-over-title
+    // precedence; the oracle re-derives every field from the generator's
+    // closed form without seeing the html (the q160 round-trip discipline)
+    "q181_meta_tags" -> ((s, dir) => {
+      val did = col("doc_id").cast("string")
+      val og = when(col("doc_id") % 21 === 5,
+        concat(lit("<meta property=\"og:title\" content=\"OG Doc "), did,
+          lit("\">"))).otherwise(lit(""))
+      val desc = when(col("doc_id") % 15 === 4,
+        concat(lit("<meta name=\"description\" content=\"Doc "), did,
+          lit(" summary\">"))).otherwise(lit(""))
+      val inj = Pipeline.webdoc(s, dir).select(col("doc_id"), col("url"),
+        regexp_replace(col("html").cast("string"), lit("</head>"),
+          concat(og, desc, lit("</head>"))).cast("binary").as("html"))
+      graft.operators.Extract.metaTags(inj)
+    }),
+
+    // Politeness-aware crawl-frontier scheduling: render per-host robots
+    // with a host-derived Crawl-delay (1 + len(host) % 7), parse the
+    // delay back out of the text with the group-aware fold (the decoy
+    // badbot group carries Crawl-delay: 99 — a whole-file regex would
+    // read the wrong group), then schedule every corpus url into
+    // per-host sequential waves × 32 fetcher slots
+    "q182_crawl_frontier" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir)
+      val delay = lit(1L) + length(col("host")).cast("long") % 7
+      val delays = graft.operators.HostGraph.parseCrawlDelay(
+        graft.operators.HostGraph.robotsText(
+          graft.operators.HostGraph.syntheticRules(wd), delay))
+      graft.operators.HostGraph.crawlFrontier(
+        wd.select(col("host"), col("url")), delays, 32)
+    }),
+
+    // Source-mixture planning: per-source token mass → weight-share
+    // token targets and epoch counts under a 10^6-token budget (weights
+    // = 1 + srcN%3, the curated tier list) — the data-mixing table a
+    // multi-source pretraining run executes
+    "q183_source_mixture" -> ((s, dir) => {
+      import s.implicits._
+      val weights = (0 until 20).map(i => (s"src$i", ((i % 3) + 1).toLong))
+        .toDF("source", "weight")
+      graft.operators.TrainPrep.sourceMixture(
+        Pipeline.webdoc(s, dir), weights, 1000000L)
+    }),
+
+    // Cross-doc exact-substring runs (the ExactSubstr dedup class): doc
+    // pairs sharing a verbatim ≥16-token run via k-token window hashes +
+    // diagonal run merging; df-capped so boilerplate-hot windows (the
+    // %19 list injection spans every 19th doc) never fan out quadratically
+    "q184_substring_runs" -> ((s, dir) =>
+      graft.operators.Dedup.substringRuns(
+        Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -2982,6 +3054,100 @@ object SparkEntry {
           |     'ghp_[A-Za-z0-9]{36}', '<SECRET:ghp>', 'g'),
           |     'eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}', '<SECRET:jwt>', 'g') AS secret_scrubbed_text
           | FROM c""".stripMargin),
+    "q180_source_priority" ->
+      // identical injection + tier arithmetic (srcN → N%3) + the same
+      // (tier, doc_id) winner rule via row_number; md5(text) hex is the
+      // shared cross-engine cluster key
+      (webdocCte +
+        """, rep AS (SELECT doc_id + 70000000 AS doc_id, 'src0' AS source, text
+          |  FROM webdoc WHERE doc_id % 61 = 3 AND doc_id < 10000000)
+          |, corpus AS (SELECT doc_id, source, text FROM webdoc
+          |    UNION ALL SELECT * FROM rep)
+          |, k AS (SELECT doc_id, source,
+          |    CAST(CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS tier,
+          |    md5(text) AS ch FROM corpus)
+          |, r AS (SELECT *,
+          |    row_number() OVER (PARTITION BY ch ORDER BY tier, doc_id) AS rn,
+          |    CAST(count(*) OVER (PARTITION BY ch) AS BIGINT) AS n_cluster
+          |  FROM k)
+          |, w1 AS (SELECT ch, doc_id AS rep_doc_id, source AS rep_source
+          |  FROM r WHERE rn = 1)
+          | SELECT r.doc_id, r.source, r.tier, (r.rn = 1) AS keep,
+          |   w1.rep_doc_id, w1.rep_source, r.n_cluster
+          | FROM r JOIN w1 ON r.ch = w1.ch""".stripMargin),
+    "q181_meta_tags" ->
+      // every field re-derived from the generator's closed form — the
+      // injection→parse round trip is the thing under test
+      (webdocCte +
+        """ SELECT doc_id, url, 'Doc ' || doc_id AS title,
+          |   CASE WHEN doc_id % 21 = 5 THEN 'OG Doc ' || doc_id END AS og_title,
+          |   CASE WHEN doc_id % 15 = 4 THEN 'Doc ' || doc_id || ' summary' END AS meta_desc,
+          |   CASE WHEN doc_id % 21 = 5 THEN 'OG Doc ' || doc_id
+          |        ELSE 'Doc ' || doc_id END AS pub_title,
+          |   (doc_id % 15 = 4) AS has_desc
+          | FROM webdoc""".stripMargin),
+    "q182_crawl_frontier" ->
+      // delay re-derived from the render closed form (1 + len(host)%7 —
+      // the text round trip is covered by the parse reproducing exactly
+      // this), slot from the shared h60 arithmetic, waves by url order
+      (webdocCte +
+        """, del AS (SELECT DISTINCT host,
+          |    CAST(1 + length(host) % 7 AS BIGINT) AS delay_s FROM webdoc)
+          |, f AS (SELECT w.host, w.url, del.delay_s,
+          |    CAST(concat('0x', substr(md5(w.host), 1, 15)) AS BIGINT) % 32 AS slot,
+          |    CAST(row_number() OVER (PARTITION BY w.host ORDER BY w.url) - 1 AS BIGINT) AS wave
+          |  FROM webdoc w JOIN del ON w.host = del.host)
+          | SELECT host, url, delay_s, CAST(slot AS BIGINT) AS slot, wave,
+          |   wave * delay_s AS fetch_at_s
+          | FROM f""".stripMargin),
+    "q183_source_mixture" ->
+      // same re-token regex, same weight arithmetic (1 + srcN%3), same
+      // integer-ratio epochs: budget·w and Σw·n_tokens are exact BIGINTs,
+      // // is floor division on positives exactly like Spark's div
+      (webdocCte +
+        """, t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens
+          |  FROM webdoc GROUP BY 1)
+          |, wt AS (SELECT source, n_docs, n_tokens,
+          |    CAST(1 + CAST(substr(source, 4) AS INT) % 3 AS BIGINT) AS weight FROM t)
+          |, sw AS (SELECT CAST(sum(weight) AS BIGINT) AS sw FROM wt)
+          | SELECT source, n_docs, n_tokens, weight,
+          |   CAST((1000000 * weight) // sw AS BIGINT) AS target_tokens,
+          |   CASE WHEN n_tokens > 0 THEN
+          |     floor(CAST(1000000 * weight AS DOUBLE) * 1e6
+          |       / CAST(sw * n_tokens AS DOUBLE) + 0.5) / 1e6 END AS epochs,
+          |   (CASE WHEN n_tokens > 0 THEN
+          |     floor(CAST(1000000 * weight AS DOUBLE) * 1e6
+          |       / CAST(sw * n_tokens AS DOUBLE) + 0.5) / 1e6 END > 1.0) AS oversampled
+          | FROM wt, sw""".stripMargin),
+    "q184_substring_runs" ->
+      // identical k=8 window hashing (the shared h60 over the space-joined
+      // window), identical [2,8] df-cap + ≥2-doc gate, identical diagonal
+      // island merge — runs ≥ 16 tokens, within-doc repeats excluded
+      (webdocCte +
+        """, w0 AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+          |  FROM webdoc)
+          |, wn AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 6),
+          |    i -> {'pos': i - 1,
+          |          'h': CAST(concat('0x', substr(md5(array_to_string(words[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+          |  FROM w0 WHERE len(words) >= 8)
+          |, wh AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM wn)
+          |, ok AS (SELECT h FROM wh GROUP BY h
+          |    HAVING count(*) BETWEEN 2 AND 8 AND count(DISTINCT doc_id) >= 2)
+          |, whc AS (SELECT * FROM wh WHERE h IN (SELECT h FROM ok))
+          |, cand AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+          |    b.doc_id AS doc_b, b.pos AS pos_b
+          |  FROM whc a JOIN whc b USING (h) WHERE a.doc_id < b.doc_id)
+          |, isl AS (SELECT doc_a, doc_b, pos_a - pos_b AS diag,
+          |    pos_a - row_number() OVER (
+          |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+          |  FROM cand)
+          |, runs AS (SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS run_tokens
+          |  FROM isl GROUP BY doc_a, doc_b, diag, grp)
+          | SELECT doc_a, doc_b, max(run_tokens) AS max_run_tokens,
+          |   CAST(sum(run_tokens - 7) AS BIGINT) AS n_shared_windows
+          | FROM runs GROUP BY 1, 2 HAVING max(run_tokens) >= 16""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

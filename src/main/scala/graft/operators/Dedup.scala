@@ -1331,6 +1331,101 @@ object Dedup {
         .as("inter_est"))
   }
 
+  /** Cross-doc exact-substring run detection — the ExactSubstr class of
+    * dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better" — public): find PAIRS of documents sharing a long
+    * verbatim token run, the duplication mode MinHash's whole-doc Jaccard
+    * underweights (a 50-token quote inside two otherwise-different pages).
+    * The suffix-array construction of the paper is replaced by the
+    * Spark-native equivalent: k-token window hashes + diagonal run
+    * merging — identical findings for runs ≥ k at a fraction of the
+    * machinery.
+    *
+    * Mechanics: every k-token window hashes to the shared h60; windows
+    * whose global frequency is in [2, dfCap] AND span ≥2 docs are
+    * candidate anchors (the df-cap kills boilerplate-hot windows — a
+    * listicle fragment shared by 10⁵ pages would otherwise fan out
+    * quadratically; this is the q41/q115 df discipline); anchor pairs
+    * group by (doc_a, doc_b, pos_a−pos_b) — consecutive positions on one
+    * DIAGONAL are one verbatim run of (count + k − 1) tokens, merged with
+    * the classic pos − row_number island trick. Published per pair:
+    * longest shared run + total shared windows, thresholded at
+    * `minRunTokens`.
+    *
+    * Scale shape: the corpus-sized exchanges carry (h, doc_id, pos)
+    * longs ONLY — text dies in the scan projection (q115 discipline);
+    * the window build is one in-row HOF pass (O(n·k) hashing per doc —
+    * a rolling PolyHash drops that to O(n) if profiles ever care); the
+    * per-pair island window runs on pair-sized data bounded by dfCap².
+    * Within-doc repeats are deliberately OUT (doc_a < doc_b) — that's
+    * q74's operator. */
+  def substringRuns(docs: DataFrame, k: Int = 8, dfCap: Int = 8,
+                    minRunTokens: Int = 16): DataFrame = {
+    val words = Rules.wordsOf(col("text"))
+    val wins = when(size(words) >= k,
+      transform(sequence(lit(0), size(words) - k), i =>
+        struct(i.as("pos"),
+          md5Hash60(concat_ws(" ", slice(words, i + lit(1), lit(k)))).as("h"))))
+      .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))
+    val wh = graft.plans.TrackedCache.persist(
+      docs.select(col("doc_id"), explode(wins).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), col("s.h").as("h")))
+    val ok = wh.groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("n") >= 2 && col("n") <= dfCap && col("nd") >= 2)
+      .select(col("h"))
+    val capped = wh.join(ok, Seq("h"))
+    val cand = capped.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pos_b")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val runs = cand.withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + lit((k - 1).toLong)).as("run_tokens"))
+    runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        sum(col("run_tokens") - lit((k - 1).toLong)).as("n_shared_windows"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+  }
+
+  /** Cross-source priority dedup — the Pile/Dolma-style curation rule for
+    * corpora assembled from MULTIPLE sources of unequal provenance
+    * quality: when the same content appears in several sources (a Wikipedia
+    * article also crawled from a mirror, a book chapter inside a CC page),
+    * keep exactly ONE copy and make it the copy from the most-trusted
+    * source. The reference's analogue is its version-shadow preference
+    * order (later/better provenance wins — data_source.py's
+    * preferred-version selection); here the preference axis is the source
+    * tier list a curation team maintains.
+    *
+    * `tiers` is that list: (source, tier), LOWER tier = higher priority.
+    * Winner per content cluster = min (tier, doc_id) — deterministic, and
+    * the doc_id tiebreak keeps the earliest copy within a tier.
+    *
+    * Scale shape: `tiers` is a curated table of source names — broadcast
+    * by construction. The corpus projects to (16-byte md5 key, source,
+    * tier, doc_id) BEFORE the one window exchange (text dies in the scan;
+    * the 128-bit key is collision-free at 10^12 docs, same argument as
+    * [[exact]]). One exchange total: the window's hash-partition on the
+    * key computes min-struct and count per cluster in the same pass —
+    * exact-dedup cost with provenance-aware winner selection. */
+  def sourcePriorityDedup(docs: DataFrame, tiers: DataFrame): DataFrame = {
+    val keyed = docs.join(broadcast(tiers), Seq("source"))
+      .select(col("doc_id"), col("source"), col("tier").cast("long").as("tier"),
+        unhex(md5(col("text"))).as("__ch"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))
+    val best = min(struct(col("tier"), col("doc_id"), col("source"))).over(w)
+    keyed
+      .select(col("doc_id"), col("source"), col("tier"),
+        (col("doc_id") === best.getField("doc_id")).as("keep"),
+        best.getField("doc_id").as("rep_doc_id"),
+        best.getField("source").as("rep_source"),
+        count(lit(1)).over(w).as("n_cluster"))
+  }
+
   /** Per-host HyperLogLog distinct-shingle estimate (Flajolet et al. 2007
     * — a public algorithm) — the fixed-size counterpart to [[hostKmv]]:
     * the sketch is m = 64 one-byte registers per host REGARDLESS of

@@ -71,6 +71,33 @@ object Extract {
           .as("host_share"))
   }
 
+  /** Page-metadata extraction — the <head> fields a curation pipeline
+    * indexes alongside the body text: `<title>`, the OpenGraph title
+    * (`<meta property="og:title">` — the Facebook-published public
+    * protocol, ogp.me) and the classic `<meta name="description">`.
+    * `pub_title` applies the standard precedence (og:title wins over
+    * `<title>` — OG is the author's EXPLICIT share-card declaration,
+    * title is chrome that often carries site-name suffixes). Absent
+    * fields are NULL, not '' — consumers branch on presence.
+    *
+    * All three fields come from one scan-side projection of three
+    * RE2-compatible regexes (attribute order fixed by the corpus
+    * generator; a production corpus with attribute-order variance extends
+    * the patterns, not the shape). Exchange-free; the html blob dies in
+    * the scan. */
+  def metaTags(docs: DataFrame): DataFrame = {
+    val s = col("html").cast("string")
+    val title = nullif(regexp_extract(s, "<title>(.*?)</title>", 1), lit(""))
+    val og = nullif(regexp_extract(s,
+      "<meta property=\"og:title\" content=\"([^\"]*)\"", 1), lit(""))
+    val desc = nullif(regexp_extract(s,
+      "<meta name=\"description\" content=\"([^\"]*)\"", 1), lit(""))
+    docs.select(col("doc_id"), col("url"), title.as("title"),
+        og.as("og_title"), desc.as("meta_desc"))
+      .withColumn("pub_title", coalesce(col("og_title"), col("title")))
+      .withColumn("has_desc", col("meta_desc").isNotNull)
+  }
+
   /** Block-level link-density boilerplate scoring — the shallow-text-
     * features heuristic of the Boilerpipe / jusText line (public
     * algorithms: Kohlschütter et al., WSDM 2010): split the page into

@@ -146,16 +146,16 @@ object HostGraph {
     * `badbot` group that disallows everything (the `*` parse must ignore
     * it), a blank separator line, an unknown `Crawl-delay` directive, and
     * CRLF line endings on even-length hosts (the parser must trim `\r`). */
-  def robotsText(rules: DataFrame): DataFrame = {
+  def robotsText(rules: DataFrame, delay: Column = lit(5L)): DataFrame = {
     val perHost = rules.groupBy(col("host"))
       .agg(array_sort(collect_list(struct(col("prefix"), col("allow")))).as("rs"))
     val ruleLines = transform(col("rs"), r =>
       concat(when(r("allow"), lit("Allow: ")).otherwise(lit("Disallow: ")), r("prefix")))
     val lines = concat(
       array(lit("# robots.txt (generated)"), lit("User-agent: badbot"),
-        lit("Disallow: /"), lit(""), lit("User-agent: *")),
+        lit("Disallow: /"), lit("Crawl-delay: 99"), lit(""), lit("User-agent: *")),
       ruleLines,
-      array(lit("Crawl-delay: 5")))
+      array(concat(lit("Crawl-delay: "), delay.cast("string"))))
     perHost.select(col("host"),
       when(length(col("host")) % 2 === 0,
         regexp_replace(array_join(lines, "\n"), "\n", "\r\n"))
@@ -209,6 +209,69 @@ object HostGraph {
       })
     robots.select(col("host"), explode(folded("rules")).as("r"))
       .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+  }
+
+  /** Per-host Crawl-delay from robots.txt text — the SAME group fold as
+    * [[parseRobots]] (comments stripped, CR tolerated, consecutive
+    * User-agent lines form a group, only `*` groups apply) but capturing
+    * the `Crawl-delay` directive the rule parse skips. The rendered decoy
+    * `badbot` group carries `Crawl-delay: 99` precisely so a whole-file
+    * regex would get this wrong — group awareness is the contract.
+    * Non-numeric values are ignored (the de-facto REP extension carries
+    * no grammar guarantee); a file with no `*`-group delay publishes
+    * `default`. Pure projection over the KB-sized per-host table —
+    * nothing corpus-sized is touched. */
+  def parseCrawlDelay(robots: DataFrame, default: Long = 1L): DataFrame = {
+    val folded = aggregate(
+      split(col("robots_txt"), "\n"),
+      struct(lit(false).as("active"), lit(false).as("afterAgent"),
+        lit(default).as("delay")),
+      (st, l0) => {
+        val l = trim(regexp_replace(l0, "#.*$", ""))
+        val key = lower(substring_index(l, ":", 1))
+        val value = trim(regexp_extract(l, "^[^:]*:(.*)$", 1))
+        val isAgent = key === "user-agent" && l.contains(":")
+        val isDelay = key === "crawl-delay" && value.rlike("^[0-9]+$")
+        struct(
+          when(isAgent,
+            when(st("afterAgent"), st("active") || (value === "*"))
+              .otherwise(value === "*"))
+            .otherwise(st("active")).as("active"),
+          when(isAgent, lit(true)).when(l === "", st("afterAgent"))
+            .otherwise(lit(false)).as("afterAgent"),
+          when(isDelay && st("active"), value.cast("long"))
+            .otherwise(st("delay")).as("delay"))
+      })
+    robots.select(col("host"), folded("delay").as("delay_s"))
+  }
+
+  /** Politeness-aware fetch scheduling — the crawl-frontier op that turns
+    * a url backlog (e.g. q172's listed-but-uncrawled sitemap diff) into
+    * an executable plan: per host the urls form ONE sequential wave chain
+    * (politeness is the law that a host is fetched serially), `fetch_at_s`
+    * = wave × the host's robots Crawl-delay, and hosts spread across
+    * `nSlots` fetcher slots by the shared md5-derived hash so one slot's
+    * failure stalls 1/nSlots of hosts, not all.
+    *
+    * Scale shape: the per-host sequencing is a row_number window on
+    * (host → url) — the one exchange, carrying (host, url, delay) only.
+    * Per-host sort cost is inherent: the schedule IS a per-host sequence
+    * (no operator choice removes it), and a mega-host's long chain is a
+    * real crawl constraint surfaced as large `fetch_at_s`, not a compute
+    * pathology. Delays broadcast (one row per robots-bearing host). The
+    * slot assignment is stateless hashing — adding fetchers rescales
+    * nSlots without reshuffling history. */
+  def crawlFrontier(backlog: DataFrame, delays: DataFrame, nSlots: Int,
+                    defaultDelay: Long = 1L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("url"))
+    backlog.select(col("host"), col("url"))
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelay)))
+      .withColumn("slot",
+        pmod(graft.functions.Hashing.md5Hash60(col("host")), lit(nSlots.toLong)))
+      .withColumn("wave", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_s", col("wave") * col("delay_s"))
   }
 
   /** Longest-prefix policy decision per document — robots semantics: of

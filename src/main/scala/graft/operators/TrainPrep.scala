@@ -527,6 +527,44 @@ object TrainPrep {
     * salt ⇒ the same order on any cluster size, no RNG, no global sort
     * (one exchange on shard, per-shard sort only). Re-salting reshuffles
     * between epochs without touching the data. */
+  /** Source-mixture planning — the data-mixing table every multi-source
+    * pretraining run starts from (the Pile / LLaMA discipline: each
+    * source gets a mixture WEIGHT, the token budget splits by weight, and
+    * sources smaller than their allocation repeat for multiple epochs):
+    * per source, measured token mass, its weight-share target
+    * `target_tokens = budget·w/Σw`, the epoch count `target/n_tokens`
+    * (floor-quantized — >1 means oversampling, the decision downstream
+    * sampling executes), and the oversample flag.
+    *
+    * Exactness: budget·w and Σw·n_tokens are exact BIGINT products (a
+    * 10^13-token budget × weight ≤ 100 stays < 2^63), so both published
+    * doubles are single integer-ratio divisions on engine-identical
+    * operands — the repo's floor-quantize class.
+    *
+    * Scale shape: ONE map-side-combinable (source, 2 longs) aggregation
+    * over the corpus — the per-doc token count is a scan-side projection;
+    * Σw over the sources actually PRESENT joins back as a broadcast
+    * 1-row crossJoin. The weights table is curated-small by construction.
+    * Nothing corpus-sized shuffles; the plan is a narrow agg at 10^12
+    * docs exactly as at the fixture. */
+  def sourceMixture(docs: DataFrame, weights: DataFrame,
+                    budgetTokens: Long): DataFrame = {
+    val perSrc = TextStats.withTokenCounts(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_re_tokens")).as("n_tokens"))
+      .join(broadcast(weights), Seq("source"))
+    val sumW = perSrc.agg(sum(col("weight")).as("__sw"))
+    perSrc.crossJoin(broadcast(sumW))
+      .withColumn("__prod", lit(budgetTokens) * col("weight"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("__prod div __sw").as("target_tokens"),
+        when(col("n_tokens") > 0,
+          floor(col("__prod").cast("double") * 1e6
+            / (col("__sw") * col("n_tokens")).cast("double") + 0.5) / 1e6)
+          .as("epochs"))
+      .withColumn("oversampled", col("epochs") > 1.0)
+  }
+
   def trainOrder(docs: DataFrame, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))

@@ -203,4 +203,53 @@ class AvRobotsSpec extends SparkSpec {
     assert(toSet(roundTripped) == exp)
     plans.TrackedCache.releaseAll()
   }
+
+  private def delayOf(txt: String, default: Long = 1L): Long = {
+    import spark.implicits._
+    HostGraph.parseCrawlDelay(Seq(("h", txt)).toDF("host", "robots_txt"), default)
+      .collect().head.getLong(1)
+  }
+
+  test("parseCrawlDelay: group-aware capture; decoy/non-numeric/absent handled") {
+    // the * group's delay wins; the badbot group's is ignored
+    assert(delayOf("User-agent: badbot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 7\n") == 7L)
+    // a whole-file regex would read 99 here — group awareness is the test
+    assert(delayOf("User-agent: badbot\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /x\n") == 1L)
+    // non-numeric values are skipped (no grammar guarantee in the wild)
+    assert(delayOf("User-agent: *\nCrawl-delay: fast\n") == 1L)
+    // later value in the same active group wins; CR tolerated
+    assert(delayOf("User-agent: *\r\nCrawl-delay: 3\r\nCrawl-delay: 4\r\n") == 4L)
+    // no robots group at all → default passes through
+    assert(delayOf("User-agent: somebot\nCrawl-delay: 9\n", default = 2L) == 2L)
+    // the rendered form round-trips: robotsText(delay=6) → parse = 6
+    import spark.implicits._
+    val rules = Seq(("h", "/x", false)).toDF("host", "prefix", "allow")
+    val rendered = HostGraph.robotsText(rules, lit(6L))
+    assert(HostGraph.parseCrawlDelay(rendered).collect().head.getLong(1) == 6L)
+  }
+
+  test("crawlFrontier: per-host sequential waves × delay, default for unknown hosts, stable slots") {
+    import spark.implicits._
+    val backlog = Seq(
+      ("a.com", "https://a.com/1"), ("a.com", "https://a.com/2"),
+      ("a.com", "https://a.com/3"), ("b.com", "https://b.com/1"),
+      ("c.com", "https://c.com/1"), ("c.com", "https://c.com/2"))
+      .toDF("host", "url")
+    val delays = Seq(("a.com", 5L), ("b.com", 2L)).toDF("host", "delay_s")
+    val got = HostGraph.crawlFrontier(backlog, delays, 8, defaultDelay = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .map { case (h, u, d, sl, w, f) => (h, u) -> (d, sl, w, f) }.toMap
+    // a.com: waves 0/1/2 at delay 5 → fetch_at 0/5/10 (url order)
+    assert(got(("a.com", "https://a.com/1"))._3 == 0L)
+    assert(got(("a.com", "https://a.com/3")) match { case (5L, _, 2L, 10L) => true; case _ => false })
+    // b.com: single url, wave 0
+    assert(got(("b.com", "https://b.com/1")) match { case (2L, _, 0L, 0L) => true; case _ => false })
+    // c.com has no robots row → default delay 3
+    assert(got(("c.com", "https://c.com/2")) match { case (3L, _, 1L, 3L) => true; case _ => false })
+    // slot = shared h60 arithmetic, identical for all urls of a host
+    val aSlot = graft.functions.Hashing.md5Hash60Jvm("a.com") % 8
+    assert(got(("a.com", "https://a.com/1"))._2 == aSlot)
+    assert(got(("a.com", "https://a.com/2"))._2 == aSlot)
+  }
 }

@@ -275,4 +275,26 @@ class HrefImageSpec extends SparkSpec {
     assert(out.size == 3)
     graft.plans.TrackedCache.releaseAll()
   }
+
+  test("metaTags: og:title precedence, NULL absences, hand-laid head fields") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1", ("<html><head><title>Plain Title</title>" +
+        "<meta charset=\"utf-8\"></head><body></body></html>").getBytes("UTF-8")),
+      (2L, "u2", ("<html><head><title>T2</title>" +
+        "<meta property=\"og:title\" content=\"OG Two\">" +
+        "<meta name=\"description\" content=\"about two\"></head></html>").getBytes("UTF-8")),
+      (3L, "u3", ("<html><head>" +
+        "<meta name=\"description\" content=\"desc only\"></head></html>").getBytes("UTF-8")))
+      .toDF("doc_id", "url", "html")
+    val got = graft.operators.Extract.metaTags(docs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), Option(r.getString(3)),
+        Option(r.getString(4)), Option(r.getString(5)), r.getBoolean(6)))).toMap
+    // title only → pub_title = title, no og, no desc
+    assert(got(1L) == ((Some("Plain Title"), None, None, Some("Plain Title"), false)))
+    // og wins over title; desc present
+    assert(got(2L) == ((Some("T2"), Some("OG Two"), Some("about two"), Some("OG Two"), true)))
+    // headless title → everything from meta; pub_title NULL when no title at all
+    assert(got(3L) == ((None, None, Some("desc only"), None, true)))
+  }
 }

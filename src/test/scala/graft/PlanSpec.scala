@@ -838,4 +838,32 @@ class PlanSpec extends SparkSpec {
     assert(shuffled.forall(cols => !cols.exists(_.contains("robots_txt"))),
       s"robots text must not outlive the parse: $shuffled")
   }
+
+  test("q180: priority dedup exchanges carry the 16-byte key, never text; tiers broadcast") {
+    val plan = staticPlan(SparkEntry.queries("q180_source_priority")(spark, sfDir))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the curated tier table must broadcast: " + plan.toString.take(1500))
+    val shuffles = allShuffleOutputs(plan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols => assert(!cols.exists(_.contains("text")),
+      s"the window exchange must carry (key, source, tier, doc_id) only: $cols"))
+  }
+
+  test("q182: frontier schedule shuffles only (host, url, delay) — robots text dies in the parse") {
+    val plan = staticPlan(SparkEntry.queries("q182_crawl_frontier")(spark, sfDir))
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "per-host delays must broadcast: " + plan.toString.take(1500))
+    allShuffleOutputs(plan).foreach(cols => assert(!cols.exists(c =>
+      c.contains("text") || c.contains("html") || c.contains("robots_txt")),
+      s"the politeness window must never carry page or robots bytes: $cols"))
+  }
+
+  test("q184: substring runs shuffle (h, doc_id, pos) longs only — text dies in the window projection") {
+    val plan = staticPlan(SparkEntry.queries("q184_substring_runs")(spark, sfDir))
+    val shuffles = allShuffleOutputs(plan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols => assert(!cols.exists(c =>
+      c.contains("text") || c.contains("words")),
+      s"exchanges must carry window hashes and positions only: $cols"))
+  }
 }

@@ -418,4 +418,26 @@ class TrainPrepSpec extends SparkSpec {
     assert(orderA.toSet == orderB.toSet && orderA != orderB,
       "re-salting must permute the same docs into a different order")
   }
+
+  test("sourceMixture: exact integer targets, floor-quantized epochs, oversample flag") {
+    import spark.implicits._
+    // token counts under TokenRe: "one two" = 2, "a b c d" = 4
+    val docs = Seq(
+      (1L, "big", "one two"), (2L, "big", "one two"),
+      (3L, "big", "one two"), (4L, "big", "one two"),  // big: 8 tokens
+      (5L, "tiny", "a b"))                             // tiny: 2 tokens
+      .toDF("doc_id", "source", "text")
+    val weights = Seq(("big", 1L), ("tiny", 3L)).toDF("source", "weight")
+    val got = graft.operators.TrainPrep.sourceMixture(docs, weights, 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    // Σw = 4; big: target = 100·1 div 4 = 25, epochs = 100/(4·8) = 3.125
+    assert(got("big") == ((4L, 8L, 1L, 25L, 3.125, true)))
+    // tiny: target = 100·3 div 4 = 75, epochs = 300/(4·2) = 37.5
+    assert(got("tiny") == ((1L, 2L, 3L, 75L, 37.5, true)))
+    // an undersized budget flips the flag off: budget 8 → big epochs 0.25
+    val small = graft.operators.TrainPrep.sourceMixture(docs, weights, 8L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(!small("big"))
+  }
 }

@@ -251,4 +251,55 @@ class TrainSpec extends SparkSpec {
     val b = graft.operators.Dedup.kmvDistinctShingles(docs.repartition(13), 64).head()
     assert(a == b)
   }
+
+  test("substringRuns: exact run length on a diagonal, df-cap kills hot windows, within-doc excluded") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ") // a 20-token verbatim run
+    val hot = (1 to 10).map(i => s"h$i").mkString(" ")   // 10-token boilerplate
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),
+      (2L, s"unrelated opening words here $quote closing words"),
+      // 10 docs all carrying the SAME boilerplate → df 10 > cap 8 → no pairs
+      (3L, s"three a $hot"), (4L, s"four b $hot"), (5L, s"five c $hot"),
+      (6L, s"six d $hot"), (7L, s"seven e $hot"), (8L, s"eight f $hot"),
+      (9L, s"nine g $hot"), (10L, s"ten h $hot"), (11L, s"eleven i $hot"),
+      (12L, s"twelve j $hot"),
+      // a doc REPEATING the quote twice internally — within-doc pairs out
+      (13L, s"$quote and then once more $quote"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringRuns(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // 1↔2 share exactly the 20-token quote: max run 20, 13 windows (20−8+1)
+    assert(got((1L, 2L)) == ((20L, 13L)))
+    // 13 pairs with 1 and 2 on BOTH its quote copies: two diagonals, each
+    // max-run 20 — but published max stays 20 and windows double
+    assert(got((1L, 13L))._1 == 20L && got((1L, 13L))._2 == 26L)
+    // no hot-boilerplate pair survives the df-cap
+    assert(!got.keys.exists { case (a, b) => a >= 3L && a <= 12L && b <= 12L })
+  }
+
+  test("sourcePriorityDedup: tier beats doc_id; same-tier tie keeps earliest; singletons keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cc", "shared text"),     // tier 2, earliest doc_id
+      (2L, "mirror", "shared text"), // tier 1
+      (9L, "wiki", "shared text"),   // tier 0 — latest doc_id, must WIN
+      (3L, "cc", "cc-only text"),    // singleton
+      (4L, "cc", "same tier text"), (5L, "cc", "same tier text")) // tie → min doc_id
+      .toDF("doc_id", "source", "text")
+    val tiers = Seq(("wiki", 0L), ("mirror", 1L), ("cc", 2L))
+      .toDF("source", "tier")
+    val got = graft.operators.Dedup.sourcePriorityDedup(docs, tiers).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getLong(4), r.getString(5),
+        r.getLong(6)))).toMap
+    // the wiki copy wins its 3-cluster despite the largest doc_id
+    assert(got(9L) == ((true, 9L, "wiki", 3L)))
+    assert(got(1L) == ((false, 9L, "wiki", 3L)))
+    assert(got(2L) == ((false, 9L, "wiki", 3L)))
+    // singleton keeps itself
+    assert(got(3L) == ((true, 3L, "cc", 1L)))
+    // equal tier → earliest doc_id
+    assert(got(4L)._1 && !got(5L)._1 && got(5L)._2 == 4L)
+  }
 }
