@@ -657,6 +657,24 @@ object SparkEntry {
       graft.operators.Dedup.substringRuns(
         Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
 
+    // The action half of ExactSubstr: every ≥16-token verbatim run found
+    // by q184's machinery is CUT from the higher doc_id (first occurrence
+    // keeps it); published as the surviving whitespace-normalized token
+    // stream — the training feed. Cut lists broadcast back (q83's
+    // removal-list discipline)
+    "q185_substring_excise" -> ((s, dir) =>
+      graft.operators.Dedup.substringExcise(
+        Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
+
+    // T5-style span corruption on a fixed grid (overlap-free by
+    // construction — the sequential overlap-resolution fold of the IID
+    // formulation is exactly what a SQL oracle can't replay): salted
+    // hash-gated span starts, numbered sentinels in the input, the
+    // (sentinel, span) pairs as the target
+    "q186_span_corruption" -> ((s, dir) =>
+      graft.operators.TrainPrep.spanCorruption(
+        Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -3148,6 +3166,75 @@ object SparkEntry {
           | SELECT doc_a, doc_b, max(run_tokens) AS max_run_tokens,
           |   CAST(sum(run_tokens - 7) AS BIGINT) AS n_shared_windows
           | FROM runs GROUP BY 1, 2 HAVING max(run_tokens) >= 16""".stripMargin),
+    "q185_substring_excise" ->
+      // q184's window/cap/island chain with pos_b retained; coverage
+      // semantics for the cut set (a position dies if ANY run covers it);
+      // the survivor stream re-joined with single spaces both engines
+      (webdocCte +
+        """, w0 AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+          |  FROM webdoc)
+          |, wn AS (SELECT doc_id, unnest(list_transform(range(1, len(words) - 6),
+          |    i -> {'pos': i - 1,
+          |          'h': CAST(concat('0x', substr(md5(array_to_string(words[i:i+7], ' ')), 1, 15)) AS BIGINT)})) AS s
+          |  FROM w0 WHERE len(words) >= 8)
+          |, wh AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM wn)
+          |, ok AS (SELECT h FROM wh GROUP BY h
+          |    HAVING count(*) BETWEEN 2 AND 8 AND count(DISTINCT doc_id) >= 2)
+          |, whc AS (SELECT * FROM wh WHERE h IN (SELECT h FROM ok))
+          |, cand AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+          |    b.doc_id AS doc_b, b.pos AS pos_b
+          |  FROM whc a JOIN whc b USING (h) WHERE a.doc_id < b.doc_id)
+          |, isl AS (SELECT doc_a, doc_b, pos_b, pos_a - pos_b AS diag,
+          |    pos_a - row_number() OVER (
+          |      PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+          |  FROM cand)
+          |, runs AS (SELECT doc_b, CAST(min(pos_b) AS BIGINT) AS start_b,
+          |    CAST(count(*) + 7 AS BIGINT) AS len
+          |  FROM isl GROUP BY doc_a, doc_b, diag, grp)
+          |, cut AS (SELECT DISTINCT doc_b AS doc_id,
+          |    start_b + unnest(range(0, len)) AS pos
+          |  FROM runs WHERE len >= 16)
+          |, toks AS (SELECT doc_id, unnest(words) AS word,
+          |    generate_subscripts(words, 1) - 1 AS pos FROM w0)
+          |, keptt AS (SELECT t.doc_id, t.word, t.pos FROM toks t
+          |    LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          |  WHERE c.pos IS NULL)
+          |, nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_excised
+          |  FROM cut GROUP BY 1)
+          |, ded AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS dedup_text
+          |  FROM keptt GROUP BY 1)
+          | SELECT w0.doc_id, CAST(len(w0.words) AS BIGINT) AS n_tokens,
+          |   coalesce(nc.n_excised, 0) AS n_excised,
+          |   coalesce(ded.dedup_text, '') AS dedup_text
+          | FROM w0 LEFT JOIN nc USING (doc_id) LEFT JOIN ded USING (doc_id)""".stripMargin),
+    "q186_span_corruption" ->
+      // identical grid/gate/sentinel arithmetic: starts on the 7-grid
+      // through the salted h60 gate, sentinel index = starts before p,
+      // target = sentinel-prefixed 3-token slices
+      (webdocCte +
+        """, w0 AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+          |  FROM webdoc)
+          |, st AS (SELECT doc_id, words, CASE WHEN len(words) >= 3 THEN
+          |    list_filter(list_transform(range(0, (len(words) - 3) // 7 + 1), j -> j * 7),
+          |      p -> CAST(concat('0x', substr(md5(doc_id || ':' || p || ':t5'), 1, 15)) AS BIGINT) % 100 < 35)
+          |    ELSE CAST([] AS BIGINT[]) END AS starts FROM w0)
+          | SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+          |   CAST(len(starts) AS BIGINT) AS n_spans,
+          |   CASE WHEN len(words) > 0 THEN array_to_string(list_filter(
+          |     list_transform(range(0, len(words)), p ->
+          |       CASE WHEN list_contains(starts, p)
+          |            THEN '<extra_id_' || len(list_filter(starts, s -> s < p)) || '>'
+          |            WHEN len(list_filter(starts, s -> p >= s AND p < s + 3)) > 0 THEN NULL
+          |            ELSE words[p + 1] END),
+          |     x -> x IS NOT NULL), ' ') ELSE '' END AS input_text,
+          |   CASE WHEN len(starts) > 0 THEN array_to_string(
+          |     list_transform(range(0, len(starts)), j ->
+          |       '<extra_id_' || j || '>' || ' ' ||
+          |       array_to_string(words[starts[j+1]+1 : starts[j+1]+3], ' ')),
+          |     ' ') ELSE '' END AS target_text
+          | FROM st""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

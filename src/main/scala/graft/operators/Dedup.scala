@@ -1360,7 +1360,17 @@ object Dedup {
     * Within-doc repeats are deliberately OUT (doc_a < doc_b) — that's
     * q74's operator. */
   def substringRuns(docs: DataFrame, k: Int = 8, dfCap: Int = 8,
-                    minRunTokens: Int = 16): DataFrame = {
+                    minRunTokens: Int = 16): DataFrame =
+    diagonalRuns(docs, k, dfCap)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("run_tokens")).as("max_run_tokens"),
+        sum(col("run_tokens") - lit((k - 1).toLong)).as("n_shared_windows"))
+      .filter(col("max_run_tokens") >= minRunTokens)
+
+  /** Shared window→candidate→island stage of [[substringRuns]] and
+    * [[substringExcise]]: per (doc_a < doc_b) pair, every maximal
+    * verbatim diagonal run as (start_a, start_b, run_tokens). */
+  private def diagonalRuns(docs: DataFrame, k: Int, dfCap: Int): DataFrame = {
     val words = Rules.wordsOf(col("text"))
     val wins = when(size(words) >= k,
       transform(sequence(lit(0), size(words) - k), i =>
@@ -1381,14 +1391,52 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pos_a"))
-    val runs = cand.withColumn("diag", col("pos_a") - col("pos_b"))
+    cand.withColumn("diag", col("pos_a") - col("pos_b"))
       .withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
-      .agg((count(lit(1)) + lit((k - 1).toLong)).as("run_tokens"))
-    runs.groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("run_tokens")).as("max_run_tokens"),
-        sum(col("run_tokens") - lit((k - 1).toLong)).as("n_shared_windows"))
-      .filter(col("max_run_tokens") >= minRunTokens)
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + lit((k - 1).toLong)).as("run_tokens"))
+      .drop("diag", "grp")
+  }
+
+  /** Cross-doc exact-substring EXCISION — the action half of the
+    * ExactSubstr discipline (Lee et al. 2021 cut every duplicated
+    * substring ≥ 50 tokens from the corpus, keeping one occurrence):
+    * for every shared run found by [[substringRuns]]'s machinery, the
+    * HIGHER doc_id loses the run's token range (the earlier doc keeps
+    * it — same first-occurrence rule as the line/span family q83/q122);
+    * ranges from multiple partners overlap freely — coverage semantics,
+    * a position dies if ANY kept-elsewhere run covers it. Published per
+    * doc: token count, excised-position count, and the surviving token
+    * stream (whitespace-normalized — this is the TRAINING feed, not the
+    * display text; byte-level span surgery is q83's operator).
+    *
+    * Scale shape: everything corpus-sized shuffles as (h, doc_id, pos)
+    * longs exactly like [[substringRuns]]; the excision side output is
+    * (doc_id, sorted cut-position array) — proportional to DUPLICATED
+    * tokens only, broadcast back so the corpus-side rebuild is one
+    * in-row filter (the q83 removal-list discipline). The per-token
+    * array_contains is O(cut) — swap to a binary-search Expression if a
+    * pathological corpus ever makes cut lists big. */
+  def substringExcise(docs: DataFrame, k: Int = 8, dfCap: Int = 8,
+                      minRunTokens: Int = 16): DataFrame = {
+    val cut = diagonalRuns(docs, k, dfCap)
+      .filter(col("run_tokens") >= minRunTokens)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b").cast("long"),
+          col("start_b").cast("long") + col("run_tokens") - 1)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("int"))).as("cut"))
+    val words = Rules.wordsOf(col("text"))
+    docs.join(broadcast(cut), Seq("doc_id"), "left")
+      .withColumn("__words", words)
+      .withColumn("__cut", coalesce(col("cut"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__words")).cast("long").as("n_tokens"),
+        size(col("__cut")).cast("long").as("n_excised"),
+        concat_ws(" ", filter(col("__words"),
+          (_, i) => !array_contains(col("__cut"), i))).as("dedup_text"))
   }
 
   /** Cross-source priority dedup — the Pile/Dolma-style curation rule for

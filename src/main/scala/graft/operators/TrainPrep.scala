@@ -565,6 +565,59 @@ object TrainPrep {
       .withColumn("oversampled", col("epochs") > 1.0)
   }
 
+  /** T5-style span-corruption pretraining prep (Raffel et al. 2020 —
+    * public): deterministically select non-overlapping token spans,
+    * replace each in the INPUT with a numbered sentinel, and emit the
+    * TARGET as sentinel→span pairs. The classic formulation samples span
+    * starts IID and then resolves overlaps sequentially — a fold a SQL
+    * oracle can't replay; here starts live on a fixed grid (every
+    * `grid`-th position, span length < grid ⇒ overlap-free BY
+    * CONSTRUCTION) and fire through the repo's salted hash gate, which
+    * keeps the selection RNG-free, partitioning-independent, and
+    * re-rollable by salt exactly like [[hashSample]].
+    *
+    * Published per doc: token count, span count, the corrupted input
+    * stream and the target stream — the actual (input, label) pair a
+    * denoising pretrain consumes.
+    *
+    * Scale shape: entirely scan-side in-row HOFs — zero exchanges at any
+    * corpus size. The sentinel-index lookup is O(spans) per masked
+    * position (spans ≈ n·gate/grid, small); the whole projection stays
+    * codegen'd. */
+  def spanCorruption(docs: DataFrame, grid: Int = 7, spanLen: Int = 3,
+                     gatePct: Int = 35, salt: String = "t5"): DataFrame = {
+    require(spanLen < grid, "grid must exceed spanLen (overlap-free construction)")
+    val words = Rules.wordsOf(col("text"))
+    val n = size(words)
+    val gate = (p: Column) => pmod(md5Hash60(concat(col("doc_id").cast("string"),
+      lit(":"), p.cast("string"), lit(":" + salt))), lit(100L)) < gatePct
+    val starts = when(n >= spanLen,
+      filter(transform(sequence(lit(0),
+          floor((n - lit(spanLen)).cast("double") / grid).cast("int")),
+        j => j * grid), p => gate(p)))
+      .otherwise(array().cast("array<int>"))
+    val covered = (p: Column, st: Column) =>
+      exists(st, s0 => p >= s0 && p < s0 + spanLen)
+    val sentinel = (idx: Column) =>
+      concat(lit("<extra_id_"), idx.cast("string"), lit(">"))
+    docs.withColumn("__w", words).withColumn("__st", starts)
+      .withColumn("__in", when(size(col("__w")) > 0, concat_ws(" ", filter(
+        transform(sequence(lit(0), size(col("__w")) - 1), p =>
+          when(array_contains(col("__st"), p),
+            sentinel(size(filter(col("__st"), s0 => s0 < p))))
+          .when(covered(p, col("__st")), lit(null).cast("string"))
+          .otherwise(element_at(col("__w"), p + 1))),
+        x => x.isNotNull))).otherwise(lit("")))
+      .withColumn("__tgt", when(size(col("__st")) > 0,
+        concat_ws(" ", transform(sequence(lit(0), size(col("__st")) - 1), j =>
+          concat(sentinel(j), lit(" "),
+            concat_ws(" ", slice(col("__w"), element_at(col("__st"), j + 1) + 1,
+              lit(spanLen))))))).otherwise(lit("")))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__st")).cast("long").as("n_spans"),
+        col("__in").as("input_text"), col("__tgt").as("target_text"))
+  }
+
   def trainOrder(docs: DataFrame, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))

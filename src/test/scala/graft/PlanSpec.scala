@@ -866,4 +866,19 @@ class PlanSpec extends SparkSpec {
       c.contains("text") || c.contains("words")),
       s"exchanges must carry window hashes and positions only: $cols"))
   }
+
+  test("q185: excision cut lists come back by broadcast — corpus text never shuffles") {
+    val plan = staticPlan(SparkEntry.queries("q185_substring_excise")(spark, sfDir))
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "cut lists must broadcast: " + plan.toString.take(1500))
+    allShuffleOutputs(plan).foreach(cols => assert(!cols.exists(c =>
+      c.contains("text") || c.contains("words") || c.contains("dedup_text")),
+      s"only mining-stage longs and cut arrays may exchange: $cols"))
+  }
+
+  test("q186: span corruption is exchange-free — grid, gate, sentinels all in-row") {
+    val plan = staticPlan(SparkEntry.queries("q186_span_corruption")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"denoising prep must not shuffle: ${plan.toString.take(1500)}")
+  }
 }

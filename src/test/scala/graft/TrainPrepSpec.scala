@@ -419,6 +419,36 @@ class TrainPrepSpec extends SparkSpec {
       "re-salting must permute the same docs into a different order")
   }
 
+  test("spanCorruption: grid starts via the salted gate, sentinels numbered, input+target reconstruct the doc") {
+    import spark.implicits._
+    val words = (0 until 30).map(i => s"w$i")
+    val docs = Seq((42L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = graft.operators.TrainPrep.spanCorruption(docs).collect().head
+    // replicate the operator's closed form with the JVM hash twin
+    val expStarts = (0 to (30 - 3) / 7).map(_ * 7).filter(p =>
+      Math.floorMod(graft.functions.Hashing.md5Hash60Jvm(s"42:$p:t5"), 100L) < 35L)
+    assert(row.getLong(1) == 30L && row.getLong(2) == expStarts.length.toLong)
+    val covered = expStarts.flatMap(s => s until s + 3).toSet
+    val expInput = (0 until 30).flatMap { p =>
+      if (expStarts.contains(p)) Some(s"<extra_id_${expStarts.count(_ < p)}>")
+      else if (covered(p)) None else Some(words(p))
+    }.mkString(" ")
+    val expTarget = expStarts.zipWithIndex.map { case (s, j) =>
+      s"<extra_id_$j> " + (s until s + 3).map(words).mkString(" ")
+    }.mkString(" ")
+    assert(row.getString(3) == expInput)
+    assert(row.getString(4) == expTarget)
+    // every original token appears exactly once across input + target
+    val spans = expTarget.split(" ").filterNot(_.startsWith("<extra_id_"))
+    val inToks = expInput.split(" ").filterNot(_.startsWith("<extra_id_"))
+    assert((spans ++ inToks).sorted.toSeq == words.sorted)
+    // a doc shorter than a span is untouched
+    val tiny = graft.operators.TrainPrep.spanCorruption(
+      Seq((7L, "ab cd")).toDF("doc_id", "text")).collect().head
+    assert(tiny.getLong(2) == 0L && tiny.getString(3) == "ab cd" &&
+      tiny.getString(4) == "")
+  }
+
   test("sourceMixture: exact integer targets, floor-quantized epochs, oversample flag") {
     import spark.implicits._
     // token counts under TokenRe: "one two" = 2, "a b c d" = 4

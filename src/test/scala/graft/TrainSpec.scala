@@ -279,6 +279,27 @@ class TrainSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => a >= 3L && a <= 12L && b <= 12L })
   }
 
+  test("substringExcise: higher doc loses the run, first occurrence keeps it, coverage merges overlaps") {
+    import spark.implicits._
+    val quote = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $quote delta epsilon"),
+      (2L, s"unrelated opening words here $quote closing words"),
+      (13L, s"$quote and then once more $quote"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringExcise(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is doc_a in every pair — nothing excised
+    assert(got(1L) == ((25L, 0L,
+      s"alpha beta gamma $quote delta epsilon")))
+    // doc 2 loses exactly the 20-token quote
+    assert(got(2L) == ((26L, 20L, "unrelated opening words here closing words")))
+    // doc 13 loses BOTH copies (two diagonals vs each partner, overlapping
+    // coverage merges) — only the connective tissue survives
+    assert(got(13L) == ((44L, 40L, "and then once more")))
+  }
+
   test("sourcePriorityDedup: tier beats doc_id; same-tier tie keeps earliest; singletons keep") {
     import spark.implicits._
     val docs = Seq(
