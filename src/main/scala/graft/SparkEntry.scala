@@ -675,6 +675,26 @@ object SparkEntry {
       graft.operators.TrainPrep.spanCorruption(
         Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
 
+    // Fill-in-the-middle (PSM) transformation: hash-gated half of the
+    // corpus splits at two salted-h60 points into prefix|middle|suffix,
+    // re-emitted as <fim_prefix> P <fim_suffix> S <fim_middle> M; the
+    // rest passes through verbatim — the infilling-objective prep
+    "q187_fim" -> ((s, dir) =>
+      graft.operators.TrainPrep.fimTransform(
+        Pipeline.webdoc(s, dir).select(col("doc_id"), col("text")))),
+
+    // Change-rate-driven revisit policy over a two-crawl union (the
+    // q127 drift synthesis with hosts): per host the floor-quantized
+    // changed-url fraction tiers into daily/weekly/monthly refetch —
+    // the freshness-vs-budget decision the drift monitor exists to feed
+    "q188_refetch_schedule" -> ((s, dir) => {
+      val c1 = Pipeline.webdoc(s, dir).select(col("host"), col("url"), col("text"))
+      val c2 = c1.select(col("host"), col("url"),
+        when(graft.functions.Hashing.md5Hash60(col("url")) % 5 === 0,
+          concat(col("text"), lit(" Updated content."))).otherwise(col("text")).as("text"))
+      graft.operators.UrlOps.refetchSchedule(c1.unionByName(c2))
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -3235,6 +3255,52 @@ object SparkEntry {
           |       array_to_string(words[starts[j+1]+1 : starts[j+1]+3], ' ')),
           |     ' ') ELSE '' END AS target_text
           | FROM st""".stripMargin),
+    "q187_fim" ->
+      // identical gate/split arithmetic on the shared h60; DuckDB's
+      // inclusive 1-based list slices mirror Spark's slice(start, len)
+      (webdocCte +
+        """, w0 AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+          |  FROM webdoc)
+          |, g AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n,
+          |    (len(words) >= 3 AND
+          |     CAST(concat('0x', substr(md5(doc_id || ':g:fim'), 1, 15)) AS BIGINT) % 100 < 50) AS gated
+          |  FROM w0)
+          |, ab AS (SELECT *, CASE WHEN gated THEN
+          |    CAST(concat('0x', substr(md5(doc_id || ':a:fim'), 1, 15)) AS BIGINT) % (n - 2) + 1 END AS a
+          |  FROM g)
+          |, ab2 AS (SELECT *, CASE WHEN gated THEN a + 1 +
+          |    CAST(concat('0x', substr(md5(doc_id || ':b:fim'), 1, 15)) AS BIGINT) % (n - 1 - a) END AS b
+          |  FROM ab)
+          | SELECT doc_id, n AS n_tokens, gated AS fim_applied,
+          |   a AS split_a, b AS split_b,
+          |   CASE WHEN gated THEN '<fim_prefix> ' || array_to_string(words[1:a], ' ')
+          |     || ' <fim_suffix> ' || array_to_string(words[b+1:n], ' ')
+          |     || ' <fim_middle> ' || array_to_string(words[a+1:b], ' ')
+          |   ELSE array_to_string(words, ' ') END AS fim_text
+          | FROM ab2""".stripMargin),
+    "q188_refetch_schedule" ->
+      // same two-crawl synthesis (url-hash-gated mutation), same
+      // distinct-hash change test, tier compares the PUBLISHED
+      // floor-quantized fraction
+      (webdocCte +
+        """, crawl2 AS (SELECT host, url, text ||
+          |    CASE WHEN CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) % 5 = 0
+          |         THEN ' Updated content.' ELSE '' END AS text
+          |  FROM webdoc)
+          |, allc AS (SELECT host, url, text FROM webdoc
+          |    UNION ALL SELECT host, url, text FROM crawl2)
+          |, pu AS (SELECT host, url, count(DISTINCT md5(text)) > 1 AS changed
+          |  FROM allc GROUP BY 1, 2)
+          |, ph AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+          |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+          |  FROM pu GROUP BY 1)
+          | SELECT host, n_urls, n_changed,
+          |   floor(n_changed * 1.0 / n_urls * 1e6 + 0.5) / 1e6 AS change_frac,
+          |   CAST(CASE WHEN floor(n_changed * 1.0 / n_urls * 1e6 + 0.5) / 1e6 >= 0.5 THEN 1
+          |        WHEN floor(n_changed * 1.0 / n_urls * 1e6 + 0.5) / 1e6 >= 0.1 THEN 7
+          |        ELSE 30 END AS BIGINT) AS refetch_days
+          | FROM ph""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

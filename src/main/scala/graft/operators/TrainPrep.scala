@@ -618,6 +618,48 @@ object TrainPrep {
         col("__in").as("input_text"), col("__tgt").as("target_text"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, OpenAI's
+    * public FIM paper; the StarCoder-pipeline staple): for a hash-gated
+    * fraction of docs, split the token stream into (prefix, middle,
+    * suffix) at two deterministic points and emit the PSM reordering
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the trick that
+    * teaches a causal LM to infill. Ungated docs pass through verbatim
+    * (`fim_applied` = false).
+    *
+    * Split points are salted-h60 arithmetic (RNG-free, partitioning-
+    * independent, re-rollable by salt like every sampling gate here):
+    * a ∈ [1, n−2] cuts prefix|middle, b ∈ [a+1, n−1] cuts middle|suffix
+    * — all three segments non-empty by construction; docs under 3
+    * tokens are never gated. Published per doc: n_tokens, fim_applied,
+    * the split points and the transformed stream.
+    *
+    * Scale shape: one exchange-free in-row projection — three slices
+    * and a concat in the scan stage. */
+  def fimTransform(docs: DataFrame, gatePct: Int = 50,
+                   salt: String = "fim"): DataFrame = {
+    val words = Rules.wordsOf(col("text"))
+    val n = size(words)
+    def h(tag: String): Column =
+      md5Hash60(concat(col("doc_id").cast("string"), lit(":" + tag + ":" + salt)))
+    val gated = n >= 3 && pmod(h("g"), lit(100L)) < gatePct
+    val a = (pmod(h("a"), (n - 2).cast("long")) + 1).cast("int")
+    val b = (col("__a") + 1 + pmod(h("b"), (n - 1 - col("__a")).cast("long"))).cast("int")
+    docs.withColumn("__w", words).withColumn("__n", n)
+      .withColumn("__gated", gated)
+      .withColumn("__a", when(col("__gated"), a))
+      .withColumn("__b", when(col("__gated"), b))
+      .select(col("doc_id"), col("__n").cast("long").as("n_tokens"),
+        col("__gated").as("fim_applied"),
+        col("__a").cast("long").as("split_a"), col("__b").cast("long").as("split_b"),
+        when(col("__gated"), concat(
+          lit("<fim_prefix> "), concat_ws(" ", slice(col("__w"), lit(1), col("__a"))),
+          lit(" <fim_suffix> "),
+          concat_ws(" ", slice(col("__w"), col("__b") + 1, col("__n") - col("__b"))),
+          lit(" <fim_middle> "),
+          concat_ws(" ", slice(col("__w"), col("__a") + 1, col("__b") - col("__a")))))
+        .otherwise(concat_ws(" ", col("__w"))).as("fim_text"))
+  }
+
   def trainOrder(docs: DataFrame, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))

@@ -123,6 +123,36 @@ object UrlOps {
         min(col("__ft")).as("first_ts"), max(col("__lt")).as("last_ts"))
       .withColumn("changed", col("n_versions") > 1)
 
+  /** Change-rate-driven revisit policy — the scheduling decision the
+    * drift measurement ([[refetchDrift]] / q127) exists to feed: per
+    * host, the fraction of its urls whose content hash changed between
+    * crawls, tiered into a refetch interval (≥50% changed → daily,
+    * ≥10% → weekly, else monthly — the classic freshness-vs-budget
+    * ladder of incremental crawling; Cho & Garcia-Molina 2000 is the
+    * public ancestry). The tier compares the PUBLISHED floor-quantized
+    * fraction, so the decision is reproducible from the monitor row
+    * alone. Input: a multi-crawl union of (host, url, text).
+    *
+    * Scale shape: text dies at the md5 projection; two map-side-
+    * combinable aggregations — (host, url, 16-byte hash) partials, then
+    * (host, 2 longs) — nothing corpus-sized shuffles and the output is
+    * host-cardinality. */
+  def refetchSchedule(docs: DataFrame): DataFrame = {
+    val perUrl = docs
+      .select(col("host"), col("url"), unhex(md5(col("text"))).as("__h"))
+      .groupBy(col("host"), col("url"))
+      .agg((countDistinct(col("__h")) > 1).as("changed"))
+    val frac = graft.functions.Round6.q6(
+      col("n_changed").cast("double") / col("n_urls"))
+    perUrl.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(col("changed").cast("long")).as("n_changed"))
+      .withColumn("change_frac", frac)
+      .withColumn("refetch_days",
+        when(col("change_frac") >= 0.5, 1L)
+          .when(col("change_frac") >= 0.1, 7L).otherwise(30L))
+  }
+
   /** rel=canonical cluster dedup — the fourth crawl-metadata leg (after
     * robots q163, sitemaps q172 and href discovery q158/q159): pages
     * DECLARE their preferred url in `<link rel="canonical" href=…>`, and

@@ -1309,6 +1309,29 @@ class OperatorSpec extends SparkSpec {
     assert(got("u/once") == (1L, 1L, t1, t1, false))
   }
 
+  test("refetchSchedule: quantized change fraction tiers into daily/weekly/monthly") {
+    import spark.implicits._
+    // hot: 2/3 urls changed → daily; warm: 1/5 → weekly; cold: 0/2 → monthly
+    val crawls = Seq(
+      ("hot", "h/1", "a"), ("hot", "h/1", "a2"),
+      ("hot", "h/2", "b"), ("hot", "h/2", "b2"),
+      ("hot", "h/3", "c"), ("hot", "h/3", "c"),
+      ("warm", "w/1", "x"), ("warm", "w/1", "x2"),
+      ("warm", "w/2", "y"), ("warm", "w/2", "y"),
+      ("warm", "w/3", "z"), ("warm", "w/3", "z"),
+      ("warm", "w/4", "p"), ("warm", "w/4", "p"),
+      ("warm", "w/5", "q"), ("warm", "w/5", "q"),
+      ("cold", "c/1", "m"), ("cold", "c/1", "m"),
+      ("cold", "c/2", "n"), ("cold", "c/2", "n")
+    ).toDF("host", "url", "text")
+    val got = graft.operators.UrlOps.refetchSchedule(crawls).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("hot") == ((3L, 2L, 0.666667, 1L)))
+    assert(got("warm") == ((5L, 1L, 0.2, 7L)))
+    assert(got("cold") == ((2L, 0L, 0.0, 30L)))
+  }
+
   test("truncation signal: mid-sentence and ellipsis tails flagged, clean tails not") {
     import spark.implicits._
     val docs = Seq(

@@ -881,4 +881,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"denoising prep must not shuffle: ${plan.toString.take(1500)}")
   }
+
+  test("q187: FIM transform is exchange-free — gate, splits and PSM assembly in the scan") {
+    val plan = staticPlan(SparkEntry.queries("q187_fim")(spark, sfDir))
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"FIM prep must not shuffle: ${plan.toString.take(1500)}")
+  }
+
+  test("q188: refetch schedule shuffles hash partials, never text") {
+    val plan = staticPlan(SparkEntry.queries("q188_refetch_schedule")(spark, sfDir))
+    val shuffles = allShuffleOutputs(plan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols => assert(!cols.exists(_.contains("text")),
+      s"exchanges must carry (host, url, 16-byte hash) partials only: $cols"))
+  }
 }

@@ -449,6 +449,37 @@ class TrainPrepSpec extends SparkSpec {
       tiny.getString(4) == "")
   }
 
+  test("fimTransform: PSM segments reconstruct the doc; gate and splits match the JVM hash twin") {
+    import spark.implicits._
+    import graft.functions.Hashing.md5Hash60Jvm
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 12).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.operators.TrainPrep.fimTransform(docs).collect()
+    assert(rows.length == 40)
+    var applied = 0
+    rows.foreach { r =>
+      val id = r.getLong(0); val n = r.getLong(1).toInt
+      val words = (0 until 12).map(j => s"t${id}_$j")
+      val expGate = Math.floorMod(md5Hash60Jvm(s"$id:g:fim"), 100L) < 50L
+      assert(r.getBoolean(2) == expGate)
+      if (expGate) {
+        applied += 1
+        val a = (Math.floorMod(md5Hash60Jvm(s"$id:a:fim"), (n - 2).toLong) + 1).toInt
+        val b = a + 1 + Math.floorMod(md5Hash60Jvm(s"$id:b:fim"), (n - 1 - a).toLong).toInt
+        assert(r.getLong(3) == a.toLong && r.getLong(4) == b.toLong)
+        val exp = "<fim_prefix> " + words.slice(0, a).mkString(" ") +
+          " <fim_suffix> " + words.slice(b, n).mkString(" ") +
+          " <fim_middle> " + words.slice(a, b).mkString(" ")
+        assert(r.getString(5) == exp)
+      } else assert(r.getString(5) == words.mkString(" "))
+    }
+    assert(applied > 5 && applied < 35, s"gate should hit ~half, got $applied/40")
+    // short docs never gate
+    val tiny = graft.operators.TrainPrep.fimTransform(
+      Seq((9L, "ab cd")).toDF("doc_id", "text")).collect().head
+    assert(!tiny.getBoolean(2) && tiny.getString(5) == "ab cd")
+  }
+
   test("sourceMixture: exact integer targets, floor-quantized epochs, oversample flag") {
     import spark.implicits._
     // token counts under TokenRe: "one two" = 2, "a b c d" = 4
