@@ -695,6 +695,40 @@ object SparkEntry {
       graft.operators.UrlOps.refetchSchedule(c1.unionByName(c2))
     }),
 
+    // Partition-skew audit: per-shard doc/byte mass, skew vs uniform
+    // share (floor-quantized) and an exact integer-cross-product hot
+    // flag — the monitor behind every partitioning claim in this repo
+    "q189_shard_skew" -> ((s, dir) =>
+      graft.operators.TrainPrep.shardSkewAudit(
+        Pipeline.webdoc(s, dir).select(col("shard"), col("text")))),
+
+    // Dedup impact report: per-source doc/token mass before and after
+    // exact first-occurrence dedup + removed-token fraction — the
+    // mirror/double-ingest detector a curation team reads post-run
+    "q190_dedup_impact" -> ((s, dir) =>
+      graft.operators.Dedup.dedupImpact(
+        Pipeline.webdoc(s, dir).select(col("source"), col("doc_id"), col("text")))),
+
+    // SnapLog tags: pin snapshot 1 as "v1", roll two more commits, then
+    // expire keep=1 + orphan-sweep — the tagged release must survive
+    // maintenance (only the untagged middle snapshot expires) and read
+    // back exactly; the data-level contract is the tag's row set
+    "q191_snaplog_tags" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val t = java.nio.file.Files.createTempDirectory("snaplog_q191").toString
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 3 === 0), t, Some("doc_id"))
+      val v1 = graft.plans.SnapLog.currentId(t).get
+      graft.plans.SnapLog.tag(t, "v1", v1)
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 3 === 1), t, Some("doc_id"))
+      graft.plans.SnapLog.commit(docs.filter(col("doc_id") % 3 === 2), t, Some("doc_id"))
+      val (expired, _) = graft.plans.SnapLog.expireSnapshots(t, 1)
+      graft.plans.SnapLog.removeOrphans(t)
+      graft.plans.SnapLog.readTag(s, t, "v1").select(col("doc_id"),
+        lit(expired.length.toLong).as("n_expired"),
+        lit(graft.plans.SnapLog.listTags(t).map(_._2).contains(v1)).as("tag_alive"))
+    }),
+
     // Capstone composite: per-host crawl-frontier curation score — the
     // "which hosts deserve fetch budget" decision every corpus pipeline
     // makes, composed from four independent operator families: quality
@@ -3301,6 +3335,39 @@ object SparkEntry {
           |        WHEN floor(n_changed * 1.0 / n_urls * 1e6 + 0.5) / 1e6 >= 0.1 THEN 7
           |        ELSE 30 END AS BIGINT) AS refetch_days
           | FROM ph""".stripMargin),
+    "q189_shard_skew" ->
+      // same integer masses, same (bytes·ns)/tb IEEE order, hot via the
+      // exact integer cross-product — never the rounded double
+      (webdocCte +
+        """, per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(length(text)) AS BIGINT) AS n_bytes FROM webdoc GROUP BY 1)
+          |, g AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS tb,
+          |    CAST(count(*) AS BIGINT) AS ns FROM per)
+          | SELECT shard, n_docs, n_bytes,
+          |   floor(CAST(n_bytes AS DOUBLE) * ns / tb * 1e6 + 0.5) / 1e6 AS skew,
+          |   (n_bytes * ns > tb * 2) AS hot
+          | FROM per, g""".stripMargin),
+    "q190_dedup_impact" ->
+      // q10's min-doc_id-per-md5 cluster rule, rolled up per source with
+      // the shared re-token count; removed_frac floor-quantized on the
+      // identical integer operands
+      (webdocCte +
+        """, k AS (SELECT source, doc_id,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS nt,
+          |    md5(text) AS ch FROM webdoc)
+          |, m AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ch) AS keep FROM k)
+          | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |   CAST(sum(nt) AS BIGINT) AS n_tokens,
+          |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+          |   CAST(sum(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+          |   floor(CAST(sum(nt) - sum(CASE WHEN keep THEN nt ELSE 0 END) AS DOUBLE)
+          |     / sum(nt) * 1e6 + 0.5) / 1e6 AS removed_frac
+          | FROM m GROUP BY 1""".stripMargin),
+    "q191_snaplog_tags" ->
+      // the tag's data-level contract: exactly the pinned snapshot's
+      // rows, exactly one (untagged) snapshot expired, the ref alive
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_expired, true AS tag_alive
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

@@ -1439,6 +1439,31 @@ object Dedup {
           (_, i) => !array_contains(col("__cut"), i))).as("dedup_text"))
   }
 
+  /** Dedup impact report — the monitoring row a curation team reads
+    * after every dedup run: per source, document and token mass before
+    * and after exact first-occurrence dedup, and the removed-token
+    * fraction. High removal on one source is the classic signal of a
+    * scraped mirror or a pipeline double-ingest.
+    *
+    * Scale shape: the cluster decision is [[exact]]'s — one window
+    * exchange on the 16-byte md5 key carrying (key, source, doc_id,
+    * token count) only, text dead at the projection — followed by a
+    * narrow (source, 4 longs) map-side-combinable rollup. */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__ch"))
+    val marked = TextStats.withTokenCounts(docs)
+      .select(col("source"), col("doc_id"), col("n_re_tokens").as("nt"),
+        unhex(md5(col("text"))).as("__ch"))
+      .withColumn("__keep", col("doc_id") === min(col("doc_id")).over(w))
+    marked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("__keep").cast("long")).as("n_docs_kept"),
+        sum(when(col("__keep"), col("nt")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("removed_frac", graft.functions.Round6.q6(
+        (col("n_tokens") - col("n_tokens_kept")).cast("double") / col("n_tokens")))
+  }
+
   /** Cross-source priority dedup — the Pile/Dolma-style curation rule for
     * corpora assembled from MULTIPLE sources of unequal provenance
     * quality: when the same content appears in several sources (a Wikipedia

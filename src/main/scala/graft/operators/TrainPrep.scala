@@ -565,6 +565,29 @@ object TrainPrep {
       .withColumn("oversampled", col("epochs") > 1.0)
   }
 
+  /** Partition-skew audit — the operational monitor behind every "would
+    * this partitioning hold at 1000 executors" claim: per shard, doc and
+    * byte mass, the byte-skew factor vs the uniform share, and a `hot`
+    * flag for shards over 2× their share. The flag compares integer
+    * cross-products (bytes·n_shards > 2·total), so it is exact and
+    * independent of the published floor-quantized skew double.
+    *
+    * Scale shape: one map-side-combinable (shard, 2 longs) aggregation;
+    * the 1-row global joins back as a broadcast crossJoin. Output is
+    * shard-cardinality. */
+  def shardSkewAudit(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_bytes"))
+    val g = per.agg(sum(col("n_bytes")).as("__tb"),
+      count(lit(1)).as("__ns"))
+    per.crossJoin(broadcast(g))
+      .select(col("shard"), col("n_docs"), col("n_bytes"),
+        graft.functions.Round6.q6(
+          col("n_bytes").cast("double") * col("__ns") / col("__tb")).as("skew"),
+        (col("n_bytes") * col("__ns") > col("__tb") * 2).as("hot"))
+  }
+
   /** T5-style span-corruption pretraining prep (Raffel et al. 2020 —
     * public): deterministically select non-overlapping token spans,
     * replace each in the INPUT with a numbered sentinel, and emit the

@@ -361,6 +361,64 @@ object SnapLog {
     out
   }
 
+  // ------------------------------------------------------- named refs
+  // Iceberg's TAGS: a human name → snapshot id pointer that PROTECTS the
+  // snapshot from expiry and orphan collection (the "v2.1-training-set"
+  // release-pinning workflow — a corpus release stays readable while the
+  // table keeps rolling forward and maintenance reclaims everything
+  // else). Branches (movable refs with their own commit lines) are out
+  // of scope: the single-writer sandbox contract has no concurrent
+  // writer to branch for.
+
+  private def refPath(table: String, name: String): Path =
+    metaDir(table).resolve(s"ref-$name.json")
+
+  /** Create/update a tag → snapshot-id pointer. Same crash discipline as
+    * [[commit]]: temp write + atomic rename, so a reader never sees a
+    * torn ref. Fails if the snapshot does not exist. */
+  def tag(table: String, name: String, id: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad tag name: $name")
+    snapshot(table, id) // existence check — throws on an unknown id
+    val tmp = metaDir(table).resolve(s".tmp-ref-$name")
+    Files.writeString(tmp, s"""{"name":"$name","snapshot_id":$id}""")
+    Files.move(tmp, refPath(table, name),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Remove a tag (the snapshot becomes ordinary maintenance fodder). */
+  def dropTag(table: String, name: String): Boolean =
+    Files.deleteIfExists(refPath(table, name))
+
+  def tagId(table: String, name: String): Option[Long] = {
+    val p = refPath(table, name)
+    if (!Files.exists(p)) None
+    else """"snapshot_id":(-?\d+)""".r.findFirstMatchIn(Files.readString(p))
+      .map(_.group(1).toLong)
+  }
+
+  def listTags(table: String): Seq[(String, Long)] = {
+    val md = metaDir(table)
+    if (!Files.exists(md)) return Nil
+    val st = Files.list(md) // closed below
+    try st.iterator().asScala.toSeq
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("ref-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("ref-").stripSuffix(".json"))
+      .sorted
+      .flatMap(n => tagId(table, n).map(n -> _))
+    finally st.close()
+  }
+
+  /** Read the table as of a tag — time travel by name. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readAt(spark, table, tagId(table, name)
+      .getOrElse(sys.error(s"unknown tag: $name")))
+
+  /** Snapshot ids pinned by tags (∩ actually-existing snapshots). */
+  private def taggedIds(table: String): Set[Long] =
+    listTags(table).map(_._2).filter(id => Files.exists(snapPath(table, id))).toSet
+
   /** Expire every committed snapshot except the most recent `keep` —
     * Iceberg's `expire_snapshots`, the maintenance op that makes
     * [[compact]] actually reclaim space: a replace snapshot hides the
@@ -381,9 +439,13 @@ object SnapLog {
   def expireSnapshots(table: String, keep: Int): (Seq[Long], Seq[String]) = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val chain = retainedChain(table)
-    val expired = chain.dropRight(keep)
+    // tagged snapshots are EXEMPT (Iceberg ref retention): a pinned
+    // release must stay readable however far the head rolls on
+    val pinned = taggedIds(table)
+    val expired = chain.dropRight(keep).filterNot(pinned)
     if (expired.isEmpty) return (Nil, Nil)
-    val keepRefs = chain.takeRight(keep)
+    val retained = chain.takeRight(keep) ++ chain.dropRight(keep).filter(pinned)
+    val keepRefs = retained
       .flatMap(id => snapshot(table, id).files.map(_.path)).toSet
     val dropRefs = expired
       .flatMap(id => snapshot(table, id).files.map(_.path)).toSet -- keepRefs
@@ -404,7 +466,10 @@ object SnapLog {
     * live orphan artifacts unambiguous, and they are gone. Returns the
     * deleted paths relative to the table root (dirs suffixed "/"). */
   def removeOrphans(table: String): Seq[String] = {
-    val chainIds = retainedChain(table).toSet
+    // tag roots count as reachability anchors alongside the head chain:
+    // a pinned mid-history snapshot whose parents expired is not an
+    // orphan, and neither are its files
+    val chainIds = retainedChain(table).toSet ++ taggedIds(table)
     val reachable =
       chainIds.flatMap(id => snapshot(table, id).files.map(_.path))
     val out = scala.collection.mutable.ListBuffer[String]()
@@ -416,6 +481,8 @@ object SnapLog {
         if (n.startsWith("snap-") && n.endsWith(".json") &&
             !chainIds.contains(
               n.stripPrefix("snap-").stripSuffix(".json").toLong)) {
+          Files.delete(p); out += s"metadata/$n"
+        } else if (n.startsWith(".tmp-ref-")) { // crashed tag write
           Files.delete(p); out += s"metadata/$n"
         }
       } finally st.close()

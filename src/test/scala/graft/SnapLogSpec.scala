@@ -347,4 +347,49 @@ class SnapLogSpec extends SparkSpec {
     // a second sweep on a clean table is a no-op beyond tmp dirs
     assert(SnapLog.removeOrphans(t).forall(_.startsWith(".tmp-")))
   }
+
+  test("tags: a pinned snapshot survives expiry + orphan sweep and reads back exactly") {
+    val t = tmpDir("snaplog_tag")
+    SnapLog.commit(docs(0 until 10), t, Some("doc_id"))
+    SnapLog.tag(t, "v1", 1L)
+    SnapLog.commit(docs(10 until 20), t, Some("doc_id"))
+    SnapLog.commit(docs(20 until 30), t, Some("doc_id"))
+    val (expired, _) = SnapLog.expireSnapshots(t, 1)
+    // only the UNtagged middle snapshot expires
+    assert(expired == Seq(2L))
+    SnapLog.removeOrphans(t)
+    assert(SnapLog.listTags(t) == Seq("v1" -> 1L))
+    val v1 = SnapLog.readTag(spark, t, "v1").select("doc_id").as[Long].collect().sorted
+    assert(v1.toSeq == (0L until 10L))
+    // the head is untouched by tag retention
+    assert(SnapLog.read(spark, t).count() == 30)
+  }
+
+  test("tags: dropTag makes the pinned snapshot ordinary maintenance fodder") {
+    val t = tmpDir("snaplog_tagdrop")
+    SnapLog.commit(docs(0 until 5), t, Some("doc_id"))
+    SnapLog.tag(t, "rel", 1L)
+    SnapLog.commit(docs(5 until 9), t, Some("doc_id"))
+    // snapshot 1 is pinned — expiry refuses to touch it
+    assert(SnapLog.expireSnapshots(t, 1)._1.isEmpty)
+    // drop the tag: the same expiry now takes it
+    assert(SnapLog.dropTag(t, "rel"))
+    assert(SnapLog.expireSnapshots(t, 1)._1 == Seq(1L))
+    // head still reads everything (its snapshot lists ALL files)
+    assert(SnapLog.read(spark, t).count() == 9)
+    // re-tagging a gone snapshot fails loudly
+    intercept[Exception](SnapLog.tag(t, "rel", 1L))
+  }
+
+  test("tags: bad names and unknown ids rejected; atomic overwrite moves the pin") {
+    val t = tmpDir("snaplog_tagbad")
+    SnapLog.commit(docs(0 until 3), t, Some("doc_id"))
+    intercept[Exception](SnapLog.tag(t, "bad name", 1L))
+    intercept[Exception](SnapLog.tag(t, "ok", 99L))
+    SnapLog.tag(t, "ok", 1L)
+    SnapLog.commit(docs(3 until 6), t, Some("doc_id"))
+    SnapLog.tag(t, "ok", 2L) // overwrite
+    assert(SnapLog.tagId(t, "ok").contains(2L))
+    assert(SnapLog.readTag(spark, t, "ok").count() == 6)
+  }
 }

@@ -449,6 +449,18 @@ class TrainPrepSpec extends SparkSpec {
       tiny.getString(4) == "")
   }
 
+  test("shardSkewAudit: exact quantized skew, integer-cross-product hot flag") {
+    import spark.implicits._
+    val docs = Seq((0L, "a" * 30), (1L, "bb"), (2L, "ccc")).toDF("shard", "text")
+    val got = graft.operators.TrainPrep.shardSkewAudit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    // tb = 35, ns = 3: skews 90/35, 6/35, 9/35; only shard 0 is >2× share
+    assert(got(0L) == ((1L, 30L, 2.571429, true)))
+    assert(got(1L) == ((1L, 2L, 0.171429, false)))
+    assert(got(2L) == ((1L, 3L, 0.257143, false)))
+  }
+
   test("fimTransform: PSM segments reconstruct the doc; gate and splits match the JVM hash twin") {
     import spark.implicits._
     import graft.functions.Hashing.md5Hash60Jvm

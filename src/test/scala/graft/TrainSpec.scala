@@ -300,6 +300,20 @@ class TrainSpec extends SparkSpec {
     assert(got(13L) == ((44L, 40L, "and then once more")))
   }
 
+  test("dedupImpact: cross-source cluster loses its copy to the earliest doc, fractions exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "wiki", "one two three"),
+      (2L, "cc", "one two three"), // exact copy, later id → removed
+      (3L, "cc", "four five"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup.dedupImpact(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("wiki") == ((1L, 3L, 1L, 3L, 0.0)))
+    assert(got("cc") == ((2L, 5L, 1L, 2L, 0.6)))
+  }
+
   test("sourcePriorityDedup: tier beats doc_id; same-tier tie keeps earliest; singletons keep") {
     import spark.implicits._
     val docs = Seq(
