@@ -39,5 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("dup_ngrams", 1, exprs => graft.functions.DupNgrams(exprs.head))
     reg("normalize_text", 1, exprs => graft.functions.NormalizeText(exprs.head))
     reg("lexicon_scan", 1, exprs => graft.functions.LexiconScan(exprs.head))
+    reg("sorted_contains", 2,
+      exprs => graft.functions.SortedContains(exprs.head, exprs(1)))
   }
 }

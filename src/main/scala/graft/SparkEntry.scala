@@ -10,6 +10,16 @@ import graft.oracle.OracleDdl._
   * hash-compare correctness gate. */
 object SparkEntry {
 
+  /** q192's homograph spoofs of the hot host — Unicode forms with the
+    * render-identical Cyrillic substitutions (о р а) the confusable table
+    * covers; the ACE (`xn--`) forms both engines carry are computed from
+    * these with the JDK's public IDNA encoder at build time. */
+  private[graft] val idnSpoofUnicode: Seq[String] = Seq(
+    "p\u043Epular.example.com", // Cyrillic o
+    "\u0440opular.example.com", // Cyrillic r-shaped p
+    "popul\u0430r.example.com", // Cyrillic a
+    "\u0440\u043E\u0440ul\u0430r.example.com") // all three combined
+
   /** Flagship: full filter+scrub pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.scored(spark, "/root/testdata/sf0.001")
@@ -693,6 +703,22 @@ object SparkEntry {
         when(graft.functions.Hashing.md5Hash60(col("url")) % 5 === 0,
           concat(col("text"), lit(" Updated content."))).otherwise(col("text")).as("text"))
       graft.operators.UrlOps.refetchSchedule(c1.unionByName(c2))
+    }),
+
+    // IDN homograph detection: inject ACE-encoded Cyrillic spoofs of the
+    // hot host (JDK IDNA toASCII at build time — the same literals the
+    // oracle carries), decode them back out of the BYTES with the native
+    // IdnHost expression and pair them with the legit host by confusable
+    // skeleton — the host-level adversarial leg
+    "q192_idn_homograph" -> ((s, dir) => {
+      val ace = SparkEntry.idnSpoofUnicode.map(java.net.IDN.toASCII(_))
+      val wd = Pipeline.webdoc(s, dir)
+      val pick = (col("doc_id") % 4).cast("int")
+      val spoof = wd.filter(col("doc_id") % 101 === 9)
+        .select((col("doc_id") + 80000000L).as("doc_id"),
+          element_at(array(ace.map(lit): _*), pick + 1).as("host"))
+      graft.operators.UrlOps.idnHomographs(
+        wd.select(col("doc_id"), col("host")).unionByName(spoof))
     }),
 
     // Partition-skew audit: per-shard doc/byte mass, skew vs uniform
@@ -3368,6 +3394,33 @@ object SparkEntry {
       // rows, exactly one (untagged) snapshot expired, the ref alive
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_expired, true AS tag_alive
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    "q192_idn_homograph" -> {
+      // same injection (the JDK-IDNA ACE literals both engines carry),
+      // decode replayed as the generator's ace→unicode closed form, the
+      // SAME confusable table (interpolated from the shared constant)
+      val uni = idnSpoofUnicode
+      val ace = uni.map(java.net.IDN.toASCII(_))
+      val caseMap = ace.zip(uni).map { case (a, u) => s"WHEN '$a' THEN '$u'" }.mkString(" ")
+      val pickCase = ace.zipWithIndex.map { case (a, i) => s"WHEN $i THEN '$a'" }.mkString(" ")
+      val cf = graft.operators.Dedup.CONFUSABLE_FROM
+      val ct = graft.operators.Dedup.CONFUSABLE_TO
+      (webdocCte +
+        s""", spoof AS (SELECT doc_id + 80000000 AS doc_id,
+          |    CASE doc_id % 4 $pickCase END AS host
+          |  FROM webdoc WHERE doc_id % 101 = 9)
+          |, hall AS (SELECT doc_id, host FROM webdoc UNION ALL SELECT * FROM spoof)
+          |, hc AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs FROM hall GROUP BY 1)
+          |, dec AS (SELECT host, n_docs,
+          |    CASE host $caseMap ELSE host END AS decoded,
+          |    translate(CASE host $caseMap ELSE host END, '$cf', '$ct') AS skeleton,
+          |    host LIKE '%xn--%' AS is_ace
+          |  FROM hc)
+          | SELECT s.host AS spoof_host, s.decoded AS decoded_host,
+          |   l.host AS target_host, s.skeleton,
+          |   s.n_docs AS n_spoof_docs, l.n_docs AS n_target_docs
+          | FROM dec s JOIN dec l ON s.skeleton = l.skeleton
+          |   AND s.is_ace AND NOT l.is_ace""".stripMargin)
+    },
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

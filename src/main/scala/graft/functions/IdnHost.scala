@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** IDN/punycode host decode — `xn--` ACE labels back to their Unicode
+  * form via the JDK's built-in IDNA engine (`java.net.IDN`, the public
+  * RFC 3490/3492 implementation), lower-cased; plain-ASCII hosts pass
+  * through unchanged. RFC 3490's ToUnicode never fails — a malformed ACE
+  * label falls back to its input form (so it simply never meets a legit
+  * skeleton); the defensive catch (→ NULL) covers JDK edge-case throws
+  * only. This is the missing HOST-level leg of the confusable family
+  * (q174/q177 cover body text): a homograph attack registers
+  * `xn--ppular-3nf.example.com`, which renders as `pоpular.example.com`
+  * — byte-distinct from the legit host, glyph-identical on screen. Only
+  * the DECODED form can meet the confusable skeleton.
+  *
+  * Host-cardinality data by construction — the expression runs after a
+  * distinct, never per-document. Static-kernel call keeps callers inside
+  * whole-stage codegen. */
+case class IdnHost(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "idn_host"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IdnHost.decode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("decoded")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""UTF8String $tmp = graft.functions.IdnHost$$.MODULE$$.decode($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IdnHost =
+    copy(child = newChild)
+}
+
+object IdnHost {
+
+  /** The decode kernel (shared by interpreted eval and generated code).
+    * Returns null on malformed ACE input. */
+  def decode(host: UTF8String): UTF8String = {
+    if (host == null) return null
+    try {
+      val s = host.toString
+      UTF8String.fromString(
+        java.net.IDN.toUnicode(s, java.net.IDN.ALLOW_UNASSIGNED)
+          .toLowerCase(java.util.Locale.ROOT))
+    } catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException => null
+    }
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.column(IdnHost(GraftBridge.expression(c)))
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Binary-search membership over a SORTED int array — the O(log m)
+  * replacement for `array_contains`'s linear scan that the excision
+  * rebuilds (q185's per-token cut-list probe) call once per token: a doc
+  * with n tokens and a cut list of m positions pays n·log m instead of
+  * n·m. Semantically identical to `array_contains` WHEN the array is
+  * sorted ascending and null-free — the producer's contract
+  * (`sort_array(collect_list(...))`), not re-checked per row.
+  * Differential-tested against array_contains in TrainSpec. */
+case class SortedContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "sorted_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+      right.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_contains expects (array<int>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, v: Any): Any =
+    SortedContains.search(a.asInstanceOf[ArrayData], v.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, v) =>
+      s"${ev.value} = graft.functions.SortedContains$$.MODULE$$.search($a, $v);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContains =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedContains {
+
+  /** The search kernel (shared by interpreted eval and generated code). */
+  def search(arr: ArrayData, v: Int): Boolean = {
+    var lo = 0
+    var hi = arr.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val mv = arr.getInt(mid)
+      if (mv == v) return true
+      else if (mv < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  def apply(arr: Column, v: Column): Column =
+    GraftBridge.column(SortedContains(
+      GraftBridge.expression(arr), GraftBridge.expression(v)))
+}

@@ -1416,8 +1416,8 @@ object Dedup {
     * (doc_id, sorted cut-position array) — proportional to DUPLICATED
     * tokens only, broadcast back so the corpus-side rebuild is one
     * in-row filter (the q83 removal-list discipline). The per-token
-    * array_contains is O(cut) — swap to a binary-search Expression if a
-    * pathological corpus ever makes cut lists big. */
+    * probe is the native binary-search [[graft.functions.SortedContains]]
+    * (O(log cut) per token; the cut array is sorted by construction). */
   def substringExcise(docs: DataFrame, k: Int = 8, dfCap: Int = 8,
                       minRunTokens: Int = 16): DataFrame = {
     val cut = diagonalRuns(docs, k, dfCap)
@@ -1436,7 +1436,8 @@ object Dedup {
         size(col("__words")).cast("long").as("n_tokens"),
         size(col("__cut")).cast("long").as("n_excised"),
         concat_ws(" ", filter(col("__words"),
-          (_, i) => !array_contains(col("__cut"), i))).as("dedup_text"))
+          (_, i) => !graft.functions.SortedContains(col("__cut"), i)))
+          .as("dedup_text"))
   }
 
   /** Dedup impact report — the monitoring row a curation team reads

@@ -200,6 +200,40 @@ object UrlOps {
     * table is persisted once (also the Union-self-join Catalyst
     * barrier). The path-segment marker form (/en/ vs /de/) is a
     * documented extension: same key derivation, one more regexp. */
+  /** IDN homograph detection — the HOST-level leg of the confusable
+    * family (q174/q177 are body-text): an attacker registers the ACE
+    * form `xn--ppular-3nf.example.com`, which browsers render as
+    * `pоpular.example.com` — glyph-identical to the legit host, byte-
+    * distinct everywhere in the pipeline. Decode every ACE host with the
+    * native [[graft.functions.IdnHost]] (the JDK's public IDNA engine),
+    * take its confusable skeleton (the SAME curated TR#39 subset the
+    * text dedup uses), and pair it with the non-ACE host sharing that
+    * skeleton: each pair is a homograph registration against that
+    * target. Malformed ACE decodes to NULL and drops out (flagging them
+    * is q175's invisible-audit style job, not this join's).
+    *
+    * Scale shape: everything runs on the DISTINCT host table (the
+    * web's ~10⁷ hosts, after one map-side-combinable count agg over the
+    * corpus); decode/skeleton are scan-side projections of that small
+    * frame and the skeleton self-join is host-cardinality. The corpus
+    * itself is read once and never re-shuffled. */
+  def idnHomographs(docs: DataFrame): DataFrame = {
+    val dec = docs.groupBy(col("host")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("decoded", graft.functions.IdnHost(col("host")))
+      .withColumn("skeleton", translate(col("decoded"),
+        Dedup.CONFUSABLE_FROM, Dedup.CONFUSABLE_TO))
+      .withColumn("is_ace", col("host").contains("xn--"))
+    val spoofs = dec.filter(col("is_ace"))
+      .select(col("host").as("spoof_host"), col("decoded").as("decoded_host"),
+        col("skeleton"), col("n_docs").as("n_spoof_docs"))
+    val legit = dec.filter(!col("is_ace"))
+      .select(col("skeleton"), col("host").as("target_host"),
+        col("n_docs").as("n_target_docs"))
+    spoofs.join(legit, Seq("skeleton"))
+      .select(col("spoof_host"), col("decoded_host"), col("target_host"),
+        col("skeleton"), col("n_spoof_docs"), col("n_target_docs"))
+  }
+
   def bitextCandidates(docs: DataFrame): DataFrame = {
     val urlLang = regexp_extract(col("url"), "[?&]lang=([a-z][a-z])", 1)
     val key = regexp_replace(

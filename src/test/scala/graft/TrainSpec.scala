@@ -300,6 +300,42 @@ class TrainSpec extends SparkSpec {
     assert(got(13L) == ((44L, 40L, "and then once more")))
   }
 
+  test("IdnHost + idnHomographs: ACE spoofs decode and pair with the legit host by skeleton") {
+    import spark.implicits._
+    val uni = "p\u043Epular.example.com" // Cyrillic о — renders as 'popular'
+    val ace = java.net.IDN.toASCII(uni)
+    assert(ace.contains("xn--"))
+    val docs = Seq(
+      (1L, "popular.example.com"), (2L, "popular.example.com"),
+      (3L, ace), (4L, "other.example.com"))
+      .toDF("doc_id", "host")
+    val d = docs.select(col("host"), graft.functions.IdnHost(col("host")).as("dec"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d(ace) == uni) // decode round-trips the registration
+    assert(d("other.example.com") == "other.example.com") // ascii passthrough
+    val pairs = graft.operators.UrlOps.idnHomographs(docs).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getString(0) == ace && p.getString(1) == uni &&
+      p.getString(2) == "popular.example.com" &&
+      p.getString(3) == "popular.example.com" &&
+      p.getLong(4) == 1L && p.getLong(5) == 2L)
+  }
+
+  test("SortedContains: binary search ≡ array_contains on sorted arrays, empties and edges included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val arr = (0 until rnd.nextInt(12)).map(_ => rnd.nextInt(40)).distinct.sorted
+      (i.toLong, arr, rnd.nextInt(42) - 1)
+    }.toDF("id", "arr", "v")
+    val both = rows.select(col("id"),
+        graft.functions.SortedContains(col("arr"), col("v")).as("bs"),
+        array_contains(col("arr"), col("v")).as("lin"))
+      .collect()
+    both.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2), r.toString))
+  }
+
   test("dedupImpact: cross-source cluster loses its copy to the earliest doc, fractions exact") {
     import spark.implicits._
     val docs = Seq(
