@@ -721,6 +721,17 @@ object SparkEntry {
         wd.select(col("doc_id"), col("host")).unionByName(spoof))
     }),
 
+    // Native whole-operator top-k-per-key (custom LogicalPlan + Strategy
+    // + partial/final SparkPlan pair — the brief's tier (c)): per-host
+    // top-3 docs by length. Each scan partition contributes ≤ k rows per
+    // host to the exchange — the window form ships EVERY row
+    "q193_topk_native" -> ((s, dir) => {
+      val wd = Pipeline.webdoc(s, dir).select(col("host"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      graft.plans.TopKPerKey(wd, Seq(col("host")),
+        Seq(col("n_chars").desc, col("doc_id").asc), 3)
+    }),
+
     // Partition-skew audit: per-shard doc/byte mass, skew vs uniform
     // share (floor-quantized) and an exact integer-cross-product hot
     // flag — the monitor behind every partitioning claim in this repo
@@ -3421,6 +3432,15 @@ object SparkEntry {
           | FROM dec s JOIN dec l ON s.skeleton = l.skeleton
           |   AND s.is_ace AND NOT l.is_ace""".stripMargin)
     },
+    "q193_topk_native" ->
+      // the custom operator's contract IS the window form under a total
+      // order — the oracle runs exactly that
+      (webdocCte +
+        """, t AS (SELECT host, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          |    row_number() OVER (PARTITION BY host
+          |      ORDER BY length(text) DESC, doc_id) AS rn
+          |  FROM webdoc)
+          | SELECT host, doc_id, n_chars FROM t WHERE rn <= 3""".stripMargin),
     "q171_line_lang_purity" ->
       // the identical langid model replay (langidCtesFrom) over a
       // line-level CTE: synthetic per-line keys doc_id·1000+idx (docs

@@ -1,0 +1,124 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator top-k-per-key — the brief's custom-plan tier (c):
+  * a logical node + planner strategy + physical partial/final pair,
+  * because no composition of built-ins gives this SHAPE. The built-in
+  * answer (`row_number().over(partitionBy(key).orderBy(ord)) <= k`)
+  * shuffles EVERY row of every key to the key's reducer and sorts it
+  * there; at 10^12 documents that is the corpus through the wire for a
+  * per-host top-3. This operator cuts each partition to ≤ k rows per
+  * key BEFORE the exchange (the classic partial-TopK map-side combine —
+  * the same asymmetry partial aggregation exploits), so the shuffle
+  * carries at most k·partitions rows per key regardless of corpus size,
+  * and nothing is ever fully sorted — bounded heaps replace the sort.
+  *
+  * Semantics: the first k rows of each key group under the TOTAL order
+  * `order` (caller supplies tiebreak columns — determinism is the
+  * caller's contract, same as every hash-gate in this repo). Equal to
+  * the window form row-for-row when the order is total.
+  *
+  * Planning: [[TopKStrategy]] rewrites the node to
+  * Final(partial=false) ∘ Exchange ∘ Partial(partial=true) — the
+  * exchange materializes from Final's `ClusteredDistribution`
+  * requirement via EnsureRequirements, exactly how Spark's own
+  * partial/final aggregates plan. Registered per-session (idempotent)
+  * by [[TopKPerKey.apply]]; `spark.experimental.extraStrategies` is the
+  * public extension point.
+  *
+  * Memory: one bounded heap of k row copies per (partition, key) — the
+  * operator targets small k (top-N-per-host, best-N-candidates); a k
+  * in the thousands wants the window form instead. */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyGen = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(sortOrder, childOutput)
+      // head of each heap = the WORST kept row (reverse of the sort
+      // order), so a better candidate evicts it in O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (it.hasNext) {
+        val row = it.next()
+        val key = keyGen(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](limit,
+            ordering.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) heap.offer(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+
+  /** df → the first k rows per key under `order` (supply tiebreaks for a
+    * total order). Registers [[TopKStrategy]] on the session on first
+    * use (idempotent). */
+  def apply(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+            k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val node = TopKPerKeyNode(
+      keys.map(GraftBridge.eagerExpression(spark, _)),
+      order.map(c => GraftBridge.eagerExpression(spark, c) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, Ascending)
+      }),
+      k, GraftBridge.logicalPlan(df))
+    GraftBridge.ofRows(spark, node)
+  }
+}

@@ -9,4 +9,22 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a logical plan (`Dataset.ofRows` is private[sql]) —
+    * needed by extensions that introduce custom LogicalPlan nodes. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (classic accessor). */
+  def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** EAGER Column → catalyst Expression via the session's converter.
+    * `expression(c)` above returns a lazy `ColumnNodeExpression` wrapper
+    * (fine inside plans the analyzer rewrites, NOT serializable if a
+    * custom node carries it to executors); this converts the ColumnNode
+    * tree immediately — what custom LogicalPlan builders need. */
+  def eagerExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{TopKPerKey, TopKPerKeyExec}
+
+/** The custom whole-operator top-k-per-key (LogicalPlan + Strategy +
+  * partial/final SparkPlan pair). Contract: row-identical to the window
+  * `row_number <= k` form under a total order, partitioning-independent,
+  * and planned as partial → exchange → final so each scan partition
+  * contributes at most k rows per key to the shuffle. */
+class TopKSpec extends SparkSpec {
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  private def base = Pipeline.webdoc(spark, sfDir)
+    .select(col("host"), col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("TopKPerKey ≡ the window row_number form under a total order") {
+    val native = TopKPerKey(base, Seq(col("host")),
+      Seq(col("n_chars").desc, col("doc_id").asc), 3)
+    val expected = asSet(windowForm(base, 3))
+    assert(expected.nonEmpty)
+    assert(asSet(native) == expected)
+    // every key contributes at most k rows, hot host exactly k
+    val perKey = native.groupBy(col("host")).count().collect()
+    assert(perKey.forall(_.getLong(1) <= 3))
+    assert(perKey.exists(r => r.getString(0) == "popular.example.com" && r.getLong(1) == 3))
+  }
+
+  test("TopKPerKey is partitioning-independent and k ≥ group size keeps everything") {
+    val a = asSet(TopKPerKey(base.repartition(1), Seq(col("host")),
+      Seq(col("n_chars").desc, col("doc_id").asc), 2))
+    val b = asSet(TopKPerKey(base.repartition(13), Seq(col("host")),
+      Seq(col("n_chars").desc, col("doc_id").asc), 2))
+    assert(a == b && a.nonEmpty)
+    // a huge k degenerates to identity
+    val all = asSet(TopKPerKey(base, Seq(col("host")),
+      Seq(col("doc_id").asc), 1000000))
+    assert(all == asSet(base))
+  }
+
+  test("TopKPerKey plans as partial → exchange → final (the map-side-combine shape)") {
+    // AdaptiveSparkPlan's collect doesn't descend into the in-flight
+    // inner plan, so assert on the rendered tree: final(false) above the
+    // ENSURE_REQUIREMENTS exchange above partial(true)
+    val s = TopKPerKey(base, Seq(col("host")),
+      Seq(col("n_chars").desc, col("doc_id").asc), 3)
+      .queryExecution.executedPlan.toString
+    val iFinal = s.indexOf(", 3, false")
+    val iExch = s.indexOf("Exchange hashpartitioning(host")
+    val iPartial = s.indexOf(", 3, true")
+    assert(iFinal >= 0 && iExch > iFinal && iPartial > iExch,
+      s"expected final → exchange → partial order in:\n${s.take(1200)}")
+  }
+
+  test("TopKPerKey asc ordering and k=1 pick the per-key minimum") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("a", 2L), ("a", 9L), ("b", 7L), ("c", 1L))
+      .toDF("host", "v")
+    val got = TopKPerKey(df, Seq(col("host")), Seq(col("v").asc), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 7L, "c" -> 1L))
+  }
+}
