@@ -154,6 +154,10 @@ class OperatorSpec extends SparkSpec {
       assert(r.forall(_.getDouble(5) == 32.0))
       assert(r.forall(r2 => r2.getDouble(6) >= 0.0 && r2.getDouble(7) >= 0.0 &&
         r2.getString(8) != null && r2.getLong(9) >= 0L))
+      val sc = s2.sql(
+        """SELECT sorted_contains(array(2, 5, 9), 5) AS hit,
+          |sorted_contains(array(2, 5, 9), 4) AS miss""".stripMargin).head()
+      assert(sc.getBoolean(0) && !sc.getBoolean(1))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(main)
       org.apache.spark.sql.SparkSession.setDefaultSession(main)

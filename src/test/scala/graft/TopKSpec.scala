@@ -60,6 +60,16 @@ class TopKSpec extends SparkSpec {
       s"expected final → exchange → partial order in:\n${s.take(1200)}")
   }
 
+  test("TopKPerKey groups null keys like any other key") {
+    import spark.implicits._
+    val df = Seq((Option("a"), 1L), (Option.empty[String], 2L),
+      (Option.empty[String], 9L), (Option.empty[String], 5L), (Option("a"), 3L))
+      .toDF("host", "v")
+    val got = TopKPerKey(df, Seq(col("host")), Seq(col("v").desc), 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got == Set((Some("a"), 3L), (Some("a"), 1L), (None, 9L), (None, 5L)))
+  }
+
   test("TopKPerKey asc ordering and k=1 pick the per-key minimum") {
     import spark.implicits._
     val df = Seq(("a", 5L), ("a", 2L), ("a", 9L), ("b", 7L), ("c", 1L))
