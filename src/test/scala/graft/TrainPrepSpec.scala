@@ -492,6 +492,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(!tiny.getBoolean(2) && tiny.getString(5) == "ab cd")
   }
 
+  test("spanCorruption: a new salt re-rolls the spans; grid bound holds under both") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (0 until 40).map(j => s"x${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    def starts(salt: String) = graft.operators.TrainPrep
+      .spanCorruption(docs, salt = salt).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = starts("t5"); val b = starts("t5b")
+    assert(a != b, "re-salting must change the span selection")
+    // grid bound: at most floor((40-3)/7)+1 = 6 spans per doc, ever
+    assert((a.values ++ b.values).forall(n => n >= 0 && n <= 6))
+  }
+
   test("sourceMixture: exact integer targets, floor-quantized epochs, oversample flag") {
     import spark.implicits._
     // token counts under TokenRe: "one two" = 2, "a b c d" = 4

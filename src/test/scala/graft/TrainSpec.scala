@@ -279,6 +279,28 @@ class TrainSpec extends SparkSpec {
     assert(!got.keys.exists { case (a, b) => a >= 3L && a <= 12L && b <= 12L })
   }
 
+  test("substringRuns/Excise: the minRunTokens threshold is exact (16 in, 15 out)") {
+    import spark.implicits._
+    def docsWith(n: Int) = {
+      val run = (1 to n).map(i => s"r$i").mkString(" ")
+      Seq((1L, s"alpha beta $run gamma delta"),
+          (2L, s"totally different prefix $run and suffix words"))
+        .toDF("doc_id", "text")
+    }
+    // a 16-token shared run is reported at exactly 16...
+    val hit = graft.operators.Dedup.substringRuns(docsWith(16)).collect()
+    assert(hit.length == 1 && hit.head.getLong(2) == 16L)
+    // ...and excised in full from the later doc
+    val exc = graft.operators.Dedup.substringExcise(docsWith(16)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exc(1L) == 0L && exc(2L) == 16L)
+    // a 15-token run falls below the floor: no pair, no excision
+    assert(graft.operators.Dedup.substringRuns(docsWith(15)).isEmpty)
+    val exc15 = graft.operators.Dedup.substringExcise(docsWith(15)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exc15.values.forall(_ == 0L))
+  }
+
   test("substringExcise: higher doc loses the run, first occurrence keeps it, coverage merges overlaps") {
     import spark.implicits._
     val quote = (1 to 20).map(i => s"q$i").mkString(" ")
