@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Extra benchmark main for optimization work (guide §1.4): NOT part of the
+  * driver contract — `graft.Bench` stays the one measured harness.
+  *
+  * Times selected SparkEntry queries with the SAME consumption as Bench
+  * (xxhash64-over-all-columns checksum, so no column pruning of the
+  * operator under test), but with N reps per query and a TrackedCache
+  * release between reps, printing every rep and the min. Usage:
+  *
+  *   sbt "runMain graft.BenchExtra [-reps N] [-explain outDir] q41_jaccard_capped q118_containment ..."
+  *   sbt "runMain graft.BenchExtra -reps 3 all"
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_CPUS  (default 32). */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    var reps = 3
+    var explainDir: Option[String] = None
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-reps" => reps = args(i + 1).toInt; i += 2
+        case "-explain" => explainDir = Some(args(i + 1)); i += 2
+        case n => names += n; i += 1
+      }
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // per-stage timing listener (guide §7.1 without the UI): stage wall,
+    // task-time sum and shuffle bytes, attributed to the current query
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Long, Long)]()
+    @volatile var currentQ = ""
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        stages.add((currentQ, si.stageId, wall,
+          si.taskMetrics.executorRunTime,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+      }
+    })
+    val verbose = sys.env.get("SPARK_GRAFT_EXTRA_STAGES").contains("1")
+    val qs =
+      if (names.contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else names.toSeq
+    qs.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      explainDir.foreach { d =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+        val plan = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d, s"$name.txt"), plan)
+      }
+      val times = (1 to reps).zipWithIndex.map { case (_, ri) =>
+        graft.plans.TrackedCache.releaseAll(blocking = true)
+        spark.sparkContext.setJobDescription(s"benchextra: $name")
+        currentQ = s"$name#$ri"
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
+          .agg(bit_xor(col("h"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (verbose) {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.filter(_._1.startsWith(name + "#")).toSeq
+          .sortBy(s => (s._1, -s._3)).foreach { case (q, id, wall, run, sw, sr) =>
+            println(f"STAGE $q%-28s id=$id%-5d wall=${wall / 1e3}%7.3f s taskSum=${run / 1e3}%8.3f s shufW=${sw / 1e6}%8.2f MB shufR=${sr / 1e6}%8.2f MB")
+          }
+      }
+      graft.plans.TrackedCache.releaseAll(blocking = true)
+      println(f"EXTRA $name%-24s min=${times.min}%6.3f s reps=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

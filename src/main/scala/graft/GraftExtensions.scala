@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("word_shingles", 1, exprs => graft.functions.WordShingles(exprs.head))
     reg("minhash_sig", 1, exprs => graft.functions.MinHashSig(exprs.head))
     reg("simhash60", 1, exprs => graft.functions.SimHash60(exprs.head))
+    reg("md5_hash60", 1, exprs => graft.functions.Md5Hash60(
+      org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+        org.apache.spark.sql.types.BinaryType)))
     reg("dot_product", 2, exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
     reg("top_ngrams", 1, exprs => graft.functions.TopNgrams(exprs.head))
     reg("dup_ngrams", 1, exprs => graft.functions.DupNgrams(exprs.head))

@@ -18,8 +18,15 @@ object Hashing {
   val P: Long = 1000000007L
 
   /** 60-bit hash of a string column: oracle-equivalent in DuckDB is
-    * CAST('0x' || substr(md5(s), 1, 15) AS BIGINT). */
+    * CAST('0x' || substr(md5(s), 1, 15) AS BIGINT). Native single-kernel
+    * expression (r6 optimization); [[md5Hash60Composable]] is the
+    * built-in-composition twin it is differential-tested against. */
   def md5Hash60(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      Md5Hash60(org.apache.spark.sql.GraftBridge.expression(c.cast("binary"))))
+
+  /** The pre-r6 built-in composition — semantics reference for tests. */
+  def md5Hash60Composable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {

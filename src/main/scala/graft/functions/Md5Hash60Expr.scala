@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native 60-bit md5 hash: first 15 hex chars of md5(bytes) as a long —
+  * bit-identical to the composable form
+  * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (and to DuckDB's
+  * `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`), but computed directly
+  * from the digest bytes: no 32-char hex string allocation, no substring
+  * copy, no string-to-decimal conv parse. This is the hash every exploded
+  * dedup stream pays per shingle/span/line occurrence (millions of rows per
+  * corpus pass), so the three avoided allocations are the dominant
+  * per-element cost of the composable form (guide §1.2 step 2 / §4.1:
+  * prefer one native codegen'd kernel over an expression chain in the hot
+  * path).
+  *
+  * The child must be BinaryType: the Column/SQL builders insert the same
+  * explicit UTF-8 string→binary cast the built-in `md5` would receive
+  * implicitly, so semantics match the old composition for every input
+  * type. Differential-tested against the composable form in OperatorSpec.
+  */
+case class Md5Hash60(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_hash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Hash60.compute(input.asInstanceOf[Array[Byte]])
+
+  // static-kernel call keeps the expression inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Hash60$$.MODULE$$.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes): bytes 0..6 then the high nibble of
+    * byte 7 — identical to Hashing.md5Hash60Jvm on the UTF-8 encoding. */
+  def compute(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var k = 0
+    while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+}

@@ -1919,4 +1919,30 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(est - nExact) / nExact < 0.4,
       s"HLL est $est vs exact $nExact on $bigHost out of sketch error bounds")
   }
+
+  test("md5_hash60 native expression == built-in composition, all input classes") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Hashing
+    // unicode, empties, long strings, nulls, binary-looking bytes
+    val df = spark.range(0, 500).toDF("i")
+      .withColumn("s", concat(lit("shingle \u00e9\u4e2d\ud83d\ude00 "), col("i").cast("string"),
+        repeat(lit(" pad"), pmod(col("i"), lit(40)).cast("int"))))
+      .withColumn("s", when(col("i") % 97 === 0, lit("")).otherwise(col("s")))
+      .withColumn("s", when(col("i") % 101 === 0, lit(null: String)).otherwise(col("s")))
+    val diff = df.select(
+        Hashing.md5Hash60(col("s")).as("a"),
+        Hashing.md5Hash60Composable(col("s")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0L)
+    // and the JVM twin agrees on a unicode sample
+    val s = "caf\u00e9 \u4e2d\u6587 shingle"
+    val got = df.sparkSession.range(1).select(Hashing.md5Hash60(lit(s))).head().getLong(0)
+    assert(got == Hashing.md5Hash60Jvm(s))
+    // inside a higher-order-function lambda (the Dedup/Cdc call shape)
+    val hof = df.filter(col("s").isNotNull).select(
+        transform(split(col("s"), " "), w => Hashing.md5Hash60(w)).as("a"),
+        transform(split(col("s"), " "), w => Hashing.md5Hash60Composable(w)).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(hof == 0L)
+  }
 }
