@@ -50,11 +50,18 @@ object SparkEntry {
     // The end product: keep-filter → PII scrub → corpus-wide
     // first-occurrence line dedup, materialized as final cleaned text —
     // every stage individually oracle-gated, composed here end-to-end
+    // r6: the kept+scrubbed subset is persisted before the dedup — the
+    // line-occurrence mining AND the text rebuild both consume it, and
+    // without the cache the synthesis+score+scrub chain (the dominant
+    // per-row cost) runs twice. Materializing the cleaned subset before a
+    // multi-pass dedup is the production shape (it is the table a real
+    // pipeline writes between the filter and dedup stages).
     "q90_clean_corpus" -> ((s, dir) =>
       graft.operators.Dedup.firstOccurrenceLines(
-        Pipeline.scored(s, dir).filter(col("keep"))
-          .select(col("doc_id"), col("url"),
-            col("scrubbed_text").as("text")))),
+        graft.plans.TrackedCache.persist(
+          Pipeline.scored(s, dir).filter(col("keep"))
+            .select(col("doc_id"), col("url"),
+              col("scrubbed_text").as("text"))))),
 
     // Gopher top-n-gram repetition: fraction of chars in the most common
     // {2,3,4}-gram — per-row native expression, shuffle-free, scan-bound
@@ -779,17 +786,52 @@ object SparkEntry {
     // identical IEEE DAG both engines (all inputs already quantized)
     "q170_host_curation" -> ((s, dir) => {
       val wd = Pipeline.webdoc(s, dir)
-      val kr = Pipeline.score(wd).groupBy(col("host"))
+      // r6 optimization (guide §2.4 "remove shuffles/passes outright"):
+      // the four component families used to scan the corpus once EACH —
+      // four synthesis+scan passes of the same rows. Fused: ONE scan pass
+      // computes every per-doc narrow derivation (keep verdict, template
+      // fingerprint, href/anchor arrays) in a single projection, persisted
+      // (~1-2% of corpus bytes — flags + one 16-byte fp + short url/anchor
+      // strings; at a real deployment this is the narrow intermediate a
+      // pipeline would materialize as a table). The four host-level
+      // aggregations then read the cached projection; downstream joins are
+      // unchanged. Derivation expressions are copied verbatim from
+      // Pipeline.score / Extract.templateFp / HostGraph.hrefLinks /
+      // HostGraph.anchorIndex so every component's values are bit-identical
+      // to the unfused forms (oracle unchanged).
+      val aPat = "<a href=\"([^\"]+)\">([^<]*)</a>"
+      val sHtml = col("html").cast("string")
+      val pre = graft.plans.TrackedCache.persist(
+        Pipeline.score(wd).select(
+          col("doc_id"), col("host"), col("keep"),
+          unhex(graft.operators.Extract.templateFp(col("html"))).as("fpb"),
+          regexp_extract_all(sHtml, lit("<a href=\"([^\"]+)\""), lit(1)).as("hrefs"),
+          regexp_extract_all(sHtml, lit(aPat), lit(1)).as("ahrefs"),
+          regexp_extract_all(sHtml, lit(aPat), lit(2)).as("anchors")))
+      def dstHost(href: Column): Column =
+        when(href.rlike("^https?://"),
+          regexp_extract(href, "^https?://([^/]+)", 1)).otherwise(col("host"))
+      val kr = pre.groupBy(col("host"))
         .agg(count(lit(1)).as("docs"),
           sum(col("keep").cast("long")).as("kept"))
-      val rank = graft.operators.HostGraph.authority(wd)
+      val edges = pre.select(col("host"), explode(col("hrefs")).as("href"))
+        .select(col("host").as("src"), dstHost(col("href")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val rank = graft.operators.HostGraph.authorityFromEdges(edges)
         .select(col("host"), col("rank"))
-      val tpl = graft.operators.Extract.templateClusters(wd)
+      val tpl = graft.operators.Extract.templateClustersFromFp(
+          pre.select(col("host"), col("fpb"), col("doc_id")))
         .groupBy(col("host"))
         .agg(max(col("host_share")).as("max_template_share"))
-      val anc = graft.operators.HostGraph.anchorIndex(wd)
+      // distinct (dst_host, anchor) count per host ≡ the unfused
+      // anchorIndex row count per dst_host (n_links/n_src_hosts were
+      // computed and discarded there)
+      val anc = pre.select(col("host"),
+          explode(arrays_zip(col("ahrefs"), col("anchors"))).as("a"))
+        .select(dstHost(col("a.ahrefs")).as("dst_host"), col("a.anchors").as("anchor"))
         .groupBy(col("dst_host"))
-        .agg(count(lit(1)).as("n_anchor_texts"))
+        .agg(count_distinct(col("anchor")).as("n_anchor_texts"))
         .withColumnRenamed("dst_host", "host")
       val keepRate = floor(col("kept") * lit(1e6) / col("docs")) / lit(1e6)
       val r = coalesce(col("rank"), lit(0.15))

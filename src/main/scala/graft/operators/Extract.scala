@@ -57,9 +57,15 @@ object Extract {
     * (host, 16-byte fp) with map-side partial aggregation; host totals
     * re-aggregate the already-cluster-sized frame and come back via one
     * broadcast join. No text, no tag arrays, nothing row-sized shuffles. */
-  def templateClusters(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("host"),
-      unhex(templateFp(col("html"))).as("fpb"), col("doc_id"))
+  def templateClusters(docs: DataFrame): DataFrame =
+    templateClustersFromFp(docs.select(col("host"),
+      unhex(templateFp(col("html"))).as("fpb"), col("doc_id")))
+
+  /** Same clustering over an already-fingerprinted (host, fpb, doc_id)
+    * frame — lets a composite (q170) that derives fingerprints from a
+    * shared single-scan projection reuse the aggregation without
+    * re-scanning the corpus. */
+  def templateClustersFromFp(fp: DataFrame): DataFrame = {
     val clusters = fp.groupBy(col("host"), col("fpb"))
       .agg(count(lit(1)).as("docs"), min(col("doc_id")).as("exemplar"))
     val totals = clusters.groupBy(col("host"))

@@ -94,11 +94,18 @@ object HostGraph {
     * so each iteration adds one narrow (host, contribution) aggregation
     * and zero edge-side shuffles. */
   def authority(docs: DataFrame, iters: Int = 3, damping: Double = 0.85,
-                base: Double = 0.15): DataFrame = {
+                base: Double = 0.15): DataFrame =
+    authorityFromEdges(linkEdges(docs), iters, damping, base)
+
+  /** Same power iteration over an already-built weighted edge table —
+    * lets a composite (q170) that derives edges from a shared single-scan
+    * projection reuse the iteration without re-scanning the corpus. */
+  def authorityFromEdges(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85,
+                         base: Double = 0.15): DataFrame = {
     // `base` is passed explicitly (not derived as 1−damping): 1.0−0.85 is
     // 0.15000000000000002 in binary, one ulp off the 0.15 literal the
     // oracle uses — both engines must fold the SAME constants.
-    val edges = graft.plans.TrackedCache.persist(linkEdges(docs))
+    val edges = graft.plans.TrackedCache.persist(edges0)
     val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
     val nodes = edges.select(col("src").as("host"))
       .union(edges.select(col("dst").as("host"))).distinct()

@@ -24,10 +24,24 @@ object TrackedCache {
 
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist (MEMORY_AND_DISK) and register for later release. */
+  /** Persist (MEMORY_AND_DISK), register for later release, and EAGERLY
+    * materialize (r6 optimization). Every registration site exists because
+    * several DAG legs consume the frame, and in the broadcast-heavy plans
+    * those legs execute as CONCURRENT broadcast-build jobs: with a lazy
+    * persist each racing job finds the cache cold and recomputes the whole
+    * upstream pipeline (the corpus synthesis + shingle + hash pass — the
+    * most expensive projection in the repo) before any of them publishes
+    * blocks. Measured on q41/q118 at sf0.1: two concurrent ~20 s-taskSum
+    * stages computing the identical persisted subtree, plus
+    * "Block rdd_N already exists" churn. One count() up front builds the
+    * cache exactly once and every leg — broadcast builds included — reads
+    * memory. Results are unchanged: caching materializes full rows either
+    * way; this only fixes WHEN.
+    */
   private[graft] def persist(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     tracked.add(df)
+    df.count()
     df
   }
 

@@ -56,4 +56,34 @@ class HostGraphSpec extends SparkSpec {
     assert(rules.map(_.getString(0)).distinct.length.toLong == hosts)
     assert(rules.forall(_.getString(1).startsWith("/")))
   }
+
+  test("q170 fused single-scan composition == unfused four-scan composition") {
+    import org.apache.spark.sql.functions._
+    val wd = Pipeline.webdoc(spark, sfDir)
+    // the pre-r6 four-scan composition, reproduced verbatim
+    val kr = Pipeline.score(wd).groupBy(col("host"))
+      .agg(count(lit(1)).as("docs"), sum(col("keep").cast("long")).as("kept"))
+    val rank = HostGraph.authority(wd).select(col("host"), col("rank"))
+    val tpl = graft.operators.Extract.templateClusters(wd)
+      .groupBy(col("host")).agg(max(col("host_share")).as("max_template_share"))
+    val anc = HostGraph.anchorIndex(wd)
+      .groupBy(col("dst_host")).agg(count(lit(1)).as("n_anchor_texts"))
+      .withColumnRenamed("dst_host", "host")
+    val keepRate = floor(col("kept") * lit(1e6) / col("docs")) / lit(1e6)
+    val r = coalesce(col("rank"), lit(0.15))
+    val mts = coalesce(col("max_template_share"), lit(0.0))
+    val unfused = kr.join(broadcast(rank), Seq("host"), "left")
+      .join(broadcast(tpl), Seq("host"), "left")
+      .join(broadcast(anc), Seq("host"), "left")
+      .select(col("host"), col("docs"), keepRate.as("keep_rate"),
+        r.as("rank"), mts.as("max_template_share"),
+        coalesce(col("n_anchor_texts"), lit(0L)).as("n_anchor_texts"),
+        (floor(r * keepRate * (lit(1.0) - mts) * lit(1e6)) / lit(1e6)).as("priority"))
+    val fused = SparkEntry.queries("q170_host_curation")(spark, sfDir)
+    assert(fused.columns.toSeq == unfused.columns.toSeq)
+    val d1 = fused.exceptAll(unfused).count()
+    val d2 = unfused.exceptAll(fused).count()
+    graft.plans.TrackedCache.releaseAll()
+    assert(d1 == 0 && d2 == 0, s"fused/unfused q170 differ: +$d1 -$d2")
+  }
 }
