@@ -42,6 +42,34 @@ case class WordShingles(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused shingle+hash kernel: the 60-bit md5 hash of every DISTINCT
+  * 3-word shingle of `text`, in first-occurrence order — semantically
+  * `transform(word_shingles(text), s -> md5_hash60(s))` but one Java pass:
+  * no UTF8String shingle array is materialized, no per-element expression
+  * dispatch, the digest runs straight off a reused byte buffer. The
+  * exploded-hash dedup streams (q11/q41/q118, the KMV/HLL sketch family)
+  * spend most of their scan time exactly here (r6; guide §1.2 step 2).
+  * Array length == word_shingles' length (one entry per distinct STRING
+  * shingle, hash collisions kept as duplicates), so `size()` and the
+  * exploded multiset are bit-identical to the unfused form
+  * (differential-tested in OperatorSpec). */
+case class WordShingleHashes(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleExprs.shingleHashesCompute(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleExprs$$.MODULE$$.shingleHashesCompute($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** 16-permutation MinHash signature over an array<string> of shingles.
   * Returns null for an empty shingle array (callers filter those rows,
   * matching the composable form's size(sh) > 0 guard) — so `nullable` is
@@ -127,6 +155,33 @@ object ShingleExprs {
     new GenericArrayData(out)
   }
 
+  /** WordShingleHashes kernel: one entry per distinct string shingle,
+    * first-occurrence order, hashed with the cross-engine md5-60. */
+  def shingleHashesCompute(s: String): GenericArrayData = {
+    evals.increment()
+    val words = splitWords(s)
+    if (words.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i + 2 < words.length) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1)).append(' ').append(words(i + 2))
+      seen.add(sb.toString)
+      i += 1
+    }
+    val md = md5.get()
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      md.reset()
+      out(j) = md5Hash60(md, it.next().getBytes("UTF-8"))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHashSig kernel: null for empty input arrays. */
   def minhashCompute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
@@ -207,6 +262,9 @@ object ShingleExprs {
 
   def wordShingles(c: Column): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c)))
+
+  def wordShingleHashes(c: Column): Column =
+    GraftBridge.column(WordShingleHashes(GraftBridge.expression(c)))
 
   def minhashSig(c: Column): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c)))

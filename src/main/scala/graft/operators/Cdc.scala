@@ -124,7 +124,9 @@ object Cdc {
       .filter(col("rn") > 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("cidx"))).as("rm"))
-    base.join(broadcast(losers), Seq("doc_id"), "left")
+    // size-gated broadcast (VERDICT r5 #2 — the q83 removal-list
+    // discipline): losers lists are duplication-mass-proportional
+    Dedup.gatedListJoin(base, losers, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"),
         size(col("chunks")).cast("long").as("n_chunks"),
         when(col("rm").isNull, lit(0L))

@@ -22,6 +22,31 @@ import graft.functions.Hashing._
   */
 object Dedup {
 
+  /** Size-gated broadcast of a removal/candidate list back onto the
+    * corpus (VERDICT r5 #2). These lists are proportional to DUPLICATED
+    * CONTENT MASS, not to a model size: on a mirror-heavy 100 TB corpus
+    * (ExactSubstr removes 3-7% of tokens; a scraped-mirror crawl far
+    * more) the cut lists and candidate text fetches outgrow any
+    * broadcast threshold and the driver's memory. Below the configured
+    * row gate (`spark.graft.removalBroadcastMaxRows`, default 4,000,000
+    * — comfortably under the 8 GB / 512M-row broadcast caps for these
+    * narrow rows) the plan keeps the broadcast hint; above it, an
+    * ordinary shuffle-hash join on the key — the corpus side then
+    * shuffles once, which is the honest cost at that duplication level.
+    * The small side is persisted (eagerly, so the gate count reads the
+    * cache and the surviving join rebuilds nothing). Both paths produce
+    * identical rows; OperatorSpec pins the fallback differential and
+    * PlanSpec pins the broadcast shape at the default gate. */
+  private[graft] def gatedListJoin(big: DataFrame, small: DataFrame,
+      keys: Seq[String], joinType: String = "inner"): DataFrame = {
+    val smallP = graft.plans.TrackedCache.persist(small)
+    val n = smallP.count() // cache hit: persist materialized it
+    val gate = big.sparkSession.conf.getOption("spark.graft.removalBroadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    if (n <= gate) big.join(broadcast(smallP), keys, joinType)
+    else big.join(smallP.hint("shuffle_hash"), keys, joinType)
+  }
+
   /** Distinct 3-word shingles from an already-materialized words column.
     * (Same single-tokenization invariant as Rules.apply: pass a NAMED
     * column, never the raw split expression — element_at references the
@@ -332,9 +357,9 @@ object Dedup {
     // stays bit-exact. n_sh counts the STRING-distinct shingles (from the
     // array, pre-hash); a 60-bit in-doc collision (~10^-18/doc) would
     // undercount inter by 1 in both engines identically.
-    val ex = graft.plans.TrackedCache.persist(withShingles(docs)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s")))
+    val ex = graft.plans.TrackedCache.persist(docs
+      .withColumn("hs", graft.functions.ShingleExprs.wordShingleHashes(col("text")))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s")))
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
@@ -387,9 +412,9 @@ object Dedup {
     * candidate mining by construction — that class is the boilerplate
     * operator's job (q59), not containment's. */
   def containmentPairs(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val ex = graft.plans.TrackedCache.persist(withShingles(docs)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s")))
+    val ex = graft.plans.TrackedCache.persist(docs
+      .withColumn("hs", graft.functions.ShingleExprs.wordShingleHashes(col("text")))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s")))
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
@@ -415,19 +440,27 @@ object Dedup {
   /** All-pairs n-gram Jaccard via exploded-shingle equi-join (the exact
     * baseline MinHash approximates): shuffle on the shingle string. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardPairsFromSh(withShingles(docs).select(col("doc_id"), col("sh")), threshold)
+    jaccardPairsFromHashes(docs.select(col("doc_id"),
+      graft.functions.ShingleExprs.wordShingleHashes(col("text")).as("hs")), threshold)
 
   /** Exact all-pairs Jaccard over an already-shingled (doc_id, sh) frame —
     * lets [[lshEval]] share ONE persisted shingle table across its three
-    * legs instead of re-shingling the corpus per leg (ADVICE r4). */
-  private[graft] def jaccardPairsFromSh(sh0: DataFrame, threshold: Double): DataFrame = {
-    val ds = sh0.withColumn("n_sh", size(col("sh")))
-    // the stream carries the 60-bit shingle HASH, not the string — the
-    // self-join shuffles 8-byte longs instead of ~25-byte strings (the
-    // q41 discipline; oracle applies the identical h60). n_sh stays
-    // STRING-distinct (counted on the array, pre-hash).
-    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n_sh"), md5Hash60(col("s0")).as("s"))
+    * legs instead of re-shingling the corpus per leg (ADVICE r4). The
+    * per-element hash is applied here (one interpreted transform over the
+    * CACHED string arrays); the standalone q11 path uses the fused
+    * word_shingle_hashes kernel instead (r6). */
+  private[graft] def jaccardPairsFromSh(sh0: DataFrame, threshold: Double): DataFrame =
+    jaccardPairsFromHashes(sh0.select(col("doc_id"),
+      transform(col("sh"), s => md5Hash60(s)).as("hs")), threshold)
+
+  /** Core all-pairs Jaccard over (doc_id, hs: array<h60>) — the stream
+    * carries the 60-bit shingle HASH, not the string: the self-join
+    * shuffles 8-byte longs instead of ~25-byte strings (the q41
+    * discipline; oracle applies the identical h60). n_sh stays
+    * STRING-distinct (one hash per distinct string shingle). */
+  private[graft] def jaccardPairsFromHashes(hs0: DataFrame, threshold: Double): DataFrame = {
+    val ds = hs0.withColumn("n_sh", size(col("hs")))
+    val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("s"))
     val pairs = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
@@ -779,14 +812,16 @@ object Dedup {
     val repStarts = spans.join(dfs.filter(col("ddf") >= 2).select(col("h")), "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("rep_starts"))
-    // the removal lists are explicitly broadcast: each row is (doc_id,
-    // small int array) and only docs containing a cross-doc-repeated span
-    // appear, so the build side stays orders of magnitude under the
-    // corpus; the alternative — shuffling the corpus's word arrays on
-    // doc_id — moves the text itself (PlanSpec pins that never happens)
-    docs.select(col("doc_id"), col("url"),
-        graft.operators.Rules.wordsOf(col("text")).as("__w"))
-      .join(broadcast(repStarts), Seq("doc_id"), "left")
+    // the removal lists come back via the size-gated broadcast: each row
+    // is (doc_id, small int array) and only docs containing a cross-doc-
+    // repeated span appear, so at normal duplication the build side stays
+    // orders of magnitude under the corpus and broadcasts; past the gate
+    // (duplication-heavy corpus) it degrades to one shuffle-hash join
+    // (VERDICT r5 #2)
+    gatedListJoin(
+      docs.select(col("doc_id"), col("url"),
+        graft.operators.Rules.wordsOf(col("text")).as("__w")),
+      repStarts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"),
         size(col("__w")).as("n_words"),
         when(col("rep_starts").isNull, lit(0))
@@ -828,11 +863,12 @@ object Dedup {
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("rm"))
-    // same broadcast discipline as excisedSpans: the (doc_id, positions)
-    // removal list is narrow and minority-membership, the corpus's line
-    // arrays must never shuffle (PlanSpec pin)
-    docs.select(col("doc_id"), col("url"), split(col("text"), "\n").as("__l"))
-      .join(broadcast(removed), Seq("doc_id"), "left")
+    // same size-gated broadcast discipline as excisedSpans: the (doc_id,
+    // positions) removal list is narrow and minority-membership, so the
+    // corpus's line arrays never shuffle below the gate (PlanSpec pin)
+    gatedListJoin(
+      docs.select(col("doc_id"), col("url"), split(col("text"), "\n").as("__l")),
+      removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"),
         size(col("__l")).as("n_lines"),
         when(col("rm").isNull, lit(0)).otherwise(size(col("rm"))).as("n_removed"),
@@ -890,8 +926,9 @@ object Dedup {
       .filter(!(col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("rp"))
-    docs.select(col("doc_id"), col("url"), sentsOf(col("text")).as("__s"))
-      .join(broadcast(removed), Seq("doc_id"), "left")
+    gatedListJoin(
+      docs.select(col("doc_id"), col("url"), sentsOf(col("text")).as("__s")),
+      removed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("url"),
         size(col("__s")).as("n_sents"),
         when(col("rp").isNull, lit(0))
@@ -1089,9 +1126,8 @@ object Dedup {
   def kmvDistinctShingles(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hashes = withShingles(docs)
-      .select(explode(col("sh")).as("s"))
-      .select(md5Hash60(col("s")).as("h")).as[Long]
+    val hashes = docs
+      .select(explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h")).as[Long]
     val candidates = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[java.lang.Long]()
       while (it.hasNext) {
@@ -1120,9 +1156,8 @@ object Dedup {
     * once full. */
   def hostKmv(docs: DataFrame, k: Int): DataFrame = {
     val kmv = udaf(new graft.functions.KmvSketch(k))
-    withShingles(docs)
-      .select(col("host"), explode(col("sh")).as("s"))
-      .select(col("host"), md5Hash60(col("s")).as("h"))
+    docs
+      .select(col("host"), explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h"))
       .groupBy(col("host"))
       .agg(kmv(col("h")).as("s"))
       .select(col("host"), col("s.k_used").as("k_used"),
@@ -1133,9 +1168,8 @@ object Dedup {
     * count and the relative error — the calibration view (exact is the
     * expensive reference; production monitoring reads est_distinct only). */
   def kmvAudit(docs: DataFrame, k: Int): DataFrame = {
-    val exact = withShingles(docs)
-      .select(explode(col("sh")).as("s"))
-      .select(md5Hash60(col("s")).as("h"))
+    val exact = docs
+      .select(explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h"))
       .distinct().agg(count(lit(1)).as("n_exact"))
     kmvDistinctShingles(docs, k).crossJoin(exact)
       .select(col("k_used"), col("kth_h"), col("est_distinct"), col("n_exact"),
@@ -1206,9 +1240,8 @@ object Dedup {
     * oracle). */
   def hostHllAgg(docs: DataFrame): DataFrame = {
     val hll = udaf(new graft.functions.HllSketch)
-    withShingles(docs)
-      .select(col("host"), explode(col("sh")).as("s"))
-      .select(col("host"), md5Hash60(col("s")).as("h"))
+    docs
+      .select(col("host"), explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h"))
       .groupBy(col("host"))
       .agg(hll(col("h")).as("s"))
       .select(col("host"), col("s.n_buckets").as("n_buckets"),
@@ -1269,13 +1302,17 @@ object Dedup {
       mine("h3", lit(true))
         .unionByName(mine("h2", col("nw") === 3L))
         .dropDuplicates("short_id", "long_id"))
-    // text fetch is candidate-bounded: broadcast the pair list into the
-    // corpus scan twice (q115) — the corpus side never exchanges
+    // text fetch is candidate-bounded: the pair list comes into the
+    // corpus scan twice via the size-gated broadcast (q115 discipline) —
+    // below the gate the corpus side never exchanges; past it (pathological
+    // truncation mass) each fetch degrades to one shuffle-hash join
     val t = docs.select(col("doc_id"), col("text"))
-    val withShort = t.select(col("doc_id").as("short_id"), col("text").as("tb"))
-      .join(broadcast(cand), Seq("short_id"))
-    val withBoth = t.select(col("doc_id").as("long_id"), col("text").as("ta"))
-      .join(broadcast(withShort), Seq("long_id"))
+    val withShort = gatedListJoin(
+      t.select(col("doc_id").as("short_id"), col("text").as("tb")),
+      cand, Seq("short_id"))
+    val withBoth = gatedListJoin(
+      t.select(col("doc_id").as("long_id"), col("text").as("ta")),
+      withShort, Seq("long_id"))
     withBoth
       .filter(col("ta").startsWith(col("tb")))
       .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))
@@ -1297,9 +1334,8 @@ object Dedup {
     * joins broadcast, nothing corpus-sized moves after the two
     * distinct-hash TakeOrdered passes. */
   def kmvOverlap(docs: DataFrame, isA: Column, k: Int): DataFrame = {
-    val sh = withShingles(docs)
-      .select(isA.as("a"), explode(col("sh")).as("s"))
-      .select(col("a"), md5Hash60(col("s")).as("h"))
+    val sh = docs
+      .select(isA.as("a"), explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h"))
     val skA = sh.filter(col("a")).select(col("h")).distinct()
       .orderBy(col("h")).limit(k)
     val skB = sh.filter(!col("a")).select(col("h")).distinct()
@@ -1429,7 +1465,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos").cast("int"))).as("cut"))
     val words = Rules.wordsOf(col("text"))
-    docs.join(broadcast(cut), Seq("doc_id"), "left")
+    gatedListJoin(docs, cut, Seq("doc_id"), "left")
       .withColumn("__words", words)
       .withColumn("__cut", coalesce(col("cut"), array().cast("array<int>")))
       .select(col("doc_id"),
@@ -1519,9 +1555,8 @@ object Dedup {
     * can apply any correction downstream. */
   def hostHll(docs: DataFrame): DataFrame = {
     val restMask = (1L << 54) - 1
-    val regs = withShingles(docs)
-      .select(col("host"), explode(col("sh")).as("s"))
-      .select(col("host"), md5Hash60(col("s")).as("h"))
+    val regs = docs
+      .select(col("host"), explode(graft.functions.ShingleExprs.wordShingleHashes(col("text"))).as("h"))
       .select(col("host"), shiftright(col("h"), 54).as("bucket"),
         (col("h").bitwiseAND(lit(restMask))).as("rest"))
       .select(col("host"), col("bucket"),

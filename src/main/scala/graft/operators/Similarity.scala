@@ -413,10 +413,17 @@ object Similarity {
     * k·subDim-group aggregation, the corpus never shuffles.
     * Returns codebooks(j)(c) = the 6-dp codeword vector. */
   def pqFit(embeddings: DataFrame, dim: Int, m: Int, k: Int,
+            iters: Int): Seq[Seq[Seq[Double]]] =
+    pqFitVecs(Train.roundedVecs(embeddings), dim, m, k, iters)
+
+  /** [[pqFit]] over an already-rounded (vec_id, v) frame — lets pqSearch
+    * persist the rounded vectors ONCE for the m·iters k-means jobs, the
+    * encode pass and the query side (r6: every one of those sequential
+    * driver-side jobs re-read and re-rounded the parquet otherwise). */
+  private[operators] def pqFitVecs(vecs: DataFrame, dim: Int, m: Int, k: Int,
             iters: Int): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val vecs = Train.roundedVecs(embeddings)
     (0 until m).map { j =>
       Train.kmeansFitVecs(
         vecs.select(col("vec_id"), slice(col("v"), j * subDim + 1, subDim).as("v")),
@@ -429,14 +436,18 @@ object Similarity {
     * whole-stage codegen) — the corpus is read once and nothing
     * shuffles; ties break to the lowest code id, mirroring the SQL
     * `ORDER BY dist, cluster_id`. */
-  def pqEncode(embeddings: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+  def pqEncode(embeddings: DataFrame, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    pqEncodeVecs(Train.roundedVecs(embeddings), codebooks)
+
+  private[operators] def pqEncodeVecs(vecs: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val subDim = codebooks.head.head.size
     val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
       val sub = slice(col("v"), j * subDim + 1, subDim)
       val dists = array(cb.map(c => Train.sqDist(sub, c)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }: _*)
-    Train.roundedVecs(embeddings).withColumn("codes", codes)
+    vecs.withColumn("codes", codes)
   }
 
   /** Asymmetric-distance (ADC) top-k over the PQ codes: each query
@@ -450,14 +461,18 @@ object Similarity {
     * sum is a fixed left fold, ties break on vec_id. */
   def pqSearch(embeddings: DataFrame, dim: Int, m: Int, kCode: Int,
                iters: Int, topK: Int, queryMod: Int): DataFrame = {
-    val cbs = pqFit(embeddings, dim, m, kCode, iters)
+    // r6: ONE persisted rounded-vector table feeds the m·iters k-means
+    // collect jobs, the encode pass and the query side — before, every
+    // sequential training job re-read the parquet and re-rounded
+    val vecs = graft.plans.TrackedCache.persist(Train.roundedVecs(embeddings))
+    val cbs = pqFitVecs(vecs, dim, m, kCode, iters)
     val subDim = dim / m
-    val enc = pqEncode(embeddings, cbs).select(col("vec_id"), col("codes"))
+    val enc = pqEncodeVecs(vecs, cbs).select(col("vec_id"), col("codes"))
     val dtab = array(cbs.zipWithIndex.map { case (cb, j) =>
       val sub = slice(col("v"), j * subDim + 1, subDim)
       array(cb.map(c => Train.sqDist(sub, c)): _*)
     }: _*)
-    val q = Train.roundedVecs(embeddings)
+    val q = vecs
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), dtab.as("dtab"))
     val adist = (0 until m)

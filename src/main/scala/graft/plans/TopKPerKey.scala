@@ -72,28 +72,61 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    // Partial-stage memory guard (VERDICT r5 #3): the per-partition heap
+    // map grows with DISTINCT KEYS PER PARTITION, and nothing enforced the
+    // "modest key cardinality" assumption — near-unique keys approached
+    // partition-sized memory with none of the window form's spill path.
+    // When the map would exceed the cap, the buffered heaps are EMITTED
+    // and the map reset: partial output is then merely non-minimal (more
+    // than k rows may pass for a key), and the final stage — which sees
+    // each key on one reducer and never flushes — still produces the
+    // exact top-k. The final stage holds ≤ k rows per key of its own
+    // key range, the same bound the window form's per-key sort pays.
+    val maxKeys =
+      if (partial)
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.topk.partialMaxKeys", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { it =>
       val keyGen = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
       // head of each heap = the WORST kept row (reverse of the sort
       // order), so a better candidate evicts it in O(log k)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (it.hasNext) {
-        val row = it.next()
-        val key = keyGen(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit,
-            ordering.reversed())
-          heaps.put(key.copy(), heap)
+      import scala.jdk.CollectionConverters._
+      def drain(): Iterator[InternalRow] = {
+        val rows = heaps.values().asScala.toVector
+          .flatMap(_.iterator().asScala) // heap rows are already copies
+        heaps.clear()
+        rows.iterator
+      }
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        private def advance(): Boolean = {
+          while (!cur.hasNext && it.hasNext) {
+            val row = it.next()
+            val key = keyGen(row)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size() >= maxKeys) cur = drain() // emit-and-reset
+              heap = new java.util.PriorityQueue[InternalRow](limit,
+                ordering.reversed())
+              heaps.put(key.copy(), heap)
+            }
+            if (heap.size < limit) heap.offer(row.copy())
+            else if (ordering.compare(row, heap.peek()) < 0) {
+              heap.poll(); heap.offer(row.copy())
+            }
+          }
+          if (!cur.hasNext && !it.hasNext && !heaps.isEmpty) cur = drain()
+          cur.hasNext
         }
-        if (heap.size < limit) heap.offer(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+        override def hasNext: Boolean = advance()
+        override def next(): InternalRow = {
+          if (!advance()) throw new NoSuchElementException("empty iterator")
+          cur.next()
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 

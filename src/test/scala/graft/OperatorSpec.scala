@@ -1945,4 +1945,54 @@ class OperatorSpec extends SparkSpec {
       .filter(!(col("a") <=> col("b"))).count()
     assert(hof == 0L)
   }
+
+  test("gated removal-list join: forced shuffle fallback == broadcast path (excision family)") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.graft.removalBroadcastMaxRows"
+    def runAll() = {
+      val docs = Pipeline.webdoc(spark, sfDir)
+      val a = graft.operators.Dedup.excisedSpans(docs, 8, 4)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      graft.plans.TrackedCache.releaseAll()
+      val b = graft.operators.Dedup.firstOccurrenceLines(
+        docs.select(col("doc_id"), col("url"), col("text")))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      graft.plans.TrackedCache.releaseAll()
+      val c = graft.operators.Dedup.prefixDups(docs)
+        .orderBy("short_id", "long_id").collect().map(_.toSeq)
+      graft.plans.TrackedCache.releaseAll()
+      val d = graft.operators.Dedup.substringExcise(docs)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      graft.plans.TrackedCache.releaseAll()
+      (a, b, c, d)
+    }
+    val bc = runAll() // default gate: broadcast path
+    spark.conf.set(key, "0") // every list over the gate -> shuffle fallback
+    try {
+      val sh = runAll()
+      assert(bc._1.toSeq == sh._1.toSeq, "excisedSpans differs under fallback")
+      assert(bc._2.toSeq == sh._2.toSeq, "firstOccurrenceLines differs under fallback")
+      assert(bc._3.toSeq == sh._3.toSeq, "prefixDups differs under fallback")
+      assert(bc._4.toSeq == sh._4.toSeq, "substringExcise differs under fallback")
+      // and the fallback really does leave the broadcast plan: the final
+      // join of the removal list must be a shuffle-side join now
+      val docs = Pipeline.webdoc(spark, sfDir)
+      val plan = graft.operators.Dedup.substringExcise(docs)
+        .queryExecution.executedPlan.toString
+      graft.plans.TrackedCache.releaseAll()
+      assert(plan.contains("ShuffledHashJoin"),
+        s"gate=0 must route the cut list through a shuffle join:\n${plan.take(1200)}")
+    } finally spark.conf.unset(key)
+  }
+
+  test("word_shingle_hashes fused kernel == transform(word_shingles, md5_hash60)") {
+    import org.apache.spark.sql.functions._
+    val docs = Pipeline.webdoc(spark, sfDir)
+    val diff = docs.select(
+        graft.functions.ShingleExprs.wordShingleHashes(col("text")).as("a"),
+        transform(graft.functions.ShingleExprs.wordShingles(col("text")),
+          s => graft.functions.Hashing.md5Hash60(s)).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff == 0L)
+  }
 }

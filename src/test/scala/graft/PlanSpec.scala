@@ -174,7 +174,9 @@ class PlanSpec extends SparkSpec {
     // in any exchange would mean the corpus text itself is shuffling
     Seq("q83_excise_spans", "q84_first_lines").foreach { q =>
       val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
-      val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+      // r6: the removal list is persisted by the size-gated broadcast
+      // helper, so its exchanges live inside the cached relation
+      val shuffleCols = allShuffleOutputs(plan)
       assert(shuffleCols.nonEmpty, s"$q: expected at least one exchange")
       shuffleCols.foreach { cols =>
         assert(!cols.exists(c =>
@@ -243,7 +245,7 @@ class PlanSpec extends SparkSpec {
     // (__s) in any exchange — and the per-doc removal list returns as a
     // broadcast, so the corpus never repartitions for the rebuild
     val plan = staticPlan(SparkEntry.queries("q122_c4_spans")(spark, sfDir))
-    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffleCols = allShuffleOutputs(plan) // removal list cached (r6)
     assert(shuffleCols.nonEmpty, "expected the winner/removal exchanges")
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "text" || c == "__s" || c == "clean_text"),
@@ -644,7 +646,7 @@ class PlanSpec extends SparkSpec {
     // repartitions — chunk strings stay inside the row until the final
     // rebuild projection
     val plan = staticPlan(SparkEntry.queries("q149_cdc_excise")(spark, sfDir))
-    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    val shuffleCols = allShuffleOutputs(plan) // removal list cached (r6)
     assert(shuffleCols.nonEmpty)
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "chunk" || c == "chunks" || c == "words"

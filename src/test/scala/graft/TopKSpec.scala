@@ -78,4 +78,24 @@ class TopKSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L, "b" -> 7L, "c" -> 1L))
   }
+
+  test("TopKPerKey partial-stage cap: key cardinality >> cap still exact vs window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val key = "spark.graft.topk.partialMaxKeys"
+    // 5000 distinct keys, several rows each, few partitions -> thousands
+    // of distinct keys per partition, far above the forced 16-key cap
+    val df = spark.range(0, 20000, 1, 4)
+      .select((col("id") % 5000).cast("string").as("host"),
+        ((col("id") * 2654435761L) % 100000).as("v"), col("id"))
+    val w = Window.partitionBy(col("host")).orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").collect().map(_.toSeq).toSet
+    spark.conf.set(key, "16")
+    try {
+      val got = TopKPerKey(df, Seq(col("host")),
+        Seq(col("v").desc, col("id").asc), 3).collect().map(_.toSeq).toSet
+      assert(got == want, s"capped partial stage diverged: got ${got.size} vs ${want.size} rows")
+    } finally spark.conf.unset(key)
+  }
 }
