@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Join-multiplicity intersection count of two SORTED long arrays:
+  * Σ_h cnt_a(h)·cnt_b(h) — exactly the row count an equi-join of the two
+  * exploded streams on h would produce, computed in one O(na+nb) merge
+  * per row instead of a join fan-out (r6; guide §3: the candidate-pair
+  * verification used to fan each pair out to doc_a's shingle stream and
+  * probe doc_b's through a hash join — per-pair CPU in the tens of
+  * seconds taskSum at sf0.1). Duplicate-run products keep the count
+  * bit-identical to the join form even under 60-bit hash collisions.
+  * Inputs MUST be ascending-sorted (callers sort_array the per-doc hash
+  * arrays); differential-tested against the join form in OperatorSpec. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount$$.MODULE$$.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+
+  def apply(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(SortedIntersectCount(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        // equal value: multiply run lengths (join multiplicity)
+        var ra = 0L
+        while (i < na && a.getLong(i) == x) { ra += 1; i += 1 }
+        var rb = 0L
+        while (j < nb && b.getLong(j) == x) { rb += 1; j += 1 }
+        n += ra * rb
+      }
+    }
+    n
+  }
+}

@@ -357,9 +357,13 @@ object Dedup {
     // stays bit-exact. n_sh counts the STRING-distinct shingles (from the
     // array, pre-hash); a 60-bit in-doc collision (~10^-18/doc) would
     // undercount inter by 1 in both engines identically.
-    val ex = graft.plans.TrackedCache.persist(docs
+    // r6: the persisted table is the COMPACT per-doc hash array (one row
+    // per doc) rather than the exploded stream — same information, ~600x
+    // fewer cached rows; the df/candidate legs explode from memory.
+    val arr = graft.plans.TrackedCache.persist(docs
       .withColumn("hs", graft.functions.ShingleExprs.wordShingleHashes(col("text")))
-      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s")))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), col("hs")))
+    val ex = arr.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("s"))
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
@@ -367,23 +371,25 @@ object Dedup {
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b"))
-    // Verification reads only shingles of docs that appear in some
-    // candidate pair — near-dups are a sliver of any real corpus, so this
-    // semi-join cuts the two fan-out joins below from corpus-sized to
-    // candidate-sized inputs (measured 18 s → ~5 s at sf0.1; at web scale
-    // it is the difference between re-shuffling the corpus stream and
-    // shuffling just the suspects). cand is persisted: it feeds this
-    // filter and the pair fan-out, and re-deriving it would re-run the
-    // rare-shingle self-join.
+    // Verification (r6 rewrite, guide §3): only docs that appear in some
+    // candidate pair matter — near-dups are a sliver of any real corpus —
+    // and the intersection per pair is ONE O(na+nb) sorted-array merge
+    // (sorted_intersect_count, multiplicity-exact ≡ the exploded equi-
+    // join's row count) instead of fanning every pair out to doc_a's
+    // shingle stream and hash-probing doc_b's: the fan-out form burned
+    // ~67 s taskSum at sf0.1 in join machinery for the same counts.
+    // Candidates always share ≥1 rare shingle, so inter ≥ 1 for every
+    // cand row — no pair appears or disappears vs the join form.
     val docsInPairs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val exC = ex.join(docsInPairs, Seq("doc_id"), "left_semi")
+    val docArr = arr.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_sh"), sort_array(col("hs")).as("hss"))
     cand
-      .join(exC.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
-      .join(exC.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
-        Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("hss").as("ha")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("hss").as("hb")), "doc_b")
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", graft.functions.Round6.q6(
         col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= threshold)
@@ -412,9 +418,12 @@ object Dedup {
     * candidate mining by construction — that class is the boilerplate
     * operator's job (q59), not containment's. */
   def containmentPairs(docs: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val ex = graft.plans.TrackedCache.persist(docs
+    // r6: same compact-array persist + sorted-merge verification as
+    // jaccardPairsCapped (see there for the rationale and equivalences)
+    val arr = graft.plans.TrackedCache.persist(docs
       .withColumn("hs", graft.functions.ShingleExprs.wordShingleHashes(col("text")))
-      .select(col("doc_id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("s")))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"), col("hs")))
+    val ex = arr.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("s"))
     val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("s"))
     val exr = ex.select(col("doc_id"), col("s")).join(rare, "s")
@@ -424,13 +433,14 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b"))
     val docsInPairs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val exC = ex.join(docsInPairs, Seq("doc_id"), "left_semi")
+    val docArr = arr.join(docsInPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_sh"), sort_array(col("hs")).as("hss"))
     cand
-      .join(exC.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
-      .join(exC.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
-        Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("hss").as("ha")), "doc_a")
+      .join(docArr.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("hss").as("hb")), "doc_b")
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("cont_a", graft.functions.Round6.q6(col("inter").cast("double") / col("na")))
       .withColumn("cont_b", graft.functions.Round6.q6(col("inter").cast("double") / col("nb")))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -459,7 +469,11 @@ object Dedup {
     * discipline; oracle applies the identical h60). n_sh stays
     * STRING-distinct (one hash per distinct string shingle). */
   private[graft] def jaccardPairsFromHashes(hs0: DataFrame, threshold: Double): DataFrame = {
-    val ds = hs0.withColumn("n_sh", size(col("hs")))
+    // r6: persist the compact (doc_id, hs) arrays — the self-join's two
+    // legs otherwise each re-run the upstream shingle+hash pass (measured
+    // 2x WordShingles evals per doc on q11)
+    val ds = graft.plans.TrackedCache.persist(
+      hs0.withColumn("n_sh", size(col("hs"))))
     val ex = ds.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("s"))
     val pairs = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -493,7 +507,12 @@ object Dedup {
   /** SimHash near-dup pairs: 4 bands of 15 bits as LSH pre-filter, then
     * hamming distance ≤ maxDist on candidates. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    val sig = withSimhash(docs).select(col("doc_id"), col("simhash"))
+    // r6: the signature table is persisted — the band join's two sides
+    // otherwise each recompute the corpus-scan simhash pass (the probe
+    // side cannot reuse the broadcast side's evaluation). Compact cache:
+    // (doc_id, long) per doc.
+    val sig = graft.plans.TrackedCache.persist(
+      withSimhash(docs).select(col("doc_id"), col("simhash")))
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band_id"),

@@ -106,9 +106,16 @@ object HostGraph {
     // 0.15000000000000002 in binary, one ulp off the 0.15 literal the
     // oracle uses — both engines must fold the SAME constants.
     val edges = graft.plans.TrackedCache.persist(edges0)
-    val outdeg = edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-    val nodes = edges.select(col("src").as("host"))
-      .union(edges.select(col("dst").as("host"))).distinct()
+    // r6: outdeg and nodes appear in EVERY iteration's lineage (outdeg in
+    // each contrib broadcast, nodes in each rank rebuild) — without the
+    // cache the union+distinct and the degree aggregation re-execute
+    // iters+1 times over the cached edges. Host-level frames: ~10⁷ rows
+    // at web scale, trivially cacheable.
+    val outdeg = graft.plans.TrackedCache.persist(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg")))
+    val nodes = graft.plans.TrackedCache.persist(
+      edges.select(col("src").as("host"))
+        .union(edges.select(col("dst").as("host"))).distinct())
     var rank = nodes.select(col("host"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = edges
@@ -117,12 +124,15 @@ object HostGraph {
         .select(col("dst").as("host"),
           (col("rank") * col("w") / col("outdeg")).as("c"))
         .groupBy(col("host")).agg(sum(col("c")).as("c"))
-      rank = nodes.join(contrib, Seq("host"), "left")
+      // contrib is host-level (≈10⁷ rows at web scale) — broadcast it
+      // explicitly; the cached nodes table's size estimate otherwise
+      // tips the static planner into a sort-merge join (PlanSpec pin)
+      rank = nodes.join(broadcast(contrib), Seq("host"), "left")
         .select(col("host"),
           (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
     }
     val in = edges.groupBy(col("dst").as("host")).agg(count(lit(1)).as("n_in_hosts"))
-    rank.join(in, Seq("host"), "left")
+    rank.join(broadcast(in), Seq("host"), "left")
       .select(col("host"), graft.functions.Round6.q6(col("rank")).as("rank"),
         coalesce(col("n_in_hosts"), lit(0L)).as("n_in_hosts"))
   }

@@ -1995,4 +1995,20 @@ class OperatorSpec extends SparkSpec {
       .filter(!(col("a") <=> col("b"))).count()
     assert(diff == 0L)
   }
+
+  test("sorted_intersect_count == exploded equi-join row count (incl. duplicate runs)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 200).toDF("i")
+      .withColumn("a", sort_array(transform(sequence(lit(0), pmod(col("i"), lit(30))),
+        j => pmod(col("i") * j * 2654435761L, lit(40)))))
+      .withColumn("b", sort_array(transform(sequence(lit(0), pmod(col("i") * 7, lit(30))),
+        j => pmod((col("i") + j) * 40503L, lit(40)))))
+    val joinCount = aggregate(col("a"), lit(0L), (acc, x) =>
+      acc + size(filter(col("b"), y => y === x)))
+    val diff = df.select(
+        graft.functions.SortedIntersectCount(col("a"), col("b")).as("g"),
+        joinCount.as("w"))
+      .filter(!(col("g") <=> col("w"))).count()
+    assert(diff == 0L)
+  }
 }

@@ -117,10 +117,11 @@ class PlanSpec extends SparkSpec {
       val plan = SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.optimizedPlan.toString
       val offending = plan.linesIterator
-        .filter(l => l.contains("Filter") && l.contains("word_shingles"))
+        .filter(l => l.contains("Filter") &&
+          (l.contains("word_shingles") || l.contains("word_shingle_hashes")))
         .toSeq
       assert(offending.isEmpty,
-        s"$q re-evaluates word_shingles in a Filter:\n" + offending.mkString("\n").take(2000))
+        s"$q re-evaluates the shingle kernel in a Filter:\n" + offending.mkString("\n").take(2000))
     }
   }
 
