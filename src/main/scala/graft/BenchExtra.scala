@@ -20,12 +20,18 @@ object BenchExtra {
   def main(args: Array[String]): Unit = {
     var reps = 3
     var explainDir: Option[String] = None
+    // -keepcache: release TrackedCache only at QUERY boundaries (the
+    // frozen Bench's protocol — its rep 2 runs with the operator's own
+    // persisted tables warm and min(rep1, rep2) is published); default
+    // releases between reps, which measures the cold cache-build cost.
+    var keepCache = false
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "-reps" => reps = args(i + 1).toInt; i += 2
         case "-explain" => explainDir = Some(args(i + 1)); i += 2
+        case "-keepcache" => keepCache = true; i += 1
         case n => names += n; i += 1
       }
     }
@@ -68,7 +74,7 @@ object BenchExtra {
           java.nio.file.Paths.get(d, s"$name.txt"), plan)
       }
       val times = (1 to reps).zipWithIndex.map { case (_, ri) =>
-        graft.plans.TrackedCache.releaseAll(blocking = true)
+        if (!keepCache) graft.plans.TrackedCache.releaseAll(blocking = true)
         spark.sparkContext.setJobDescription(s"benchextra: $name")
         currentQ = s"$name#$ri"
         val t0 = System.nanoTime()

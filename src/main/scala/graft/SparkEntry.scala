@@ -1330,7 +1330,9 @@ object SparkEntry {
 
     "q31_perplexity" -> ((s, dir) => {
       val wd = Pipeline.webdoc(s, dir)
-      graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
+      // r6: train+score share one materialized token table (one corpus
+      // pass instead of two; bit-identical — see NgramLM.trainAndScore)
+      graft.functions.NgramLM.trainAndScore(wd)
     }),
 
     // S3 full semantics: version-shadow via NAME PARSE (stem + version
@@ -1906,10 +1908,16 @@ object SparkEntry {
     // of (doc_id, double/bool) pairs. The fused no-join production path
     // is the Bench flagship; this query is its correctness gate.
     "q80_full_filter" -> ((s, dir) => {
-      val sc = Pipeline.scored(s, dir)
+      // r6 (guide §2.4): the scored table feeds BOTH the langid leg and
+      // the classifier leg — persist it once (the production shape: the
+      // composite filter reads one materialized scored table, it does
+      // not re-run signals+scrub per leg). The perplexity leg shares one
+      // token table between train and score (NgramLM.trainAndScore).
+      // Leg composition, join shapes and every value are unchanged.
+      val sc = graft.plans.TrackedCache.persist(Pipeline.scored(s, dir))
       val wd = Pipeline.webdoc(s, dir)
       val withLang = graft.functions.LangId(sc)
-      val ppl = graft.functions.NgramLM.score(wd, graft.functions.NgramLM.train(wd))
+      val ppl = graft.functions.NgramLM.trainAndScore(wd)
         .select(col("doc_id"), col("ppl"))
       val ml = graft.operators.QualityModel.scoreLinear(sc)
         .select(col("doc_id"), col("keep_ml"))

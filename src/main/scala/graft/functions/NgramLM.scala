@@ -84,6 +84,17 @@ object NgramLM extends Serializable {
     // (the same materialize-once discipline as the Dedup shingle tables)
     val words = docs.select(Rules.wordsOf(col("text")).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = trainTokens(words, maxVocab, maxBigrams)
+    words.unpersist(blocking = false)
+    m
+  }
+
+  /** [[train]] over an already-tokenized frame with a `ws` array column
+    * (r6): lets a train+score pair share ONE materialized token table
+    * instead of each re-running the scan+tokenize prefix. The caller
+    * owns the caching of `words`. */
+  def trainTokens(words: DataFrame, maxVocab: Int = 1 << 22,
+                  maxBigrams: Int = 1 << 24): Model = {
     val uniDf = words.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val bigDf = words.select(explode(
@@ -100,7 +111,7 @@ object NgramLM extends Serializable {
     // out-of-vocab bigrams (unscorable — backoff handles them) must not
     // consume cap slots that in-vocab bigrams could use. The vocab is
     // already driver-side, so the membership probe broadcasts it.
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
     val vocabDf = broadcast(uni.keys.toSeq.toDF("w"))
     val bigInVocab = bigDf
@@ -116,7 +127,6 @@ object NgramLM extends Serializable {
         val k = bigramKey(r.getString(0), r.getString(1))
         big.update(k, big.getOrElse(k, 0L) + r.getLong(2))
       }
-    words.unpersist(blocking = false)
     Model(uni, BigramTable(big), uni.valuesIterator.sum)
   }
 
@@ -149,8 +159,33 @@ object NgramLM extends Serializable {
     * output between url and n_words — grouping keys survive the scorer,
     * so downstream per-language policies (ppl terciles) don't pay a
     * corpus-wide re-join just to recover them. */
-  def scoreWith(docs: DataFrame, m: Model, carry: Seq[String]): DataFrame = {
-    val spark = docs.sparkSession
+  def scoreWith(docs: DataFrame, m: Model, carry: Seq[String]): DataFrame =
+    scoreTokens(tokens(docs, carry), m, carry)
+
+  /** The (doc_id, url, carry..., ws) token projection both train and
+    * score read — the one table worth materializing when they share. */
+  def tokens(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"), col("url")) ++ carry.map(col) :+
+      Rules.wordsOf(col("text")).as("ws"): _*)
+
+  /** Train AND score sharing ONE materialized token table (r6, guide
+    * §2.4 — remove duplicate passes): `score(docs, train(docs))` ran the
+    * scan+synthesize+tokenize prefix twice, once under the training
+    * aggregations and once under the scorer's mapPartitions. Here the
+    * token projection is persisted once (TrackedCache — released at the
+    * session owner's corpus boundary) and both sides read it. Scores are
+    * bit-identical: train sees the same `ws` rows, the scorer's
+    * row-field layout is unchanged. */
+  def trainAndScore(docs: DataFrame, carry: Seq[String] = Nil,
+                    maxVocab: Int = 1 << 22, maxBigrams: Int = 1 << 24): DataFrame = {
+    val toks = graft.plans.TrackedCache.persist(tokens(docs, carry))
+    scoreTokens(toks, trainTokens(toks.select(col("ws")), maxVocab, maxBigrams), carry)
+  }
+
+  /** [[scoreWith]] over an already-tokenized (doc_id, url, carry..., ws)
+    * frame. */
+  def scoreTokens(toks: DataFrame, m: Model, carry: Seq[String]): DataFrame = {
+    val spark = toks.sparkSession
     val bc = spark.sparkContext.broadcast(m)
     val schema = StructType(
       Seq(StructField("doc_id", LongType), StructField("url", StringType)) ++
@@ -158,8 +193,7 @@ object NgramLM extends Serializable {
         Seq(StructField("n_words", LongType), StructField("ppl", DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val nCarry = carry.length
-    docs.select(Seq(col("doc_id"), col("url")) ++ carry.map(col) :+
-        Rules.wordsOf(col("text")).as("ws"): _*)
+    toks
       .mapPartitions { iter =>
         val model = bc.value
         // null-safe like LangId (a NULL text yields a null words array),

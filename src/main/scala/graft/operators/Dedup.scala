@@ -39,8 +39,15 @@ object Dedup {
     * PlanSpec pins the broadcast shape at the default gate. */
   private[graft] def gatedListJoin(big: DataFrame, small: DataFrame,
       keys: Seq[String], joinType: String = "inner"): DataFrame = {
-    val smallP = graft.plans.TrackedCache.persist(small)
-    val n = smallP.count() // cache hit: persist materialized it
+    val (smallP, n) = graft.plans.TrackedCache.persistCounted(small)
+    gatedListJoinCounted(big, smallP, n, keys, joinType)
+  }
+
+  /** [[gatedListJoin]] over an ALREADY-persisted small side whose row
+    * count the caller knows (e.g. from persistCounted, or because the
+    * frame is row-equivalent to one already counted) — no extra job. */
+  private[graft] def gatedListJoinCounted(big: DataFrame, smallP: DataFrame,
+      n: Long, keys: Seq[String], joinType: String = "inner"): DataFrame = {
     val gate = big.sparkSession.conf.getOption("spark.graft.removalBroadcastMaxRows")
       .map(_.toLong).getOrElse(4000000L)
     if (n <= gate) big.join(broadcast(smallP), keys, joinType)
@@ -547,7 +554,12 @@ object Dedup {
   def simhashEditPairs(docs: DataFrame, maxDist: Int,
                        maxEditFrac: Double): DataFrame = {
     val pairs = simhashPairs(docs, maxDist)
-    val t = docs.select(col("doc_id"), col("text"))
+    // r6: the (doc_id, text) slice is read by TWO candidate-fetch joins
+    // (doc_a texts, doc_b texts) — materialize it once (guide §2.4);
+    // with the simhash signature table also cached, rep-level work after
+    // the caches is candidate-bounded only
+    val t = graft.plans.TrackedCache.persist(
+      docs.select(col("doc_id"), col("text")))
     val withA = t.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       .join(broadcast(pairs), Seq("doc_a"))
     val withB = t.select(col("doc_id").as("doc_b"), col("text").as("tb"))
@@ -574,7 +586,10 @@ object Dedup {
     //     plan-construction time (the prioritySample/LM-caps discipline;
     //     a fixed config constant at 100 TB); coalesce covers the empty-
     //     corpus null.
-    val maxLen = docs.agg(coalesce(max(length(col("text"))), lit(0)))
+    // r6: read the bound off the persisted (doc_id, text) slice — same
+    // value (same rows, same column), but the collect is a cache read
+    // instead of another full synthesis+scan pass per invocation
+    val maxLen = t.agg(coalesce(max(length(col("text"))), lit(0)))
       .head().getInt(0)
     val thr = math.ceil((maxEditFrac + 5e-7) * maxLen).toInt.max(1) + 1
     // The DP stage would inherit the CORPUS scan's partitioning (this
@@ -1317,21 +1332,26 @@ object Dedup {
         .filter(col("short_id") =!= col("long_id") && col("short_len") < col("long_len"))
         .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))
     }
-    val cand = graft.plans.TrackedCache.persist(
+    val (cand, nCand) = graft.plans.TrackedCache.persistCounted(
       mine("h3", lit(true))
         .unionByName(mine("h2", col("nw") === 3L))
         .dropDuplicates("short_id", "long_id"))
     // text fetch is candidate-bounded: the pair list comes into the
     // corpus scan twice via the size-gated broadcast (q115 discipline) —
     // below the gate the corpus side never exchanges; past it (pathological
-    // truncation mass) each fetch degrades to one shuffle-hash join
+    // truncation mass) each fetch degrades to one shuffle-hash join.
+    // Counts for both gates come from the persistCounted materializations
+    // (r6: the earlier shape re-counted each persisted side and re-
+    // persisted cand inside the first gate — three redundant driver jobs
+    // per call at fixture scale).
     val t = docs.select(col("doc_id"), col("text"))
-    val withShort = gatedListJoin(
-      t.select(col("doc_id").as("short_id"), col("text").as("tb")),
-      cand, Seq("short_id"))
-    val withBoth = gatedListJoin(
+    val (withShort, nWs) = graft.plans.TrackedCache.persistCounted(
+      gatedListJoinCounted(
+        t.select(col("doc_id").as("short_id"), col("text").as("tb")),
+        cand, nCand, Seq("short_id")))
+    val withBoth = gatedListJoinCounted(
       t.select(col("doc_id").as("long_id"), col("text").as("ta")),
-      withShort, Seq("long_id"))
+      withShort, nWs, Seq("long_id"))
     withBoth
       .filter(col("ta").startsWith(col("tb")))
       .select(col("short_id"), col("long_id"), col("short_len"), col("long_len"))

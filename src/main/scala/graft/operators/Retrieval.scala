@@ -46,23 +46,30 @@ object Retrieval {
     val rankHi = rankLo + nQueries * termsPerQuery - 1
     val words = Rules.wordsOf(col("text"))
 
-    // (doc_id, dl, term) -> tf: ONE wide exchange; dl is functionally
-    // dependent on doc_id so carrying it in the key is free. NOT
-    // persisted (r6 measured): the index feeds both the corpus-side
-    // probe and the df/query-term leg, but the two subtrees share one
-    // canonical Exchange and AQE's ReuseExchange already computes it
-    // once — an explicit cache only added a count pass + memory write
-    // (4.65 s vs 3.55 s at sf0.1).
-    val tf = docs.select(col("doc_id"), size(words).cast("long").as("dl"),
-        explode(words).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // ONE corpus pass (r6, guide §2.4): the tokenized per-doc table is
+    // materialized once and every leg reads it. The previous shape ran
+    // the scan+synthesize+tokenize prefix THREE times — the tf probe
+    // side, the df/query-term side (their exchanges canonicalize
+    // differently, so ReuseExchange does NOT merge them: two concurrent
+    // ~4.9 s-taskSum map stages measured at sf0.1), and the avgdl stats
+    // pass. Materializing the token table and the (doc_id, dl, term)→tf
+    // index is also the production shape: an inverted index is built
+    // once and queried, never re-derived per probe.
+    val toks = graft.plans.TrackedCache.persist(
+      docs.select(col("doc_id"), words.as("ws")))
+    val tf = graft.plans.TrackedCache.persist(
+      toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          explode(col("ws")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")))
 
     // document frequency per term (tf is already distinct per (doc, term))
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
 
-    // corpus constants as literals (one 1-row collect)
-    val stats = docs.agg(count(lit(1)).as("n"), sum(size(words).cast("long")).as("sdl"))
+    // corpus constants as literals (one 1-row collect, off the cached
+    // token table — count(1) over it counts every doc, zero-word docs
+    // included, exactly as the direct scan did)
+    val stats = toks.agg(count(lit(1)).as("n"), sum(size(col("ws")).cast("long")).as("sdl"))
       .head()
     val nDocs = stats.getLong(0)
     val avgdl = stats.getLong(1).toDouble / nDocs

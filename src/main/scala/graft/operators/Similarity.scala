@@ -307,8 +307,13 @@ object Similarity {
     * Expects raw (vec_id, v DOUBLE array) input (compose with
     * withCloneVariants); rounds once, trains, scores. */
   def semDedupTrained(vecs: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
-    val rounded = vecs.select(col("vec_id"),
-      transform(col("v"), x => graft.functions.Round6.q6(x)).as("v"))
+    // r6: the rounded table is persisted — kmeansFitVecs runs iters+1
+    // sequential collect jobs over it and the assignment pass reads it
+    // again; un-cached, every one of those re-ran the clone-variant
+    // synthesis + rounding projection (guide §2.4 / §5)
+    val rounded = graft.plans.TrackedCache.persist(
+      vecs.select(col("vec_id"),
+        transform(col("v"), x => graft.functions.Round6.q6(x)).as("v")))
     val (cents, _) = graft.operators.Train.kmeansFitVecs(rounded, k, iters)
     val assigned = graft.plans.TrackedCache.persist(
       graft.operators.Train.assignClusters(rounded, cents)
@@ -424,11 +429,27 @@ object Similarity {
             iters: Int): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    (0 until m).map { j =>
-      Train.kmeansFitVecs(
-        vecs.select(col("vec_id"), slice(col("v"), j * subDim + 1, subDim).as("v")),
-        k, iters)._1
-    }
+    // r6 (guide §2.6 — overlap independent jobs): the m subspace fits
+    // are independent pure functions of the SAME cached vector table;
+    // run them from a small thread pool so their per-iteration collect
+    // jobs overlap instead of serializing m·(iters+1) driver round
+    // trips. Each fit is deterministic, so results are identical to the
+    // sequential order.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = (0 until m).map { j =>
+        scala.concurrent.Future {
+          Train.kmeansFitVecs(
+            vecs.select(col("vec_id"), slice(col("v"), j * subDim + 1, subDim).as("v")),
+            k, iters)._1
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** PQ encoding: each vector → its m nearest-codeword ids. A pure

@@ -76,7 +76,10 @@ object Train {
     * Returns (final centroids, sizes at the final update), where
     * `centroids(c)(j)` is 6-dp-rounded. */
   def kmeansFit(embeddings: DataFrame, k: Int, iters: Int): (Seq[Seq[Double]], Map[Int, Long]) =
-    kmeansFitVecs(roundedVecs(embeddings).select(col("vec_id"), col("v")), k, iters)
+    // r6: rounded inputs persisted — the iters+1 sequential collect jobs
+    // below otherwise each re-read the parquet and re-round (guide §2.4)
+    kmeansFitVecs(graft.plans.TrackedCache.persist(
+      roundedVecs(embeddings).select(col("vec_id"), col("v"))), k, iters)
 
   /** Same, over an already-prepared 6-dp (vec_id, v) frame — lets callers
     * train on synthetic unions (clone variants) or any non-`embedding`

@@ -60,8 +60,10 @@ object TrainPrep {
     * equal — in which case both engines return exactly that value. */
   def pplBuckets(docs: DataFrame): DataFrame = {
     import graft.functions.NgramLM
+    // r6: train+score share one materialized token table (one corpus
+    // pass instead of two; bit-identical — see NgramLM.trainAndScore)
     val scored = graft.plans.TrackedCache.persist(
-      NgramLM.scoreWith(docs, NgramLM.train(docs), Seq("lang")))
+      NgramLM.trainAndScore(docs, Seq("lang")))
     val cuts = scored.groupBy(col("lang")).agg(
       percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
       percentile(col("ppl"), lit(2.0 / 3)).as("t2"))

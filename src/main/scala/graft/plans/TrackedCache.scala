@@ -45,6 +45,18 @@ object TrackedCache {
     df
   }
 
+  /** [[persist]] that also returns the row count from the materializing
+    * count() — callers that need the cardinality (e.g. a broadcast size
+    * gate) read it from the same job instead of scheduling a second
+    * count against the cache (r6: one driver job round-trip per call
+    * site saved; at fixture scale each job is ~30-80 ms of pure gap). */
+  private[graft] def persistCounted(df: DataFrame): (DataFrame, Long) = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked.add(df)
+    val n = df.count()
+    (df, n)
+  }
+
   /** Number of registered (not yet released) frames. */
   def size: Int = tracked.size()
 

@@ -50,6 +50,16 @@ class ModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ngram LM: trainAndScore (shared token table, r6) ≡ score(train) — carry included") {
+    val wd = Pipeline.webdoc(spark, sfDir)
+    val sep = NgramLM.scoreWith(wd, NgramLM.train(wd), Seq("lang"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val fused = NgramLM.trainAndScore(wd, Seq("lang"))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(fused == sep)
+    graft.plans.TrackedCache.releaseAll()
+  }
+
   test("ngram LM: train caps BOTH unigram and bigram model size, deterministically") {
     val docs = Pipeline.webdoc(spark, sfDir)
     val m = NgramLM.train(docs, maxVocab = 10, maxBigrams = 7)
