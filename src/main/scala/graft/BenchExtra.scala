@@ -47,7 +47,7 @@ object BenchExtra {
     spark.sparkContext.setLogLevel("WARN")
     // per-stage timing listener (guide §7.1 without the UI): stage wall,
     // task-time sum and shuffle bytes, attributed to the current query
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Long, Long)]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long, Long, Long, Long, Int, String)]()
     @volatile var currentQ = ""
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
@@ -57,7 +57,9 @@ object BenchExtra {
         stages.add((currentQ, si.stageId, wall,
           si.taskMetrics.executorRunTime,
           si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-          si.taskMetrics.shuffleReadMetrics.totalBytesRead))
+          si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+          si.numTasks,
+          f"recs=${si.taskMetrics.inputMetrics.recordsRead}%-7d gc=${si.taskMetrics.jvmGCTime / 1e3}%6.2f deser=${si.taskMetrics.executorDeserializeTime / 1e3}%6.2f " + si.name.take(40)))
       }
     })
     val verbose = sys.env.get("SPARK_GRAFT_EXTRA_STAGES").contains("1")
@@ -77,17 +79,27 @@ object BenchExtra {
         if (!keepCache) graft.plans.TrackedCache.releaseAll(blocking = true)
         spark.sparkContext.setJobDescription(s"benchextra: $name")
         currentQ = s"$name#$ri"
+        val cg0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getCount
+        val cgt0 = org.apache.spark.metrics.source.CodegenMetrics
+          .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(c => col(s"`$c`")): _*).as("h"))
           .agg(bit_xor(col("h"))).head()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (verbose) {
+          val cg1 = org.apache.spark.metrics.source.CodegenMetrics
+            .METRIC_COMPILATION_TIME.getCount
+          println(f"CODEGEN $name#$ri compiles=${cg1 - cg0}%d")
+        }
+        dt
       }
       if (verbose) {
         import scala.jdk.CollectionConverters._
         stages.asScala.filter(_._1.startsWith(name + "#")).toSeq
-          .sortBy(s => (s._1, -s._3)).foreach { case (q, id, wall, run, sw, sr) =>
-            println(f"STAGE $q%-28s id=$id%-5d wall=${wall / 1e3}%7.3f s taskSum=${run / 1e3}%8.3f s shufW=${sw / 1e6}%8.2f MB shufR=${sr / 1e6}%8.2f MB")
+          .sortBy(s => (s._1, -s._3)).foreach { case (q, id, wall, run, sw, sr, nt, nm) =>
+            println(f"STAGE $q%-28s id=$id%-5d wall=${wall / 1e3}%7.3f s taskSum=${run / 1e3}%8.3f s shufW=${sw / 1e6}%8.2f MB shufR=${sr / 1e6}%8.2f MB tasks=$nt%-4d $nm%s")
           }
       }
       graft.plans.TrackedCache.releaseAll(blocking = true)

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Thresholded Levenshtein with common-prefix/suffix trimming and a
+  * PER-ROW threshold — bit-identical to the builtin
+  * `levenshtein(l, r, threshold)` (the distance, or -1 when it exceeds
+  * the threshold), for every input:
+  *
+  *  - edit distance is exactly invariant under removing a shared prefix
+  *    or suffix (standard alignment normalization), and the -1 cutoff is
+  *    a pure function of the true distance, so trimming cannot change
+  *    the output;
+  *  - the kernel delegates to the SAME `UTF8String.levenshteinDistance`
+  *    the builtin calls, so the banded DP semantics are shared, not
+  *    reimplemented.
+  *
+  * Why it exists (r6, guide §1.2 step 2): candidate-pair edit verify is
+  * the hottest per-row kernel in q115 (measured 54.8 s taskSum of a
+  * 2.0 s-wall warm rep at sf0.1). The builtin's threshold argument is a
+  * literal, which forces ONE corpus-wide band width derived from the
+  * LONGEST document; the accept bound `round6(d/mx) <= frac` is per-pair
+  * (mx = max(len_a, len_b)), so each pair only ever needs a band of
+  * ceil((frac+5e-7)·mx)+1 — far narrower for typical pairs. A -1 from
+  * the tighter per-pair cap provably fails the accept filter, so the
+  * surviving rows and their distances are unchanged (OperatorSpec pins
+  * the differential against the unthresholded builtin).
+  *
+  * Trimming is byte-wise on the UTF-8 encoding, backed off to code-point
+  * boundaries (a continuation byte is 0b10xxxxxx) so the trimmed views
+  * are valid strings; the views are zero-copy (`fromAddress` into the
+  * parent buffers).
+  */
+case class LevenshteinTrimmed(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "levenshtein_trimmed"
+
+  override protected def nullSafeEval(a: Any, b: Any, t: Any): Any =
+    LevenshteinTrimmed.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], t.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, t) =>
+      s"${ev.value} = graft.functions.LevenshteinTrimmed$$.MODULE$$.compute($a, $b, $t);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): LevenshteinTrimmed =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LevenshteinTrimmed {
+
+  def apply(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      threshold: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(LevenshteinTrimmed(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b),
+      org.apache.spark.sql.GraftBridge.expression(threshold)))
+
+  def apply(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      threshold: Int): org.apache.spark.sql.Column =
+    apply(a, b, org.apache.spark.sql.functions.lit(threshold))
+
+  private def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
+
+  def compute(a: UTF8String, b: UTF8String, threshold: Int): Int = {
+    val na = a.numBytes()
+    val nb = b.numBytes()
+    val n = if (na < nb) na else nb
+    // shared prefix, backed off to a code-point boundary on both sides
+    // (the prefix bytes are equal, so any back-off lands on equal bytes)
+    var p = 0
+    while (p < n && a.getByte(p) == b.getByte(p)) p += 1
+    while (p > 0 && ((p < na && isCont(a.getByte(p))) ||
+                     (p < nb && isCont(b.getByte(p))))) p -= 1
+    // shared suffix of the remainders (never crossing the prefix cut),
+    // backed off so the suffix starts at a code-point lead byte
+    var s = 0
+    val maxS = n - p
+    while (s < maxS && a.getByte(na - 1 - s) == b.getByte(nb - 1 - s)) s += 1
+    while (s > 0 && isCont(a.getByte(na - s))) s -= 1
+    val ta = UTF8String.fromAddress(a.getBaseObject, a.getBaseOffset + p, na - p - s)
+    val tb = UTF8String.fromAddress(b.getBaseObject, b.getBaseOffset + p, nb - p - s)
+    ta.levenshteinDistance(tb, threshold)
+  }
+}

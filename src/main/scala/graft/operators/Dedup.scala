@@ -143,11 +143,18 @@ object Dedup {
     * leg and both verification legs (one corpus pass instead of three,
     * measured via ShingleExprs.evals). */
   private[graft] def minhashCandidatesFromSh(sh: DataFrame): DataFrame = {
-    val withSig = {
+    // r6: the signature table is persisted — the band self-join's two
+    // legs (a/b below) otherwise EACH re-run the 16-permutation MinHash
+    // kernel over the cached shingle arrays (measured on q141 warm reps:
+    // the two band-leg map stages were 17.1 + 7.6 s taskSum at sf0.1,
+    // both dominated by the duplicated signature pass — the same
+    // cannot-reuse-across-join-sides shape simhashPairs fixed). Compact
+    // cache: (doc_id, 16 ints) per doc.
+    val withSig = graft.plans.TrackedCache.persist {
       val s = sh.withColumn("sig", graft.functions.ShingleExprs.minhashSig(col("sh")))
       minhashA.indices.foldLeft(s) { (d, i) =>
         d.withColumn(s"m$i", element_at(col("sig"), i + 1))
-      }.drop("sig")
+      }.drop("sig").drop("sh")
     }
     val sig = withSig.select(
       col("doc_id"),
@@ -574,24 +581,23 @@ object Dedup {
     //     filter can be rejected before any DP;
     //  2. exact clones (the bulk of hamming-0 candidates) short-circuit
     //     to 0 via an O(len) equality — no DP;
-    //  3. the survivors run Spark's THRESHOLDED levenshtein (banded
-    //     Ukkonen, O(len·k) + early exit). The cap must dominate every
-    //     distance the final filter could ACCEPT: round(d/mx, 6) ≤ frac
-    //     admits d up to (frac + 5·10⁻⁷)·mx, so the cap is computed at
-    //     frac + 5e-7 (+1 for the ceil edge) — at multi-MB documents the
-    //     rounding slack alone exceeds 1 char, and a bare ceil(frac·max)
+    //  3. the survivors run a trimmed PER-PAIR-thresholded levenshtein
+    //     (banded Ukkonen, O(len·k) + early exit). The cap must dominate
+    //     every distance the final filter could ACCEPT: round(d/mx, 6) ≤
+    //     frac admits d up to (frac + 5·10⁻⁷)·mx, so the cap is computed
+    //     at frac + 5e-7 (+1 for the ceil edge) — a bare ceil(frac·mx)
     //     would −1-truncate pairs the oracle keeps (review finding). Any
-    //     pair truncated to −1 now provably fails the filter, which the
-    //     −1 guard makes explicit. maxLen is a one-row bounded collect at
-    //     plan-construction time (the prioritySample/LM-caps discipline;
-    //     a fixed config constant at 100 TB); coalesce covers the empty-
-    //     corpus null.
-    // r6: read the bound off the persisted (doc_id, text) slice — same
-    // value (same rows, same column), but the collect is a cache read
-    // instead of another full synthesis+scan pass per invocation
-    val maxLen = t.agg(coalesce(max(length(col("text"))), lit(0)))
-      .head().getInt(0)
-    val thr = math.ceil((maxEditFrac + 5e-7) * maxLen).toInt.max(1) + 1
+    //     pair truncated to −1 provably fails the filter, which the −1
+    //     guard makes explicit.
+    // r6: the cap is PER PAIR (mx = this pair's max length) instead of
+    // one corpus-wide band from the longest document — the admissibility
+    // proof above is per-pair already, so the surviving rows and their
+    // distances are identical while typical pairs run a several-fold
+    // narrower DP band (measured: the DP stage was the entire warm cost
+    // of q115). Dropping the corpus-wide maxLen also removes the extra
+    // driver collect job.
+    val thrPair = (greatest(ceil(lit(maxEditFrac + 5e-7) * mx), lit(1L)) + lit(1L))
+      .cast("int")
     // The DP stage would inherit the CORPUS scan's partitioning (this
     // frame was built by broadcasting pairs INTO the scan) — a small
     // input can be 1 file = 1 partition, serializing all DP work onto
@@ -619,7 +625,11 @@ object Dedup {
     staged
       .withColumn("edit_dist",
         when(col("ta") === col("tb"), lit(0L))
-          .otherwise(levenshtein(col("ta"), col("tb"), thr).cast("long")))
+          // r6: trimmed kernel + per-pair band (see the cap derivation
+          // above) — bit-identical to levenshtein(ta, tb, cap) for every
+          // input (OperatorSpec differential, multi-byte UTF-8 included)
+          .otherwise(graft.functions.LevenshteinTrimmed(
+            col("ta"), col("tb"), thrPair).cast("long")))
       .withColumn("edit_frac", graft.functions.Round6.q6(col("edit_dist").cast("double") / mx))
       .filter(col("edit_dist") >= 0L && col("edit_frac") <= maxEditFrac)
       .select(col("doc_a"), col("doc_b"), col("hamming"),

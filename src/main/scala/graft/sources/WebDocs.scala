@@ -94,7 +94,26 @@ object WebDocs {
   }
 
   /** Derivation chain over an already-assembled (doc_id, text0, lang, source). */
-  private def fromBase(u: DataFrame): DataFrame = {
+  private def fromBase(u0: DataFrame): DataFrame = {
+    // r6 (guide §2.5 "input skew: one huge unsplittable file …
+    // repartition immediately after the read"): the fixture's
+    // documents.parquet is ONE file with ONE row group, so every
+    // scan-stage derivation downstream (synthesis, scoring, shingle
+    // hashing, tokenization — the dominant per-row CPU of most queries)
+    // was serialized onto the ≤3 union-leg tasks regardless of cores
+    // (measured: q138's whole 3.5 s corpus pass on one task). When the
+    // assembled seed frame is under-partitioned vs the cluster, spread it
+    // round-robin BEFORE the synthesis chain: one exchange of the narrow
+    // (doc_id, text0, lang, source) seed rows — the synthesized text/html
+    // payloads do not exist yet, so this is the "shuffle the lightweight
+    // proxy, not the payload" shape (guide §8). At scale the condition is
+    // false (a real corpus has thousands of splits ≥ cores) and the plan
+    // is untouched; buildReplicated's range-driven input (cores×4
+    // partitions) skips it the same way. Round-robin keeps results exact:
+    // no operator downstream reads partition ids or file names, and
+    // sort-before-repartition (default on) keeps retries deterministic.
+    val target = u0.sparkSession.sparkContext.defaultParallelism
+    val u = if (u0.rdd.getNumPartitions < target) u0.repartition(target) else u0
     val did = col("doc_id")
     val text = injectedText(did, col("text0"))
     val host = hostCol(did)

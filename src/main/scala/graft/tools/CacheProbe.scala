@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r6): isolate where q108's warm per-iteration cost lives —
+  * direct aggregation over the persisted edge table vs the same
+  * aggregation executed as a broadcast-build subtree. */
+object CacheProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def t(tag: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s ($r)")
+    }
+    val docs = graft.Pipeline.webdoc(spark, dir)
+    val edges = graft.plans.TrackedCache.persist(
+      graft.operators.HostGraph.linkEdges(docs))
+    t("edges.count warm")(edges.count())
+    t("edges.count warm2")(edges.count())
+    val outdeg = graft.plans.TrackedCache.persist(
+      edges.groupBy(col("src")).agg(sum(col("w")).as("outdeg")))
+    // a contrib-shaped aggregation, executed DIRECTLY (main thread)
+    def contrib = edges.join(broadcast(outdeg), "src")
+      .select(col("dst").as("host"), (col("w") / col("outdeg")).as("c"))
+      .groupBy(col("host")).agg(sum(col("c")).as("c"))
+    t("contrib direct 1")(contrib.count())
+    t("contrib direct 2")(contrib.count())
+    // the same aggregation as the BROADCAST side of a join (broadcast-
+    // build thread pool), like every authority iteration
+    val nodes = edges.select(col("src").as("host")).distinct()
+    def joined = nodes.join(broadcast(contrib), Seq("host"), "left")
+    t("contrib as broadcast 1")(joined.count())
+    t("contrib as broadcast 2")(joined.count())
+    // three nested iterations, the real q108 shape
+    var rank = nodes.select(col("host"), lit(1.0).as("rank"))
+    for (_ <- 1 to 3) {
+      val c = edges.join(broadcast(outdeg), "src")
+        .join(broadcast(rank.withColumnRenamed("host", "src")), "src")
+        .select(col("dst").as("host"), (col("rank") * col("w") / col("outdeg")).as("c"))
+        .groupBy(col("host")).agg(sum(col("c")).as("c"))
+      rank = nodes.join(broadcast(c), Seq("host"), "left")
+        .select(col("host"), coalesce(col("c"), lit(0.0)).as("rank"))
+    }
+    t("3-iter nested 1")(rank.count())
+    t("3-iter nested 2")(rank.count())
+    spark.stop()
+  }
+}

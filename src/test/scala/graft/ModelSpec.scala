@@ -22,7 +22,10 @@ class ModelSpec extends SparkSpec {
   }
 
   test("langid is deterministic and distributed scoring matches local scoring") {
-    val docs = Pipeline.webdoc(spark, sfDir).limit(20)
+    // deterministic subset (a bare limit() over the round-robin-spread
+    // input picks different rows per execution — the two collects below
+    // must see the SAME 20 docs)
+    val docs = Pipeline.webdoc(spark, sfDir).filter(col("doc_id") < 20)
     val viaSpark = LangId(docs).select("url", "lang_pred", "lang_score").collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
     val local = docs.select("url", "text").collect()

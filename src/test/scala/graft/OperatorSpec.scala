@@ -1996,6 +1996,54 @@ class OperatorSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("levenshtein_trimmed == builtin thresholded levenshtein, all input classes") {
+    import org.apache.spark.sql.functions._
+    // adversarial generator: shared prefixes/suffixes, multi-byte UTF-8
+    // at the trim boundaries (é/中/emoji), empties, nulls, identical
+    // strings, and pairs whose distance straddles the threshold
+    val base = lit("café 中文 shared prefix text ")
+    val df = spark.range(0, 600).toDF("i")
+      .withColumn("a", concat(base, col("i").cast("string"),
+        lit(" mid 😀"), repeat(lit("tailé "), pmod(col("i"), lit(7)).cast("int"))))
+      .withColumn("b", concat(base, (col("i") + pmod(col("i"), lit(3))).cast("string"),
+        when(col("i") % 5 === 0, lit(" MID 😁")).otherwise(lit(" mid 😀")),
+        repeat(lit("tailé "), pmod(col("i") + 1, lit(7)).cast("int"))))
+      .withColumn("a", when(col("i") % 97 === 0, lit("")).otherwise(col("a")))
+      .withColumn("b", when(col("i") % 89 === 0, lit("")).otherwise(col("b")))
+      .withColumn("a", when(col("i") % 101 === 0, lit(null: String)).otherwise(col("a")))
+      .withColumn("b", when(col("i") % 103 === 0, col("a")).otherwise(col("b")))
+    Seq(0, 1, 3, 10, 1000).foreach { thr =>
+      val diff = df.select(
+          graft.functions.LevenshteinTrimmed(col("a"), col("b"), thr).as("g"),
+          levenshtein(col("a"), col("b"), thr).as("w"))
+        .filter(!(col("g") <=> col("w"))).count()
+      assert(diff == 0L, s"threshold $thr diverges from the builtin")
+    }
+    // PER-ROW threshold form (the q115 per-pair band): against the
+    // unthresholded builtin, (d <= thr ? d : -1) must match exactly
+    val thrCol = pmod(col("i"), lit(37)).cast("int")
+    val diffRow = df.select(
+        graft.functions.LevenshteinTrimmed(col("a"), col("b"), thrCol).as("g"),
+        // null-propagating reference: (d <= thr ? d : -1), null if an
+        // input is null (a bare when(...).otherwise(-1) turns null to -1)
+        when(col("a").isNull || col("b").isNull, lit(null).cast("int"))
+          .when(levenshtein(col("a"), col("b")) <= thrCol,
+            levenshtein(col("a"), col("b"))).otherwise(lit(-1)).as("w"))
+      .filter(!(col("g") <=> col("w"))).count()
+    assert(diffRow == 0L, "per-row threshold diverges from the builtin")
+    // corpus-shaped differential: the q115 candidate texts themselves
+    val docs = Pipeline.webdoc(spark, sfDir).select(col("doc_id"), col("text"))
+    val pairs = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") % 43 === col("y.doc_id") % 43
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.text").as("a"), col("y.text").as("b")).limit(2000)
+    val diff2 = pairs.select(
+        graft.functions.LevenshteinTrimmed(col("a"), col("b"), 153).as("g"),
+        levenshtein(col("a"), col("b"), 153).as("w"))
+      .filter(!(col("g") <=> col("w"))).count()
+    assert(diff2 == 0L)
+  }
+
   test("sorted_intersect_count == exploded equi-join row count (incl. duplicate runs)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(0, 200).toDF("i")

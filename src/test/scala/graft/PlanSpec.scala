@@ -12,11 +12,24 @@ import org.apache.spark.sql.functions._
   * scalable columns, and LSH shuffles carry keys instead of payloads. */
 class PlanSpec extends SparkSpec {
 
-  /** Every shuffle's output columns, INCLUDING shuffles hidden inside
-    * TrackedCache-persisted relations (InMemoryTableScan inner plans) —
-    * the q154 contract lives in the cached candidate-mining stage. */
+  /** KEYED shuffles only. WebDocs.fromBase inserts ONE round-robin spread
+    * of the narrow seed rows when the fixture input is under-partitioned
+    * (guide §2.5 — one file, one row group, ≤3 scan tasks); at real scale
+    * the condition is false and the exchange does not exist. Every pin in
+    * this suite reasons about KEYED exchanges — what the operators
+    * themselves shuffle — so the seed spread is excluded uniformly. */
+  private def keyedShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case s: ShuffleExchangeExec if !s.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => s
+    }
+
+  /** Every KEYED shuffle's output columns, INCLUDING shuffles hidden
+    * inside TrackedCache-persisted relations (InMemoryTableScan inner
+    * plans) — the q154 contract lives in the cached candidate-mining
+    * stage. */
   private def allShuffleOutputs(p: SparkPlan): Seq[Seq[String]] = {
-    val here = p.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val here = keyedShuffles(p).map(_.output.map(_.name))
     val nested = p.collect {
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         m.relation.cachedPlan
@@ -41,7 +54,7 @@ class PlanSpec extends SparkSpec {
 
   test("filter+scrub pipeline is exchange-free (narrow, scan-bound)") {
     val plan = staticPlan(Pipeline.scored(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty, plan.toString.take(2000))
+    assert(keyedShuffles(plan).isEmpty, plan.toString.take(2000))
   }
 
   test("scoring pipeline is a fully fused whole-stage-codegen span") {
@@ -75,7 +88,7 @@ class PlanSpec extends SparkSpec {
   test("LSH band shuffles carry only ids and band keys — never arrays or text") {
     val plan = staticPlan(
       graft.operators.Dedup.minhashCandidates(Pipeline.webdoc(spark, sfDir)))
-    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty)
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "sh" || c == "text" || c == "sig"), cols.mkString(","))
@@ -194,7 +207,7 @@ class PlanSpec extends SparkSpec {
     // afterwards carries url strings and ids only — an html or text
     // column in any exchange means page bytes are shuffling
     val plan = staticPlan(SparkEntry.queries("q173_canonical_dedup")(spark, sfDir))
-    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty, "expected the membership/cluster exchanges")
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "html" || c == "text" || c == "__raw"),
@@ -205,18 +218,18 @@ class PlanSpec extends SparkSpec {
 
   test("q174/q175: confusable dedup shuffles 16-byte hashes; invisible audit is exchange-free") {
     val p174 = staticPlan(SparkEntry.queries("q174_confusable_dedup")(spark, sfDir))
-    val cols174 = p174.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val cols174 = keyedShuffles(p174).map(_.output.map(_.name))
     assert(cols174.nonEmpty, "expected the skeleton-hash exchange")
     cols174.foreach { cols =>
       assert(!cols.contains("text"), "exchange carries text: " + cols.mkString(","))
     }
     val p175 = staticPlan(SparkEntry.queries("q175_invisible_chars")(spark, sfDir))
-    assert(p175.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(p175).isEmpty,
       p175.toString.take(2000))
     // q177: ONE window exchange carrying (16-byte skeleton hash, id) —
     // the hardened chain costs exactly what exact dedup costs
     val p177 = staticPlan(SparkEntry.queries("q177_adversarial_dedup")(spark, sfDir))
-    val sh177 = p177.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val sh177 = keyedShuffles(p177).map(_.output.map(_.name))
     assert(sh177.length == 1, s"expected the one window exchange: $sh177")
     assert(!sh177.head.contains("text"), sh177.head.mkString(","))
   }
@@ -229,7 +242,7 @@ class PlanSpec extends SparkSpec {
     // side projection, not the corpus scan
     val plan = staticPlan(SparkEntry.queries("q176_bitext_candidates")(spark, sfDir))
     val exCols =
-      plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) } ++
+      keyedShuffles(plan).map(_.output.map(_.name)) ++
         plan.collect { case b: BroadcastExchangeExec => b.output.map(_.name) }
     assert(exCols.nonEmpty, "expected the url-key join exchange")
     exCols.foreach { cols =>
@@ -261,7 +274,7 @@ class PlanSpec extends SparkSpec {
     // per-(partition, host) sketch buffers, never (host, length) rows —
     // the count(DISTINCT)-style per-row shuffle would be the scale bug
     val plan = staticPlan(SparkEntry.queries("q121_quantiles")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    val shuffles = keyedShuffles(plan)
     assert(shuffles.length == 1, s"expected exactly the host exchange, got ${shuffles.length}")
     val partialAggs = plan.collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
@@ -275,7 +288,7 @@ class PlanSpec extends SparkSpec {
   test("q88: top-n-gram repetition is exchange-free and stays in codegen") {
     // per-row native expression ⇒ scan-bound, embarrassingly parallel
     val plan = staticPlan(SparkEntry.queries("q88_top_ngram")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -285,7 +298,7 @@ class PlanSpec extends SparkSpec {
   test("q130: dup-n-gram repetition is exchange-free and stays in codegen") {
     // same shape as q88: per-row native expression ⇒ scan-bound
     val plan = staticPlan(SparkEntry.queries("q130_dup_ngrams")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -294,7 +307,7 @@ class PlanSpec extends SparkSpec {
 
   test("q131: dup-line/paragraph fractions are exchange-free and stay in codegen") {
     val plan = staticPlan(SparkEntry.queries("q131_dup_lines")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -303,7 +316,7 @@ class PlanSpec extends SparkSpec {
 
   test("q132: readability is exchange-free and stays in codegen") {
     val plan = staticPlan(SparkEntry.queries("q132_readability")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -312,7 +325,7 @@ class PlanSpec extends SparkSpec {
 
   test("q133: lexicon automaton scan is exchange-free and stays in codegen") {
     val plan = staticPlan(SparkEntry.queries("q133_lexicon_ac")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -321,7 +334,7 @@ class PlanSpec extends SparkSpec {
 
   test("q134: markup-density signals are exchange-free and stay in codegen") {
     val plan = staticPlan(SparkEntry.queries("q134_markup")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(plan.collect {
       case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
@@ -330,7 +343,7 @@ class PlanSpec extends SparkSpec {
 
   test("q136: salted agg shuffles on (host, salt) first, then ≤salts rows per host") {
     val plan = staticPlan(SparkEntry.queries("q136_salted_host_stats")(spark, sfDir))
-    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val exchanges = keyedShuffles(plan)
     assert(exchanges.size == 2, plan.toString.take(2000))
     // phase-1 exchange spreads the hot host over salt subkeys (2 partition
     // expressions: host + the extracted salt grouping expr); phase-2
@@ -352,7 +365,7 @@ class PlanSpec extends SparkSpec {
     // (doc_id, url, host) BEFORE any exchange; at 10^12 docs both legs
     // shuffle narrow rows while the text stays in the scan stage
     val plan = staticPlan(SparkEntry.queries("q89_host_prior")(spark, sfDir))
-    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+    keyedShuffles(plan).foreach { s =>
       val cols = s.output.map(_.name)
       assert(!cols.exists(c => c.contains("text") || c == "scrubbed"),
         s"exchange carries text: $cols")
@@ -366,8 +379,8 @@ class PlanSpec extends SparkSpec {
     // ppl) pairs, no url/text — and the (lang, t1, t2) table comes back
     // as a broadcast, so the corpus never repartitions on lang
     val plan = staticPlan(SparkEntry.queries("q87_ppl_buckets")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec =>
-      (s.outputPartitioning.toString, s.output.map(_.name)) }
+    val shuffles = keyedShuffles(plan).map(s =>
+      (s.outputPartitioning.toString, s.output.map(_.name)))
     assert(shuffles.length == 1, s"expected exactly the cutoff exchange: $shuffles")
     assert(shuffles.head._1.contains("lang"), shuffles.head.toString)
     assert(!shuffles.head._2.exists(c => c == "url" || c == "text"),
@@ -382,8 +395,8 @@ class PlanSpec extends SparkSpec {
     // vector column are the within-cell self-join's, partitioned on
     // centroid_id; the removed-id probe is a broadcast join
     val plan = staticPlan(SparkEntry.queries("q85_semdedup")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec =>
-      (s.outputPartitioning.toString, s.output.map(_.name)) }
+    val shuffles = keyedShuffles(plan).map(s =>
+      (s.outputPartitioning.toString, s.output.map(_.name)))
     // at test SF the cached cell table broadcasts, so there may be NO
     // vector exchange at all; if one exists it must be cell-ward — and
     // in particular the window-assignment shape (vec_id-partitioned
@@ -481,7 +494,7 @@ class PlanSpec extends SparkSpec {
       graft.operators.Dedup.kmvDistinctShingles(Pipeline.webdoc(spark, sfDir), 256))
     // every exchange sits ABOVE the mapPartitions sketch and carries only
     // the candidate h column — never text, words or shingles
-    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     shuffleCols.foreach { cols =>
       assert(cols.forall(c => c == "h" || c.startsWith("count") || c.startsWith("max")),
         cols.mkString(",")) }
@@ -508,7 +521,7 @@ class PlanSpec extends SparkSpec {
   test("q104 mirrorHosts: shuffles carry (host, 16-B hash) pairs, never text") {
     val plan = staticPlan(
       graft.operators.Dedup.mirrorHosts(Pipeline.webdoc(spark, sfDir), 0.5))
-    val shuffleCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty)
     shuffleCols.foreach { cols =>
       assert(!cols.contains("text"), cols.mkString(","))
@@ -520,7 +533,7 @@ class PlanSpec extends SparkSpec {
     val plan = staticPlan(
       graft.operators.TrainPrep.dsirWeights(Pipeline.webdoc(spark, sfDir),
         col("source") === "src0"))
-    val shuffleCols = plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty)
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "w" || c == "text"), cols.mkString(","))
@@ -535,7 +548,7 @@ class PlanSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(2000))
     // the only exchanges build the per-host RULE arrays (host-keyed, tiny);
     // no exchange may carry doc_id — the corpus leg is exchange-free
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+    keyedShuffles(plan).foreach { e =>
       assert(!e.child.output.exists(_.name == "doc_id"),
         s"corpus-side shuffle: ${e.output.mkString(",")}")
     }
@@ -552,7 +565,7 @@ class PlanSpec extends SparkSpec {
   test("q113 prioritySample: TakeOrderedAndProject, zero exchanges — never a total sort") {
     val plan = staticPlan(SparkEntry.queries("q113_priority_sample")(spark, sfDir))
     assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString.take(2000))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(3000))
   }
 
@@ -562,7 +575,7 @@ class PlanSpec extends SparkSpec {
     // join (the <> predicate); the corpus side contributes only (vec_id,
     // codes) — no exchange may carry the float vector column v
     assert(plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString.take(2000))
-    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+    keyedShuffles(plan).foreach { e =>
       assert(!e.child.output.exists(_.name == "v"),
         s"float vectors in a shuffle: ${e.output.mkString(",")}")
     }
@@ -577,7 +590,7 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastHashJoin"), s.take(3000))
     // the join's exchanges key on BOTH host and the salt — that pair is
     // the skew guarantee (hot host spread over `salts` tasks)
-    val joinExchangeArities = plan.collect { case e: ShuffleExchangeExec => e }
+    val joinExchangeArities = keyedShuffles(plan)
       .map(_.outputPartitioning match {
         case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
           h.expressions.size
@@ -606,7 +619,7 @@ class PlanSpec extends SparkSpec {
     // native fold, no position explode), and everything that shuffles is
     // the (h60, doc_id, wc) long stream + the final narrow doc rollup
     val plan = staticPlan(SparkEntry.queries("q144_cdc_chunks")(spark, sfDir))
-    val shuffleCols = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty, "expected exchanges for the dup aggregation")
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "chunk" || c == "chunks" || c == "words" || c == "text"),
@@ -621,7 +634,7 @@ class PlanSpec extends SparkSpec {
     // (host, bucket) partial max is the whole point of the sketch: each
     // partition contributes ≤ 64 rows per host to the exchange
     assert(s.contains("partial_max"), s.take(2000))
-    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     shuffleCols.foreach { cols =>
       assert(!cols.contains("h") && !cols.contains("s") && !cols.contains("sh"),
         "HLL shuffles raw item hashes: " + cols.mkString(","))
@@ -636,7 +649,7 @@ class PlanSpec extends SparkSpec {
       val plan = staticPlan(SparkEntry.queries(q)(spark, sfDir))
       val s = plan.toString
       assert(!s.contains("rangepartitioning"), q + "\n" + s.take(2000))
-      val exchanges = plan.collect { case x: ShuffleExchangeExec => x }
+      val exchanges = keyedShuffles(plan)
       assert(exchanges.size == 1, s"$q: expected exactly one exchange, got ${exchanges.size}")
       assert(s.contains("hashpartitioning(shard"), q + "\n" + s.take(2000))
     }
@@ -681,7 +694,7 @@ class PlanSpec extends SparkSpec {
     val plan = staticPlan(SparkEntry.queries("q152_batch_interleave")(spark, sfDir))
     val s = plan.toString
     assert(!s.contains("rangepartitioning"), s.take(2000))
-    val exchanges = plan.collect { case x: ShuffleExchangeExec => x }
+    val exchanges = keyedShuffles(plan)
     assert(exchanges.size == 1, s"expected one exchange, got ${exchanges.size}\n" + s.take(2000))
   }
 
@@ -690,8 +703,8 @@ class PlanSpec extends SparkSpec {
     // two exchanges; the Aggregator is the production monitor shape
     val p145 = staticPlan(SparkEntry.queries("q145_host_hll")(spark, sfDir))
     val p155 = staticPlan(SparkEntry.queries("q155_host_hll_agg")(spark, sfDir))
-    val e145 = p145.collect { case x: ShuffleExchangeExec => x }.size
-    val e155 = p155.collect { case x: ShuffleExchangeExec => x }.size
+    val e145 = keyedShuffles(p145).size
+    val e155 = keyedShuffles(p155).size
     assert(e155 == 1, s"Aggregator form should shuffle once, got $e155")
     assert(e145 == 2, s"groupBy form expected two exchanges, got $e145")
     // map-side partial sketch build before the exchange
@@ -700,7 +713,7 @@ class PlanSpec extends SparkSpec {
 
   test("q147: novelty exchanges carry h60 longs and ids — never shingle strings or text") {
     val plan = staticPlan(SparkEntry.queries("q147_novelty_idf")(spark, sfDir))
-    val shuffleCols = plan.collect { case x: ShuffleExchangeExec => x.output.map(_.name) }
+    val shuffleCols = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffleCols.nonEmpty)
     shuffleCols.foreach { cols =>
       assert(!cols.exists(c => c == "s" || c == "sh" || c == "text" || c == "words"),
@@ -711,7 +724,7 @@ class PlanSpec extends SparkSpec {
   test("q103 centroidOutliers: the returned frame is exchange-free (pure threshold over the persisted dists)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val plan = staticPlan(graft.operators.Similarity.centroidOutliers(emb, 0.95))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     graft.plans.TrackedCache.releaseAll()
   }
@@ -722,7 +735,7 @@ class PlanSpec extends SparkSpec {
     // per-host duplicates BEFORE the exchange, and the ONLY shuffle
     // carries (src, dst, partial-count) — never html, href, or text
     val plan = staticPlan(SparkEntry.queries("q159_href_edges")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.length == 1, s"expected exactly the edge agg exchange: $shuffles")
     assert(!shuffles.head.exists(c =>
       c.contains("html") || c.contains("href") || c.contains("text") || c.contains("url")),
@@ -734,7 +747,7 @@ class PlanSpec extends SparkSpec {
     // computed in the scan projection, the corpus-sized exchange carries
     // only (host, fpb, partial agg), host totals come back by broadcast
     val plan = staticPlan(SparkEntry.queries("q166_template_clusters")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.nonEmpty, plan.toString.take(1500))
     shuffles.foreach(cols => assert(!cols.exists(c =>
       c.contains("html") || c.contains("text") || c.contains("url")),
@@ -745,7 +758,7 @@ class PlanSpec extends SparkSpec {
 
   test("q167: anchor index shuffles only short strings — html never reaches an exchange") {
     val plan = staticPlan(SparkEntry.queries("q167_anchor_text")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.nonEmpty, plan.toString.take(1500))
     shuffles.foreach(cols => assert(!cols.exists(c =>
       c.contains("html") || c.contains("text") || c.contains("href")),
@@ -754,13 +767,13 @@ class PlanSpec extends SparkSpec {
 
   test("q168: block density is exchange-free — split/strip/measure/verdict all scan-side") {
     val plan = staticPlan(SparkEntry.queries("q168_block_density")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       s"block scoring must not shuffle: ${plan.toString.take(1500)}")
   }
 
   test("q170: host curation joins host-level aggregates by broadcast; no exchange carries page bytes") {
     val plan = staticPlan(SparkEntry.queries("q170_host_curation")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.nonEmpty, plan.toString.take(1500))
     shuffles.foreach(cols => assert(!cols.exists(c =>
       c.contains("html") || c == "text" || c.contains("scrubbed")),
@@ -771,7 +784,7 @@ class PlanSpec extends SparkSpec {
 
   test("q172: sitemap coverage exchanges carry only (host, url) pairs — XML and page bytes stay host-side") {
     val plan = staticPlan(SparkEntry.queries("q172_sitemap_coverage")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.nonEmpty, plan.toString.take(1500))
     shuffles.foreach(cols => assert(!cols.exists(c =>
       c.contains("xml") || c.contains("html") || c == "text" || c == "body"),
@@ -780,7 +793,7 @@ class PlanSpec extends SparkSpec {
 
   test("q171: line-level langid shuffles only (doc_id, lang, partials) — line text dies map-side") {
     val plan = staticPlan(SparkEntry.queries("q171_line_lang_purity")(spark, sfDir))
-    val shuffles = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffles = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffles.nonEmpty, plan.toString.take(1500))
     shuffles.foreach(cols => assert(!cols.exists(c =>
       c == "text" || c.contains("html") || c == "url"),
@@ -789,13 +802,13 @@ class PlanSpec extends SparkSpec {
 
   test("q169: gzip→WARC chain is exchange-free — inflate once, chain the header walk in-projection") {
     val plan = staticPlan(SparkEntry.queries("q169_gzip_warc")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       s"container decode must not shuffle: ${plan.toString.take(1500)}")
   }
 
   test("q160: image synthesize→parse is exchange-free and the blob never outlives its projection") {
     val plan = staticPlan(SparkEntry.queries("q160_image_meta")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     // the published frame must not retain the img blob column
     assert(!plan.output.map(_.name).contains("img"), plan.output.map(_.name).toString)
@@ -805,7 +818,7 @@ class PlanSpec extends SparkSpec {
     // same contract as q160 for the audio/video family: WAV/MP4 synthesis
     // and the AvMeta chunk/box walk fuse into one scan-stage projection
     val plan = staticPlan(SparkEntry.queries("q162_av_meta")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(!plan.output.map(_.name).contains("av"), plan.output.map(_.name).toString)
   }
@@ -815,14 +828,14 @@ class PlanSpec extends SparkSpec {
     // synthesis and the WarcMeta header walk fuse into one scan-stage
     // projection
     val plan = staticPlan(SparkEntry.queries("q164_warc_meta")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(!plan.output.map(_.name).contains("warc"), plan.output.map(_.name).toString)
   }
 
   test("q165: charset synthesize→sniff→decode is exchange-free and the page blob never outlives its projection") {
     val plan = staticPlan(SparkEntry.queries("q165_charset")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       plan.toString.take(2000))
     assert(!plan.output.map(_.name).contains("page"), plan.output.map(_.name).toString)
   }
@@ -835,7 +848,7 @@ class PlanSpec extends SparkSpec {
     val plan = staticPlan(SparkEntry.queries("q163_robots_policy")(spark, sfDir))
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
       plan.toString.take(2000))
-    val shuffled = plan.collect { case s: ShuffleExchangeExec => s.output.map(_.name) }
+    val shuffled = keyedShuffles(plan).map(_.output.map(_.name))
     assert(shuffled.forall(cols => !cols.exists(c => c.contains("text") || c.contains("html"))),
       s"corpus text/html must never exchange for a policy decision: $shuffled")
     assert(shuffled.forall(cols => !cols.exists(_.contains("robots_txt"))),
@@ -881,13 +894,13 @@ class PlanSpec extends SparkSpec {
 
   test("q186: span corruption is exchange-free — grid, gate, sentinels all in-row") {
     val plan = staticPlan(SparkEntry.queries("q186_span_corruption")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       s"denoising prep must not shuffle: ${plan.toString.take(1500)}")
   }
 
   test("q187: FIM transform is exchange-free — gate, splits and PSM assembly in the scan") {
     val plan = staticPlan(SparkEntry.queries("q187_fim")(spark, sfDir))
-    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+    assert(keyedShuffles(plan).isEmpty,
       s"FIM prep must not shuffle: ${plan.toString.take(1500)}")
   }
 
